@@ -1,0 +1,22 @@
+"""spatialindex_ray — a from-scratch Ray-Data-native spatial indexing,
+spatial-join and tiling engine with the query capabilities of
+Caltech-IPAC/SpatialIndex, rebuilt on ray.data.Dataset + vectorized NumPy
+kernels over zero-copy Arrow batches.
+
+Layout:
+    kernels/   vectorized HTM / HEALPix / vector math (bit-exact vs reference)
+    geom.py    sky regions (cone / convex polygon / ellipse) + exact predicates
+    cover.py   region -> sorted cell-id range decomposition (the planner)
+    sqlcompat. byte-identical index/geom SQL constraint rendering
+    spatial_index.py  drop-in SpatialIndex Python API (cone_search/polygon_search)
+    ops.py     Dataset -> Dataset stages (encode, semi-join, cell join, knn, tiles)
+    pipelines. end-to-end pipeline builders + webpages synthesis
+    state/     manifest / checkpoint / lineage helpers
+"""
+
+__version__ = "0.1.0"
+
+try:  # public API surface; kernels usable standalone during bootstrap
+    from .spatial_index import SpatialIndex  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

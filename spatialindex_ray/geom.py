@@ -1,0 +1,349 @@
+"""Sky regions (cone / convex polygon / ellipse) and their exact predicates.
+
+Scalar (driver/planner-side) math uses plain Python floats in the same
+operation order as the reference C code; batch predicates are vectorized
+NumPy over (N, 3) arrays. Reference conformance targets:
+
+- cone center/vec + cos(radius):   /root/reference/lib/src/sptQueryLib.c:60-73
+- polygon normals + handedness:    sptQueryLib.c:636-699 (vCross/vNormalize path)
+- htm_s2cpoly_init (cover poly):   /root/reference/lib/src/tinyhtm/src/geometry.c:369-427
+- ellipse init (foci / cen+axes):  geometry.c:267-357
+- membership tests F1-F3:          sptQueryLib.c:580,1219-1230; geometry.h:404-418;
+                                   geometry.c:593-604
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .kernels import vec
+
+RAD_PER_DEG = vec.RAD_PER_DEG
+DEG_PER_RAD = vec.DEG_PER_RAD
+
+
+# ---------------------------------------------------------------- scalar v3
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _neg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _mul(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _rcross(v1, v2):
+    """htm_v3_rcross (geometry.h:203-216): 2x cross, robust for near-equal units."""
+    x1 = v2[0] + v1[0]
+    x2 = v2[0] - v1[0]
+    y1 = v2[1] + v1[1]
+    y2 = v2[1] - v1[1]
+    z1 = v2[2] + v1[2]
+    z2 = v2[2] - v1[2]
+    return (y1 * z2 - z1 * y2, z1 * x2 - x1 * z2, x1 * y2 - y1 * x2)
+
+
+def _norm(a):
+    return math.sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2])
+
+
+def _normalize(a):
+    n = _norm(a)
+    return (a[0] / n, a[1] / n, a[2] / n)
+
+
+def _dist2(a, b):
+    dx = a[0] - b[0]
+    dy = a[1] - b[1]
+    dz = a[2] - b[2]
+    return dx * dx + dy * dy + dz * dz
+
+
+def _midpoint(a, b):
+    return _normalize(_add(a, b))
+
+
+def radec_to_v3(ra, dec):
+    """Scalar ra/dec (deg) -> normalized unit vector, in the exact order of
+    sptConeSearch (sptQueryLib.c:67-73): trig, then htm_v3_normalize."""
+    cos_dec = math.cos(dec * RAD_PER_DEG)
+    x = math.cos(ra * RAD_PER_DEG) * cos_dec
+    y = math.sin(ra * RAD_PER_DEG) * cos_dec
+    z = math.sin(dec * RAD_PER_DEG)
+    return _normalize((x, y, z))
+
+
+def radec_to_v3_raw(ra, dec):
+    """Unnormalized variant — the sptPolygonSearch 'poly' vertices
+    (sptQueryLib.c:636-641) skip the normalize step."""
+    cos_dec = math.cos(dec * RAD_PER_DEG)
+    return (
+        math.cos(ra * RAD_PER_DEG) * cos_dec,
+        math.sin(ra * RAD_PER_DEG) * cos_dec,
+        math.sin(dec * RAD_PER_DEG),
+    )
+
+
+# ---------------------------------------------------------------- regions
+class RegionError(ValueError):
+    """Raised for degenerate / non-convex region specifications (maps to the
+    reference's status=1 + errorMsg returns)."""
+
+
+@dataclass
+class Cone:
+    """Spherical cap: center (ra, dec) + radius, all degrees."""
+
+    ra: float
+    dec: float
+    radius: float
+    center: tuple = field(init=False)
+    cosrad: float = field(init=False)
+    dist2: float = field(init=False)
+
+    def __post_init__(self):
+        self.center = radec_to_v3(self.ra, self.dec)
+        self.cosrad = math.cos(self.radius * RAD_PER_DEG)
+        # square of secant distance: 4 sin^2(r/2)  (htm.c:1205-1207)
+        s = math.sin(self.radius * 0.5 * RAD_PER_DEG)
+        self.dist2 = 4.0 * s * s
+
+    def mask(self, xyz: np.ndarray) -> np.ndarray:
+        """Vectorized F1 over an (N, 3) array: x*cx + y*cy + z*cz >= cos(r),
+        exactly the emitted geomConstraint (sptQueryLib.c:580)."""
+        c = self.center
+        return (
+            xyz[:, 0] * c[0] + xyz[:, 1] * c[1] + xyz[:, 2] * c[2]
+        ) >= self.cosrad
+
+
+def polygon_normals(ra, dec):
+    """Handedness-corrected unit edge normals of a convex polygon, the exact
+    sptPolygonSearch recipe (sptQueryLib.c:636-699): cross of consecutive
+    *unnormalized* vertex vectors, normalized, flipped if clockwise.
+
+    Raises RegionError on degenerate corners / non-convex input.
+    Returns (poly_verts_raw, normals) as lists of tuples.
+    """
+    npoly = len(ra)
+    poly = [radec_to_v3_raw(ra[i], dec[i]) for i in range(npoly)]
+    normals = []
+    flip = 1
+    for i in range(npoly):
+        nrm = _cross(poly[i], poly[(i + 1) % npoly])
+        ln = _norm(nrm)
+        if ln == 0.0:
+            ln = 1.0  # vNormalize guard (sptQueryLib.c:2494-2510)
+        nrm = (nrm[0] / ln, nrm[1] / ln, nrm[2] / ln)
+        handedness = _dot(nrm, poly[(i + 2) % npoly])
+        if abs(handedness) < 1.0e-10:
+            raise RegionError("Degenerate polygon corner.")
+        if i == 0 and handedness < 0.0:
+            flip = -1
+        if i > 0 and flip * handedness <= 0.0:
+            raise RegionError("Polygon is not convex;")
+        if flip < 0:
+            nrm = _neg(nrm)
+        normals.append(nrm)
+    return poly, normals
+
+
+@dataclass
+class ConvexPolygon:
+    """Convex spherical polygon; carries both the sptPolygonSearch normals
+    (for the geom predicate) and the htm_s2cpoly form (for HTM coverage)."""
+
+    ra: list
+    dec: list
+    normals: list = field(init=False)       # unit normals, geom predicate
+    verts: list = field(init=False)         # normalized vertices (CCW order)
+    edges: list = field(init=False)         # rcross edge planes (unnormalized)
+    vsum: tuple = field(init=False)
+
+    def __post_init__(self):
+        _, self.normals = polygon_normals(self.ra, self.dec)
+        # htm_s2cpoly_init (geometry.c:369-427) over *normalized* vertices
+        # (sptQueryLib.c:703-713 normalizes before building the cpoly).
+        n = len(self.ra)
+        verts = [radec_to_v3(self.ra[i], self.dec[i]) for i in range(n)]
+        vsum = verts[n - 1]
+        edges = [None] * n
+        for i in range(n - 1):
+            edges[i] = _rcross(verts[i], verts[i + 1])
+            vsum = _add(vsum, verts[i])
+        edges[n - 1] = _rcross(verts[n - 1], verts[0])
+        if _dot(vsum, edges[0]) < 0.0:
+            # Clockwise input: reverse vertex order and rebuild edge planes
+            # (geometry.c:407-418). The C code splices/negates the existing
+            # edge array; since rcross is exactly antisymmetric under IEEE
+            # negation, recomputing rcross over the reversed vertices is
+            # bit-identical. vsum is NOT recomputed (C keeps the original).
+            verts = verts[::-1]
+            edges = [None] * n
+            for i in range(n - 1):
+                edges[i] = _rcross(verts[i], verts[i + 1])
+            edges[n - 1] = _rcross(verts[n - 1], verts[0])
+        self.verts = verts
+        self.edges = edges
+        self.vsum = vsum
+
+    @property
+    def n(self):
+        return len(self.verts)
+
+    def contains(self, v) -> bool:
+        """htm_s2cpoly_cv3 (geometry.c:593-604): all edge dots >= 0."""
+        return all(_dot(v, e) >= 0.0 for e in self.edges)
+
+    def mask(self, xyz: np.ndarray) -> np.ndarray:
+        """Vectorized F2 with the *geom-constraint* normals
+        (sptQueryLib.c:1219-1230): AND over v . normal_i >= 0."""
+        nm = np.asarray(self.normals)
+        return (xyz @ nm.T >= 0.0).all(axis=1)
+
+
+@dataclass
+class Ellipse:
+    """Spherical ellipse via the quadratic-form matrix (geometry.h:364-380)."""
+
+    cen: tuple
+    xx: float
+    yy: float
+    zz: float
+    xy: float
+    xz: float
+    yz: float
+    a: float
+
+    @classmethod
+    def from_foci(cls, f1, f2, a):
+        """htm_s2ellipse_init (geometry.c:267-295)."""
+        e = 0.5 * float(vec.angsepu(np.asarray(f1), np.asarray(f2)))
+        if e > 90.0 - 2.777777777777777778e-6 or a <= e or a >= 180.0 - e:
+            raise RegionError("invalid ellipse angles")
+        cen = _normalize(_add(f1, f2))
+        ss = math.sin(2.0 * RAD_PER_DEG * a)
+        c = math.cos(2.0 * RAD_PER_DEG * a)
+        ss *= ss
+        return cls(
+            cen=cen,
+            xx=ss - f1[0] * f1[0] - f2[0] * f2[0] + 2.0 * c * f1[0] * f2[0],
+            yy=ss - f1[1] * f1[1] - f2[1] * f2[1] + 2.0 * c * f1[1] * f2[1],
+            zz=ss - f1[2] * f1[2] - f2[2] * f2[2] + 2.0 * c * f1[2] * f2[2],
+            xy=c * (f1[0] * f2[1] + f1[1] * f2[0]) - f1[0] * f1[1] - f2[0] * f2[1],
+            xz=c * (f1[0] * f2[2] + f1[2] * f2[0]) - f1[0] * f1[2] - f2[0] * f2[2],
+            yz=c * (f1[1] * f2[2] + f1[2] * f2[1]) - f1[1] * f1[2] - f2[1] * f2[2],
+            a=a,
+        )
+
+    @classmethod
+    def from_center(cls, ra, dec, a, b, angle):
+        """htm_s2ellipse_init2 (geometry.c:298-357): center + semi-axes + PA."""
+        if (
+            a <= 0.0
+            or b <= 0.0
+            or a > 90.0 - 2.777777777777777778e-6
+            or b > 90.0 - 2.777777777777777778e-6
+        ):
+            raise RegionError("invalid ellipse axes")
+        cen = radec_to_v3(ra, dec)
+        a_deg = a
+        ta = math.tan(RAD_PER_DEG * a)
+        tb = math.tan(RAD_PER_DEG * b)
+        ia = 1.0 / (ta * ta)
+        ib = 1.0 / (tb * tb)
+        north, east = _ne_basis(cen)
+        s = math.sin(RAD_PER_DEG * angle)
+        c = math.cos(RAD_PER_DEG * angle)
+        nvec = _sub(_mul(north, c), _mul(east, s))
+        evec = _add(_mul(north, s), _mul(east, c))
+        return cls(
+            cen=cen,
+            xx=ia * nvec[0] * nvec[0] + ib * evec[0] * evec[0] - cen[0] * cen[0],
+            yy=ia * nvec[1] * nvec[1] + ib * evec[1] * evec[1] - cen[1] * cen[1],
+            zz=ia * nvec[2] * nvec[2] + ib * evec[2] * evec[2] - cen[2] * cen[2],
+            xy=ia * nvec[0] * nvec[1] + ib * evec[0] * evec[1] - cen[0] * cen[1],
+            xz=ia * nvec[0] * nvec[2] + ib * evec[0] * evec[2] - cen[0] * cen[2],
+            yz=ia * nvec[1] * nvec[2] + ib * evec[1] * evec[2] - cen[1] * cen[2],
+            a=a_deg,
+        )
+
+    def qf(self, v):
+        return (
+            self.xx * v[0] * v[0]
+            + self.yy * v[1] * v[1]
+            + self.zz * v[2] * v[2]
+            + 2.0 * self.xy * v[0] * v[1]
+            + 2.0 * self.xz * v[0] * v[2]
+            + 2.0 * self.yz * v[1] * v[2]
+        )
+
+    def contains(self, v) -> bool:
+        """htm_s2ellipse_cv3 (geometry.h:404-418)."""
+        qf = self.qf(v)
+        dp = _dot(self.cen, v)
+        if self.a <= 90.0:
+            return dp >= 0.0 and qf <= 0.0
+        return dp >= 0.0 or qf >= 0.0
+
+    def mask(self, xyz: np.ndarray) -> np.ndarray:
+        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        qf = (
+            self.xx * x * x
+            + self.yy * y * y
+            + self.zz * z * z
+            + 2.0 * self.xy * x * y
+            + 2.0 * self.xz * x * z
+            + 2.0 * self.yz * y * z
+        )
+        dp = x * self.cen[0] + y * self.cen[1] + z * self.cen[2]
+        if self.a <= 90.0:
+            return (dp >= 0.0) & (qf <= 0.0)
+        return (dp >= 0.0) | (qf >= 0.0)
+
+
+def _ne_basis(v):
+    """North/east unit basis at v — htm_v3_ne (geometry.c:24-48)."""
+    x, y, z = v
+    north = (-x * z, -y * z, x * x + y * y)
+    if north[0] == 0.0 and north[1] == 0.0 and north[2] == 0.0:
+        # at a pole: arbitrary orthogonal basis with z = 0
+        return (-1.0, north[1], north[2]), (0.0, 1.0, 0.0)
+    north = _normalize(north)
+    east = _normalize(_rcross(north, v))
+    return north, east
+
+
+def v3_rot(v, k, angle_deg):
+    """Rodrigues rotation of v around axis k — htm_v3_rot (geometry.c:85-112)."""
+    nk = _norm(k)
+    if nk == 0.0:
+        raise RegionError("zero-norm rotation axis")
+    sina = math.sin(angle_deg * RAD_PER_DEG)
+    cosa = math.cos(angle_deg * RAD_PER_DEG)
+    kdotv = _dot(k, v) / nk
+    kxv = _mul(_rcross(k, v), 0.5 * sina / nk)
+    out = _add(kxv, _mul(v, cosa))
+    return _add(out, _mul(k, kdotv * (1.0 - cosa)))

@@ -1,0 +1,220 @@
+"""Vectorized HTM (Hierarchical Triangular Mesh) kernels.
+
+From-scratch NumPy implementation of the HTM scheme (Szalay/Budavari/Fekete/
+Gray; http://adsabs.harvard.edu/abs/2010PASP..122.1375B). Bit-exact parity
+with the reference scalar C code is maintained by replicating its float
+operation order — conformance targets:
+
+- point encoder htm_v3_id:      /root/reference/lib/src/tinyhtm/src/htm.c:980-1033
+- root selection:               htm.c:814-835
+- subdivision scheme + tables:  htm.c:27-74,112-154
+- id -> level:                  htm.c:1064-1084
+- id -> triangle (tri_init):    htm.c:1087-1144
+- id -> IRSA decimal (BASE4):   htm.c:1562-1579
+
+The encoder processes (N, 3) point arrays with a loop over *levels* (<= 20
+iterations), not points: each iteration does a handful of fused elementwise
+NumPy kernels, so throughput is memory-bound vectorized work, ideal inside
+``Dataset.map_batches(batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import vec
+
+HTM_MAX_LEVEL = 24
+HTM_DEC_MAX_LEVEL = 18
+
+# The 6 fundamental vertices (htm.c:114-121).
+_ROOT_V3 = np.array(
+    [
+        [0.0, 0.0, 1.0],   # Z
+        [1.0, 0.0, 0.0],   # X
+        [0.0, 1.0, 0.0],   # Y
+        [-1.0, 0.0, 0.0],  # NX
+        [0.0, -1.0, 0.0],  # NY
+        [0.0, 0.0, -1.0],  # NZ
+    ]
+)
+_Z, _X, _Y, _NX, _NY, _NZ = range(6)
+
+# Vertex indices for the 8 root triangles S0..S3, N0..N3 (htm.c:132-141).
+_ROOT_VERT = np.array(
+    [
+        [_X, _NZ, _Y],    # S0 (id 8)
+        [_Y, _NZ, _NX],   # S1 (id 9)
+        [_NX, _NZ, _NY],  # S2 (id 10)
+        [_NY, _NZ, _X],   # S3 (id 11)
+        [_X, _Z, _NY],    # N0 (id 12)
+        [_NY, _Z, _NX],   # N1 (id 13)
+        [_NX, _Z, _Y],    # N2 (id 14)
+        [_Y, _Z, _X],     # N3 (id 15)
+    ]
+)
+
+# Edge-normal indices for the 8 root triangles (htm.c:145-154).
+_ROOT_EDGE = np.array(
+    [
+        [_Y, _X, _NZ],    # S0
+        [_NX, _Y, _NZ],   # S1
+        [_NY, _NX, _NZ],  # S2
+        [_X, _NY, _NZ],   # S3
+        [_NY, _X, _Z],    # N0
+        [_NX, _NY, _Z],   # N1
+        [_Y, _NX, _Z],    # N2
+        [_X, _Y, _Z],     # N3
+    ]
+)
+
+# (8, 3, 3): root triangle -> 3 vertices -> xyz
+ROOT_TRI_VERTS = _ROOT_V3[_ROOT_VERT]
+ROOT_TRI_EDGES = _ROOT_V3[_ROOT_EDGE]
+
+
+def v3_root(v):
+    """Vectorized root-triangle selection; mirrors _htm_v3_htmroot (htm.c:814-835).
+
+    Returns uint8 root ordinals 0..7 (S0..S3, N0..N3); HTM id of a root is
+    ``root + 8``.
+    """
+    v = np.asarray(v)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    south = np.where(
+        y > 0.0,
+        np.where(x > 0.0, 0, 1),
+        np.where(y == 0.0, np.where(x >= 0.0, 0, 2), np.where(x < 0.0, 2, 3)),
+    )
+    north = np.where(
+        y > 0.0,
+        np.where(x > 0.0, 7, 6),
+        np.where(y == 0.0, np.where(x >= 0.0, 7, 5), np.where(x < 0.0, 5, 4)),
+    )
+    return np.where(z < 0.0, south, north).astype(np.uint8)
+
+
+def v3_id(points, level):
+    """Vectorized HTM point encoder; bit-exact port of htm_v3_id (htm.c:980-1033).
+
+    points: (N, 3) float64 unit vectors. Returns (N,) int64 HTM ids at
+    ``level``. The per-level math (midpoint-normalize, rcross, dot >= 0) is
+    evaluated for all points at once; the C code's lazy evaluation of sv0 /
+    later edges only skips work, never changes values, so eager vectorized
+    evaluation yields identical bits.
+    """
+    points = np.asarray(points, dtype=np.float64)
+    if points.ndim == 1:
+        points = points[None, :]
+    n = points.shape[0]
+    if level < 0 or level > HTM_MAX_LEVEL:
+        return np.zeros(n, dtype=np.int64)
+
+    r = v3_root(points)
+    ids = r.astype(np.int64) + 8
+    tri = ROOT_TRI_VERTS[r]  # (N, 3, 3)
+    v0 = np.ascontiguousarray(tri[:, 0, :])
+    v1 = np.ascontiguousarray(tri[:, 1, :])
+    v2 = np.ascontiguousarray(tri[:, 2, :])
+
+    for _ in range(level):
+        sv1 = vec.midpoint(v2, v0)
+        sv2 = vec.midpoint(v0, v1)
+        e = vec.rcross(sv2, sv1)
+        c0 = vec.dot(e, points) >= 0
+        sv0 = vec.midpoint(v1, v2)
+        e = vec.rcross(sv0, sv2)
+        c1 = vec.dot(e, points) >= 0
+        e = vec.rcross(sv1, sv0)
+        c2 = vec.dot(e, points) >= 0
+
+        child = np.where(c0, 0, np.where(c1, 1, np.where(c2, 2, 3)))
+        ids = (ids << 2) + child
+
+        m0 = c0[:, None]
+        m1 = (~c0 & c1)[:, None]
+        m2 = (~c0 & ~c1 & c2)[:, None]
+        m3 = (~c0 & ~c1 & ~c2)[:, None]
+        nv0 = np.where(m0, v0, np.where(m1, v1, np.where(m2, v2, sv0)))
+        nv1 = np.where(m0, sv2, np.where(m1, sv0, sv1))
+        nv2 = np.where(m0, sv1, np.where(m1 | m3, sv2, sv0))
+        v0, v1, v2 = nv0, nv1, nv2
+    return ids
+
+
+def level_of(ids):
+    """Vectorized htm_level (htm.c:1064-1084): id -> subdivision level, -1 if invalid."""
+    ids = np.asarray(ids, dtype=np.int64)
+    x = ids.astype(np.uint64).copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    # popcount via numpy bit tricks (portable, no np.bitwise_count in 1.26)
+    l = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64) - 4
+    bad = (
+        (ids < 8)
+        | ((l & 1) != 0)
+        | (((ids >> np.minimum(np.maximum(l, 0), 62)) & 0x8) == 0)
+        | (l > HTM_MAX_LEVEL * 2)
+    )
+    return np.where(bad, -1, l // 2)
+
+
+def id_to_dec(ids):
+    """Vectorized htm_idtodec (htm.c:1562-1579): bit-packed id -> IRSA base-4
+    decimal rendering (``spt_ind`` convention); 0 for invalid ids or level > 18.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    scalar = ids.ndim == 0
+    ids = np.atleast_1d(ids)
+    levels = level_of(ids)
+    ok = (levels >= 0) & (levels <= HTM_DEC_MAX_LEVEL)
+    dec = np.zeros_like(ids)
+    factor = np.ones_like(ids)
+    work = ids.copy()
+    # peel level+1 base-4 digits; per-element loop count differs, so mask
+    maxiter = int(levels.max()) + 1 if ok.any() else 0
+    remaining = np.where(ok, levels + 1, 0)
+    for _ in range(maxiter):
+        act = remaining > 0
+        dec = np.where(act, dec + factor * (work & 3), dec)
+        work = np.where(act, work >> 2, work)
+        factor = np.where(act, factor * 10, factor)
+        remaining = np.where(act, remaining - 1, remaining)
+    dec = np.where((work & 1) == 1, dec + 2 * factor, dec + factor)
+    dec = np.where(ok, dec, 0)
+    return int(dec[0]) if scalar else dec
+
+
+def tri_geometry(ids):
+    """Vectorized htm_tri_init (htm.c:1087-1144): ids (all the same level) ->
+    (verts (N,3,3), center (N,3), radius_deg (N,)).
+
+    Replays the subdivision path from the root with the same midpoint order
+    as the reference, so vertices are bit-identical.
+    """
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+    levels = level_of(ids)
+    level = int(levels[0])
+    if level < 0 or not (levels == level).all():
+        raise ValueError("tri_geometry requires valid ids of a single level")
+    shift = 2 * level
+    r = (ids >> shift) & 0x7
+    tri = ROOT_TRI_VERTS[r]
+    v0 = np.ascontiguousarray(tri[:, 0, :])
+    v1 = np.ascontiguousarray(tri[:, 1, :])
+    v2 = np.ascontiguousarray(tri[:, 2, :])
+    for s in range(shift - 2, -1, -2):
+        child = ((ids >> s) & 0x3)[:, None]
+        sv1 = vec.midpoint(v2, v0)
+        sv2 = vec.midpoint(v0, v1)
+        sv0 = vec.midpoint(v1, v2)
+        nv0 = np.where(child == 0, v0, np.where(child == 1, v1, np.where(child == 2, v2, sv0)))
+        nv1 = np.where(child == 0, sv2, np.where(child == 1, sv0, sv1))
+        nv2 = np.where(child == 0, sv1, np.where(child == 1, sv2, np.where(child == 2, sv0, sv2)))
+        v0, v1, v2 = nv0, nv1, nv2
+    vsum = v0 + v1
+    vsum = vsum + v2
+    center = vec.normalize(vsum)
+    radius = vec.angsep(vsum, v0)
+    verts = np.stack([v0, v1, v2], axis=1)
+    return verts, center, radius

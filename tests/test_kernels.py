@@ -1,0 +1,136 @@
+"""Conformance of the vectorized kernels against captured reference vectors
+(tests/fixtures/reference_conformance.json, produced by the compiled
+Caltech-IPAC/SpatialIndex build — see FIXTURES.md)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spatialindex_ray.kernels import healpix, htm, vec
+
+FIX = json.load(
+    open(os.path.join(os.path.dirname(__file__), "fixtures", "reference_conformance.json"))
+)
+
+
+@pytest.fixture(scope="module")
+def points():
+    ra = np.array([float(p["ra"]) for p in FIX["points"]])
+    dec = np.array([float(p["dec"]) for p in FIX["points"]])
+    return ra, dec
+
+
+def test_sc_to_v3_bit_exact(points):
+    """x,y,z match the reference's 17-significant-digit CSV output exactly."""
+    ra, dec = points
+    v = vec.normalize(vec.sc_to_v3(ra, dec))
+    for i, p in enumerate(FIX["points"]):
+        assert f"{v[i,0]:.17f}" == p["x"], (p["ra"], p["dec"])
+        assert f"{v[i,1]:.17f}" == p["y"]
+        assert f"{v[i,2]:.17f}" == p["z"]
+
+
+def test_htm_encoder_bit_exact(points):
+    ra, dec = points
+    v = vec.normalize(vec.sc_to_v3(ra, dec))
+    got7 = htm.v3_id(v, 7)
+    got20 = htm.v3_id(v, 20)
+    exp7 = np.array([p["htm7"] for p in FIX["points"]])
+    exp20 = np.array([p["htm20"] for p in FIX["points"]])
+    np.testing.assert_array_equal(got7, exp7)
+    np.testing.assert_array_equal(got20, exp20)
+
+
+def test_hpx_encoder_bit_exact(points):
+    ra, dec = points
+    got7 = healpix.sky2hpx(7, ra, dec)
+    got20 = healpix.sky2hpx(20, ra, dec)
+    exp7 = np.array([p["hpx7"] for p in FIX["points"]])
+    exp20 = np.array([p["hpx20"] for p in FIX["points"]])
+    np.testing.assert_array_equal(got7, exp7)
+    np.testing.assert_array_equal(got20, exp20)
+
+
+def test_coarse_level_by_shift(points):
+    """htm20 >> 26 == htm7 and hpx20 >> 26 == hpx7 (store finest, derive coarse)."""
+    ra, dec = points
+    v = vec.normalize(vec.sc_to_v3(ra, dec))
+    assert (htm.v3_id(v, 20) >> 26 == htm.v3_id(v, 7)).all()
+    assert (healpix.sky2hpx(20, ra, dec) >> 26 == healpix.sky2hpx(7, ra, dec)).all()
+
+
+def test_id_to_dec_goldens():
+    ids = np.array([258749, 245105, 8, 15, 16448732312323])
+    np.testing.assert_array_equal(
+        htm.id_to_dec(ids), [233022331, 223311301, 10, 23, 0]
+    )
+
+
+def test_level_of():
+    assert htm.level_of([8])[0] == 0
+    assert htm.level_of([258749])[0] == 7
+    assert htm.level_of([16448732312323])[0] == 20
+    assert htm.level_of([3])[0] == -1
+
+
+def test_tri_contains_own_point():
+    """Encode<->geometry roundtrip: each point lies inside its own trixel
+    (all three edge-plane dots >= 0) — property test per FIXTURES.md §6."""
+    rng = np.random.default_rng(42)
+    n = 2000
+    lon = rng.uniform(0, 360, n)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    v = vec.normalize(vec.sc_to_v3(lon, lat))
+    for level in (3, 7, 11):
+        ids = htm.v3_id(v, level)
+        verts, center, radius = htm.tri_geometry(ids)
+        # edge plane normals via rcross of consecutive vertices
+        e0 = vec.rcross(verts[:, 0], verts[:, 1])
+        e1 = vec.rcross(verts[:, 1], verts[:, 2])
+        e2 = vec.rcross(verts[:, 2], verts[:, 0])
+        assert (vec.dot(e0, v) >= -1e-12).all()
+        assert (vec.dot(e1, v) >= -1e-12).all()
+        assert (vec.dot(e2, v) >= -1e-12).all()
+
+
+def test_hpx_roundtrip_center():
+    """pix2loc(sky2hpx(center)) stays in the same pixel."""
+    for order in (3, 7, 12):
+        npix = 12 << (2 * order)
+        rng = np.random.default_rng(1)
+        pix = rng.integers(0, npix, 500)
+        z, phi = healpix.pix2loc(order, pix)
+        lat = 90.0 - np.degrees(np.arccos(z))
+        lon = np.degrees(phi)
+        back = healpix.sky2hpx(order, lon, lat)
+        np.testing.assert_array_equal(back, pix)
+
+
+def test_hpx_neighbors():
+    """Every neighbor's center is within 3x the max pixel radius; pixel is a
+    neighbor of its neighbors (symmetry) where both sides exist."""
+    order = 6
+    npix = 12 << (2 * order)
+    rng = np.random.default_rng(2)
+    pix = rng.integers(0, npix, 300)
+    nbrs = healpix.neighbors(order, pix)
+    maxrad = healpix.max_pix_rad(order)
+    c = healpix.pix2v3(order, pix)
+    for m in range(8):
+        valid = nbrs[:, m] >= 0
+        vc = healpix.pix2v3(order, nbrs[valid, m])
+        sep = np.degrees(
+            2 * np.arcsin(np.sqrt(vec.dist2(c[valid], vc)) / 2.0)
+        )
+        assert (sep <= 3.1 * np.degrees(maxrad)).all()
+    # symmetry
+    flat = nbrs[:50].ravel()
+    flat = flat[flat >= 0]
+    back = healpix.neighbors(order, flat)
+    for i, p in enumerate(pix[:50]):
+        mine = nbrs[i][nbrs[i] >= 0]
+        for q in mine:
+            row = back[np.where(flat == q)[0][0]]
+            assert p in row
