@@ -1,44 +1,300 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()[name](sf_dir)`` runs a spatialindex_ray pipeline over the
+driver-generated parquet tables; ``oracle_sql()[name]`` is the DuckDB
+equivalent. Sky positions for the oracle-checked spatial queries derive from
+``doc_id`` via +,*,fmod,sin,cos only (bit-identical between NumPy and DuckDB
+— np.asin/atan2 use SVML and are NOT safe; see spatialindex_ray.ops).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
 
+import spatialindex_ray
+import spatialindex_ray.functions.text as textfn
+from spatialindex_ray import SpatialIndex, ops
+from spatialindex_ray.functions import ann, dedup
+from spatialindex_ray.ops import DEG, POS_C1, POS_C2, RAD
+
+# Ray workers may be launched before this repo is on sys.path (the driver
+# calls ray.init() first, possibly from another cwd). Ship the library by
+# value inside task closures so workers never need to import it.
+try:
+    from ray import cloudpickle as _rcp
+
+    _rcp.register_pickle_by_value(spatialindex_ray)
+except Exception:  # pragma: no cover - best-effort hardening
+    pass
+
+
+def _d(x: float) -> str:
+    """Render a float as a DuckDB DOUBLE literal (e-notation forces DOUBLE;
+    plain decimals parse as DECIMAL and break bit-parity)."""
+    return f"{x:.17e}"
+
+
+# Shared position/xyz SQL fragments (must mirror ops.positions_from_id +
+# ops.xyz_from_lonlat float-for-float).
+_POS_SQL = f"""
+  SELECT doc_id,
+    360.0 * fmod(doc_id * {_d(POS_C1)}, 1.0) AS lon,
+    180.0 * fmod(doc_id * {_d(POS_C2)}, 1.0) - 90.0 AS lat
+  FROM documents
+"""
+
+
+def _xyz_sql(extra_cols: str = "") -> str:
+    return f"""
+WITH p AS ({_POS_SQL}),
+raw AS (
+  SELECT doc_id{extra_cols},
+    cos(lon*{_d(RAD)})*cos(lat*{_d(RAD)}) AS x0,
+    sin(lon*{_d(RAD)})*cos(lat*{_d(RAD)}) AS y0,
+    sin(lat*{_d(RAD)}) AS z0,
+    lon, lat
+  FROM p),
+n AS (
+  SELECT doc_id{extra_cols}, lon, lat,
+    x0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS x,
+    y0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS y,
+    z0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS z
+  FROM raw)
+"""
+
+
+def _docs_encoded(sf_dir: str, htm_level=20, hpx_level=20):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ops.encode(ds, id_col="doc_id", htm_level=htm_level, hpx_level=hpx_level)
+
+
+# ---------------------------------------------------------- query constants
+CONE_HTM = dict(ra=83.2, dec=12.5, radius=30.0, level=7)
+CONE_HPX = dict(ra=210.4, dec=-33.0, radius=25.0, level=7)
+POLY_RA = [40.0, 75.0, 75.0, 40.0]
+POLY_DEC = [-20.0, -20.0, 15.0, 15.0]
+POLY_LEVEL = 7
+TILE_DEG = 15.0
+JOIN_RADIUS_DEG = 2.0
+KNN_K = 5
+KNN_QUERIES = [(0, 10.0, 10.0), (1, 200.0, -45.0), (2, 310.5, 72.0)]
+
+
+def _cone_query(sf_dir, mode):
+    si = SpatialIndex()
+    cfg = CONE_HTM if mode == 0 else CONE_HPX
+    plan = si.cone_plan(cfg["ra"], cfg["dec"], cfg["radius"], mode=mode, level=cfg["level"])
+    ds = _docs_encoded(sf_dir)
+    return ops.region_search(ds, plan).select_columns(["doc_id"])
+
+
+def _cone_oracle(mode):
+    cfg = CONE_HTM if mode == 0 else CONE_HPX
+    from spatialindex_ray import geom
+
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c = cone.center
+    return (
+        _xyz_sql()
+        + f"SELECT doc_id FROM n WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)}"
+    )
+
+
+def _polygon_query(sf_dir, mode):
+    si = SpatialIndex()
+    plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=mode, level=POLY_LEVEL)
+    ds = _docs_encoded(sf_dir)
+    return ops.region_search(ds, plan).select_columns(["doc_id"])
+
+
+def _polygon_oracle():
+    from spatialindex_ray import geom
+
+    _, normals = geom.polygon_normals(POLY_RA, POLY_DEC)
+    terms = " AND ".join(
+        f"x*{_d(nm[0])} + y*{_d(nm[1])} + z*{_d(nm[2])} >= 0.0" for nm in normals
+    )
+    return _xyz_sql() + f"SELECT doc_id FROM n WHERE {terms}"
+
+
+def _tile_counts(sf_dir):
+    ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
+    tiled = ops.tile_assign(ds, TILE_DEG)
+    out = tiled.groupby("tile_id").count()
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["tile_id", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _tile_oracle():
+    nx = int(math.ceil(360.0 / TILE_DEG))
+    return f"""
+WITH p AS ({_POS_SQL})
+SELECT CAST(floor((lat + 90.0) / {_d(TILE_DEG)}) AS BIGINT) * {nx}
+       + CAST(floor(lon / {_d(TILE_DEG)}) AS BIGINT) AS tile_id,
+       count(*) AS n_rows
+FROM p GROUP BY 1
+"""
+
+
+def _radius_join(sf_dir):
+    ds = _docs_encoded(sf_dir)
+    return ops.radius_join(ds, ds, JOIN_RADIUS_DEG)
+
+
+def _radius_join_oracle():
+    s = math.sin(JOIN_RADIUS_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    return (
+        _xyz_sql()
+        + f"""
+SELECT a.doc_id AS left_id, b.doc_id AS right_id
+FROM n a, n b
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= {_d(thresh)}
+"""
+    )
+
+
+def _knn_query(sf_dir):
+    ds = _docs_encoded(sf_dir)
+    return ops.knn(ds, KNN_QUERIES, KNN_K)
+
+
+def _knn_oracle():
+    parts = []
+    for qid, qlon, qlat in KNN_QUERIES:
+        qv = ops.xyz_from_lonlat(np.array([qlon]), np.array([qlat]))[0]
+        qx, qy, qz = (f"({_d(c)})" for c in qv)  # parens: '--' is a SQL comment
+        parts.append(
+            f"""
+(SELECT {qid} AS query_id, doc_id,
+  CAST(row_number() OVER (
+    ORDER BY (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}) + (z-{qz})*(z-{qz}),
+             doc_id) AS BIGINT) AS rank
+FROM n QUALIFY rank <= {KNN_K})"""
+        )
+    return _xyz_sql() + " UNION ALL ".join(parts)
+
+
+def _cell_counts(sf_dir):
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+    out = ops.cell_counts(ds, "htm20", out_level=4)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["cell", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q1(sf_dir):
+    """TPC-H-Q1-style groupby aggregate (general batch-engine sanity):
+    exact-safe aggregates only (integer-valued float sums + counts)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("l_quantity", "sum"), count_order=("l_quantity", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "count_order"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ contract
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
+    encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
+    matches, and return per-tile counts."""
+    from spatialindex_ray.sources import webpages
+
+    pages = webpages.synth_webpages(20_000, hot_frac=0.02)
+    enc = ops.encode(pages, url_col="url")
+    si = SpatialIndex()
+    plan = si.cone_plan(83.2, 12.5, 45.0, mode=0, level=7)
+    hits = ops.region_search(enc, plan)
+    tiled = ops.tile_assign(hits, 15.0)
+    out = tiled.groupby("tile_id").count()
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cone_search_htm": lambda sf: _cone_query(sf, 0),
+        "cone_search_hpx": lambda sf: _cone_query(sf, 1),
+        "polygon_search_htm": lambda sf: _polygon_query(sf, 0),
+        "polygon_search_hpx": lambda sf: _polygon_query(sf, 1),
+        "tile_assign_grid": _tile_counts,
+        "radius_join": _radius_join,
+        "knn": _knn_query,
+        "cell_counts_htm4": _cell_counts,
+        "q1_lineitem_agg": _q1,
+        "exact_dedup": dedup.exact_dedup_query,
+        "token_stats": textfn.token_stats_query,
+        "lang_id": textfn.lang_id_query,
+        "quality_score": textfn.quality_score_query,
+        "doc_fingerprint": textfn.fingerprint_query,
+        "minhash_near_dup": dedup.minhash_near_dup_query,
+        "simhash": dedup.simhash_query,
+        "ngram_jaccard_dup": dedup.ngram_jaccard_query,
+        "embedding_near_dup": dedup.embedding_near_dup_query,
+        "ann_topk_cosine": ann.topk_cosine_query,
+        "ann_topk_ivf": ann.ivf_topk_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cone_search_htm": _cone_oracle(0),
+        "cone_search_hpx": _cone_oracle(1),
+        "polygon_search_htm": _polygon_oracle(),
+        "polygon_search_hpx": _polygon_oracle(),
+        "tile_assign_grid": _tile_oracle(),
+        "radius_join": _radius_join_oracle(),
+        "knn": _knn_oracle(),
+        "q1_lineitem_agg": Q1_ORACLE,
+        "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
+        "token_stats": textfn.TOKEN_STATS_ORACLE,
+        "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
+        # lang_id / quality_score / doc_fingerprint / minhash / simhash /
+        # embedding_near_dup / ann_topk_cosine / cell_counts_htm4: not
+        # SQL-expressible (hashing / heuristics / HTM ids) -> rows-only check.
+    }

@@ -560,16 +560,34 @@ def hpx_cone_ranges(omax, ra, dec, radius_deg):
     return rng
 
 
-def hpx_polygon_ranges(omax, ra, dec):
+def hpx_polygon_ranges(omax, ra, dec, compat=True):
     """hpxPolygonSearch (sptQueryLib.c:1633-2090): per-edge three-band test
     with bounding-circle prune and zone demotion.
+
+    compat=True reproduces the reference bit-for-bit INCLUDING its broken
+    min-enclosing-circle recursion (hpxGetCircle, sptQueryLib.c:2309-2320,
+    never re-includes the point that triggered the recursion), which silently
+    prunes interior cells of polygons whose first edge does not span the
+    polygon — e.g. a 12x10 deg quad loses ~30% of its interior cells. Use
+    compat=False (conservative vertex-hull bounding circle) for engine query
+    plans that must be correct supersets.
 
     Raises geom.RegionError for degenerate / non-convex polygons (the C code
     returns 1 range in that case, treated upstream as an error path)."""
     npoly = len(ra)
     poly, normal = geom.polygon_normals(ra, dec)
 
-    center, cosrad = _hpx_bounding_circle(poly)
+    if compat:
+        center, cosrad = _hpx_bounding_circle(poly)
+    else:
+        unit = [_normalize(p) for p in poly]
+        csum = (
+            sum(p[0] for p in unit),
+            sum(p[1] for p in unit),
+            sum(p[2] for p in unit),
+        )
+        center = _normalize(csum)
+        cosrad = min(_dot(p, center) for p in unit)
     rcenter = math.acos(cosrad)
 
     dr = [0.0] * (omax + 1)

@@ -1,0 +1,154 @@
+"""Approximate/exact nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast (ray.put once) query matrix, per-batch partial top-k, tiny driver
+merge. Scale path: LSH-bucketed variant (random-hyperplane signatures ->
+groupby bucket) that only scores within matching buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+ANN_K = 10
+N_QUERIES = 4
+
+
+def _query_matrix(sf_dir: str):
+    """Deterministic query set: the embeddings of the first N_QUERIES vec_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False), kind="stable")[:N_QUERIES]
+    qids = t["vec_id"].to_numpy(zero_copy_only=False)[order]
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    return qids, Q
+
+
+def topk_cosine_query(sf_dir: str, k: int = ANN_K):
+    """(query_id, vec_id, rank): exact top-k by cosine similarity, ties
+    broken by vec_id — brute force, distributed partial top-k."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir)
+    qref = ray.put(Q)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        Q_ = ray.get(qref)
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        V = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Q_ @ V.T  # (Q, B)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(Q_)):
+            s = sims[qi]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[part])
+            out_s.append(s[part])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_i)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    df["query_id"] = qids[df["qi"].to_numpy()]
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                        kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------- IVF-bucketed ANN
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+IVF_ITERS = 5
+
+
+def _train_centroids(sf_dir: str, c: int = IVF_CENTROIDS, iters: int = IVF_ITERS):
+    """Deterministic mini k-means on a driver-side sample (the centroid table
+    is tiny plan metadata; at 10^12 scale train on ds.random_sample)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(7)
+    cent = X[rng.choice(len(X), size=min(c, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(len(cent)):
+            mask = assign == j
+            if mask.any():
+                m = X[mask].mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+    return cent
+
+
+def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
+    """Scale-path ANN: IVF — score only vectors whose nearest centroid is in
+    the query's top-``probes`` centroid list. Centroids are broadcast once;
+    each batch does two small matmuls. Approximate — recall vs the exact
+    top-k is asserted in tests."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir)
+    cent = _train_centroids(sf_dir)
+    qprobe = np.argsort(-(Q @ cent.T), axis=1)[:, :probes]  # (Q, probes)
+    probe_sets = [set(map(int, row)) for row in qprobe]
+    wanted = sorted(set().union(*probe_sets))
+    qref = ray.put((Q, cent, np.array(wanted, dtype=np.int64)))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        Q_, cent_, wanted_ = ray.get(qref)
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        V = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        assign = np.argmax(V @ cent_.T, axis=1)
+        mask = np.isin(assign, wanted_)
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "sim_q": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        V = V[mask]
+        sims = Q_ @ V.T
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[mask]),
+                "bucket": pa.array(assign[mask].astype(np.int64)),
+                "sim_q": pa.array(list(sims.T)),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    rows = []
+    for r in parts:
+        for qi, s in enumerate(r["sim_q"]):
+            if int(r["bucket"]) in probe_sets[qi]:
+                rows.append((int(qids[qi]), int(r["vec_id"]), float(s)))
+    df = pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                        kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

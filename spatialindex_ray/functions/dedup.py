@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the training-data-pipeline additions layered on
+the same Ray Data patterns (partial-aggregate map_batches -> keyed groupby).
+
+Scale shape:
+- exact dedup: hash-partition by content hash, first-per-group; only
+  (hash, id) enters the shuffle, never the text payload.
+- MinHash LSH: shingle -> 64 minhashes -> B bands; groupby(band, bucket)
+  emits candidate pairs; a verify stage computes true Jaccard. At 10^12 docs
+  each stage stays a batch transform + one hash shuffle per band set.
+- embedding near-dup / ANN: the small side (query matrix / full matrix at
+  test scale, IVF centroids at real scale) is broadcast via ray.put once,
+  never per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# ------------------------------------------------------------- exact dedup
+def exact_dedup_query(sf_dir: str):
+    """Keep min doc_id per distinct text. Shuffle key is a 64-bit content
+    hash, not the text itself."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_batch(tbl: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big") >> 1
+                for t in tbl["text"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(tbl),
+        )
+        return pa.table({"h": pa.array(hs), "doc_id": tbl["doc_id"]})
+
+    out = ds.map_batches(hash_batch, batch_format="pyarrow").groupby("h").min("doc_id")
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": tbl["min(doc_id)"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+EXACT_DEDUP_ORACLE = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+# ----------------------------------------------------------- minhash + LSH
+N_PERM = 64
+N_BANDS = 16          # 16 bands x 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+MINHASH_TAU = 0.60
+SHINGLE_W = 3         # word 3-gram shingles
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(1234)
+_PERM_A = (_rng.randint(1, _MERSENNE, size=N_PERM)).astype(np.uint64)
+_PERM_B = (_rng.randint(0, _MERSENNE, size=N_PERM)).astype(np.uint64)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < SHINGLE_W:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    out = np.fromiter(
+        (int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big") for g in set(grams)),
+        dtype=np.uint64,
+    )
+    return out
+
+
+def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    """(N_PERM,) minhash signature per doc: min over shingles of
+    (a*h + b) mod 2^61-1 — vectorized (shingles x perms) per row."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    sigs = np.empty((len(ids), N_PERM), dtype=np.uint64)
+    M = np.uint64(_MERSENNE)
+    for i, t in enumerate(tbl[text_col].to_pylist()):
+        h = _shingle_hashes(t) % M
+        with np.errstate(over="ignore"):
+            vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % M
+        sigs[i] = vals.min(axis=0)
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "sig": pa.array(list(sigs.view(np.int64)), type=pa.list_(pa.int64(), N_PERM)),
+        }
+    )
+
+
+def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
+    """LSH candidate pairs verified by signature-estimated Jaccard >= tau.
+    Pipeline: signatures -> per-band bucket keys -> groupby(bucket) pairs ->
+    dedupe pairs -> verify on signatures. Returns (left_id, right_id)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigds = ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+    def band_keys(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.stack(tbl["sig"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        rows = []
+        for b in range(N_BANDS):
+            chunk = sig[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            # hash the band slice to one bucket id
+            with np.errstate(over="ignore"):
+                bucket = np.zeros(len(ids), dtype=np.uint64)
+                for r in range(ROWS_PER_BAND):
+                    bucket = bucket * np.uint64(1099511628211) + chunk[:, r]
+            rows.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), b, dtype=np.int64)),
+                        "bucket": pa.array(bucket.view(np.int64)),
+                        "doc_id": pa.array(ids),
+                        "sig": tbl["sig"],
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    banded = sigds.map_batches(band_keys, batch_format="pyarrow")
+
+    def pairs_in_bucket(df):
+        import pandas as pd
+
+        if len(df) < 2:
+            return pd.DataFrame({"left_id": pa.array([], type=pa.int64()).to_pandas(),
+                                 "right_id": pa.array([], type=pa.int64()).to_pandas()})
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        sig = np.stack(df["sig"].to_numpy()).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        match = (sig[ii] == sig[jj]).mean(axis=1)
+        keep = match >= tau
+        return pd.DataFrame({"left_id": ids[ii[keep]], "right_id": ids[jj[keep]]})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    # a pair can surface in multiple bands -> distinct
+    return pairs.groupby(["left_id", "right_id"]).count().select_columns(["left_id", "right_id"])
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    """64-bit SimHash over token hashes (unweighted): sign of per-bit vote."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    out = np.empty(len(ids), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(tbl[text_col].to_pylist()):
+        toks = t.split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big") for w in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        votes = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+        out[i] = np.uint64(((votes * 2 > len(toks)).astype(np.uint64) << bits).sum())
+    return pa.table({id_col: pa.array(ids), "simhash": pa.array(out.view(np.int64))})
+
+
+def simhash_query(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ exact n-gram Jaccard
+NGRAM_DOC_LIMIT = 300    # doc_id < limit: keeps the all-pairs oracle tractable
+NGRAM_TAU = 0.5
+
+
+def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_DOC_LIMIT):
+    """Exact word-3-gram Jaccard similarity join on a bounded doc subset:
+    explode (gram, doc) -> groupby(gram) partial pair counts ->
+    groupby(pair) sum -> filter jaccard >= tau. Distributed at every step."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def filter_subset(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pa.compute.less(tbl["doc_id"], limit))
+
+    sub = ds.map_batches(filter_subset, batch_format="pyarrow")
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        gids, gh = [], []
+        sizes_id, sizes_n = [], []
+        for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            toks = t.split(" ")
+            grams = {
+                " ".join(toks[i : i + SHINGLE_W])
+                for i in range(max(len(toks) - SHINGLE_W + 1, 0))
+            }
+            sizes_id.append(did)
+            sizes_n.append(len(grams))
+            for g in grams:
+                gids.append(did)
+                gh.append(int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big") >> 1)
+        return pa.table(
+            {
+                "gram": pa.array(gh, type=pa.int64()),
+                "doc_id": pa.array(gids, type=pa.int64()),
+            }
+        )
+
+    grams = sub.map_batches(explode, batch_format="pyarrow")
+
+    def pair_counts(df):
+        import pandas as pd
+
+        ids = np.sort(df["doc_id"].to_numpy())
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"left_id": ids[ii], "right_id": ids[jj],
+             "inter": np.ones(len(ii), dtype=np.int64)}
+        )
+
+    inter = (
+        grams.groupby("gram")
+        .map_groups(pair_counts, batch_format="pandas")
+        .groupby(["left_id", "right_id"])
+        .sum("inter")
+    )
+
+    # gram-set sizes: small (<= limit docs) -> broadcast dict
+    sizes = {}
+    for b in sub.map_batches(explode, batch_format="pyarrow").groupby("doc_id").count().iter_rows():
+        sizes[b["doc_id"]] = b["count()"]
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        li = tbl["left_id"].to_numpy(zero_copy_only=False)
+        ri = tbl["right_id"].to_numpy(zero_copy_only=False)
+        it = tbl["sum(inter)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([sizes.get(i, 0) for i in li], dtype=np.float64)
+        sb = np.array([sizes.get(i, 0) for i in ri], dtype=np.float64)
+        jac = it / (sa + sb - it)
+        keep = jac >= tau
+        return pa.table({"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])})
+
+    return inter.map_batches(verify, batch_format="pyarrow")
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sub),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(range(1, greatest(length(ws) - 1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id
+FROM pairs
+JOIN sizes sa ON sa.doc_id = left_id
+JOIN sizes sb ON sb.doc_id = right_id
+WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= {NGRAM_TAU}
+"""
+
+
+# ------------------------------------------------- embedding cosine near-dup
+EMB_TAU = 0.45  # synthetic embeddings: near-dup tail starts ~0.45
+
+
+def embedding_near_dup_query(sf_dir: str, tau: float = EMB_TAU):
+    """Pairs of embeddings with cosine similarity >= tau. The full normalized
+    matrix (small side at test scale; IVF buckets at 10^12 scale) is put in
+    the object store ONCE and read by every task — not re-shipped per batch."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = ds.to_arrow_refs()
+    full = pa.concat_tables([ray.get(r) for r in tbl])
+    ids_all = full["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.stack(full["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids_all, M))
+
+    def block(tbl: pa.Table) -> pa.Table:
+        ids_all_, M_ = ray.get(ref)
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        V = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        sims = V @ M_.T
+        ii, jj = np.nonzero(sims >= tau)
+        li = ids[ii]
+        ri = ids_all_[jj]
+        keep = li < ri
+        return pa.table(
+            {"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])}
+        )
+
+    return ds.map_batches(block, batch_format="pyarrow")

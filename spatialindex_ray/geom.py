@@ -219,9 +219,14 @@ class ConvexPolygon:
 
     def mask(self, xyz: np.ndarray) -> np.ndarray:
         """Vectorized F2 with the *geom-constraint* normals
-        (sptQueryLib.c:1219-1230): AND over v . normal_i >= 0."""
-        nm = np.asarray(self.normals)
-        return (xyz @ nm.T >= 0.0).all(axis=1)
+        (sptQueryLib.c:1219-1230): AND over v . normal_i >= 0.
+        Explicit mul/add chain (no BLAS matmul) so the float sequence is
+        reproducible bit-for-bit by a SQL oracle."""
+        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        out = np.ones(len(xyz), dtype=bool)
+        for n in self.normals:
+            out &= (x * n[0] + y * n[1] + z * n[2]) >= 0.0
+        return out
 
 
 @dataclass

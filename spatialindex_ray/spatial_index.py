@@ -162,7 +162,9 @@ class SpatialIndex:
         if mode == self.HTM:
             ranges = cover.htm_polygon_ranges(polyregion, level)
         else:
-            ranges = cover.hpx_polygon_ranges(level, ra, dec)
+            # engine plans need a true superset cover -> compat=False
+            # (see cover.hpx_polygon_ranges docstring)
+            ranges = cover.hpx_polygon_ranges(level, ra, dec, compat=False)
         if compress:
             ranges = cover.gap_compress(ranges)
         return {

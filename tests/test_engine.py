@@ -1,0 +1,121 @@
+"""Engine-level tests: Ray Data operators vs DuckDB oracles at sf0.001,
+plus the neighbor-patch partitioning guarantee the radius join relies on."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from spatialindex_ray import ops
+from spatialindex_ray.kernels import healpix
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cone_search_htm", "polygon_search_hpx", "radius_join", "knn",
+     "tile_assign_grid", "exact_dedup", "token_stats", "q1_lineitem_agg"],
+)
+def test_query_vs_oracle(ray_session, oracle_con, name):
+    import __ray_entry__ as entry
+
+    res = entry.queries()[name](SF)
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        res = res.to_pandas()
+    elif not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    exp = oracle_con.execute(entry.oracle_sql()[name]).df()
+    a, b = _canon(res), _canon(exp)
+    assert len(a) == len(b), (len(a), len(b))
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(av, bv), col
+        else:
+            assert (av == bv).all(), col
+
+
+def test_neighbor_patch_covers_radius():
+    """Partitioning assumption of the radius join: any two points within
+    theta = safe radius at `order` lie in the same or adjacent pixels.
+    Empirical check with dense random pairs near the limit distance."""
+    for order in (4, 6, 8):
+        theta_rad = 0.5 * healpix.max_pix_rad(order)
+        theta_deg = math.degrees(theta_rad)
+        assert ops.safe_join_order(theta_deg) >= order
+        rng = np.random.default_rng(order)
+        n = 20000
+        lon = rng.uniform(0, 360, n)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        # offset points at 0.999 * theta in random direction
+        ang = rng.uniform(0, 2 * np.pi, n)
+        dlat = np.degrees(theta_rad) * np.sin(ang) * 0.999
+        dlon = np.degrees(theta_rad) * np.cos(ang) * 0.999 / np.maximum(
+            np.cos(np.radians(lat)), 1e-6
+        )
+        lat2 = np.clip(lat + dlat, -89.9999, 89.9999)
+        lon2 = (lon + dlon) % 360
+        # keep only pairs truly within theta
+        v1 = ops.xyz_from_lonlat(lon, lat)
+        v2 = ops.xyz_from_lonlat(lon2, lat2)
+        d2 = ((v1 - v2) ** 2).sum(axis=1)
+        lim = 4 * math.sin(theta_rad / 2) ** 2
+        keep = d2 <= lim
+        p1 = healpix.sky2hpx(order, lon, lat)[keep]
+        p2 = healpix.sky2hpx(order, lon2, lat2)[keep]
+        patch = ops._patch_cells(order, p1)
+        ok = (patch == p2[:, None]).any(axis=1)
+        assert ok.all(), f"order {order}: {(~ok).sum()} pairs outside patch"
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF-bucketed ANN achieves reasonable recall vs exact top-k."""
+    from spatialindex_ray.functions import ann
+
+    exact = ann.topk_cosine_query(SF, k=10).to_pandas()
+    approx = ann.ivf_topk_query(SF, k=10).to_pandas()
+    exact_set = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+    approx_set = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # approximate method, sanity floor
+
+
+def test_webpages_text_byte_identity(ray_session):
+    """text bytes survive encode + region filtering byte-identical per url
+    (the input_hint invariant)."""
+    from spatialindex_ray.sources import webpages
+
+    pages = webpages.synth_webpages(2000, hot_frac=0.02)
+    before = {r["url"]: r["text"] for r in pages.take_all()}
+    enc = ops.encode(webpages.synth_webpages(2000, hot_frac=0.02), url_col="url")
+    after = enc.take_all()
+    assert len(after) == 2000
+    for r in after:
+        assert before[r["url"]] == r["text"]
+    # hot urls duplicate -> identical positions (dense cells)
+    hot = [r for r in after if r["url"].startswith("https://hot")]
+    assert len(hot) > 0
+    by_url = {}
+    for r in hot:
+        by_url.setdefault(r["url"], set()).add(r["htm20"])
+    assert all(len(s) == 1 for s in by_url.values())

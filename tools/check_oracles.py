@@ -1,0 +1,110 @@
+"""Local mirror of the driver's correctness gate: run every queries()[name]
+against oracle_sql()[name] via DuckDB (row count + schema + order-insensitive
+value hash). Usage: python tools/check_oracles.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res):
+    import pyarrow as pa
+
+    try:
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res = res.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        df.itertuples(index=False, name=None),
+        key=lambda r: tuple(str(v) for v in r),
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            res = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(res)} rows, cols={list(res.columns)} ({dt:.1f}s) [no oracle]")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle raised {e}")
+            n_fail += 1
+            continue
+        ok_rows = len(res) == len(exp)
+        ok_schema = sorted(map(str, res.columns)) == sorted(map(str, exp.columns))
+        ok_hash = ok_rows and ok_schema and value_hash(res) == value_hash(exp)
+        if ok_hash:
+            print(f"PASS  {name}: {len(res)} rows ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL  {name}: rows {len(res)} vs {len(exp)}, "
+                f"schema {sorted(res.columns)} vs {sorted(exp.columns)}, "
+                f"hash_match={ok_hash} ({dt:.1f}s)"
+            )
+            if ok_schema and not ok_rows:
+                merged = res.merge(exp, how="outer", indicator=True)
+                print(merged[merged["_merge"] != "both"].head(10))
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    ray.shutdown()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
