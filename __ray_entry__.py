@@ -22,7 +22,7 @@ import pyarrow as pa
 import spatialindex_ray
 import spatialindex_ray.functions.text as textfn
 from spatialindex_ray import SpatialIndex, ops
-from spatialindex_ray.functions import ann, dedup
+from spatialindex_ray.functions import ann, dedup, multimodal
 from spatialindex_ray.ops import DEG, POS_C1, POS_C2, RAD
 
 # Ray workers may be launched before this repo is on sys.path (the driver
@@ -135,7 +135,7 @@ def _tile_counts(sf_dir):
     def rename(tbl: pa.Table) -> pa.Table:
         return tbl.rename_columns(["tile_id", "n_rows"])
 
-    return out.map_batches(rename, batch_format="pyarrow")
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 def _tile_oracle():
@@ -151,7 +151,7 @@ FROM p GROUP BY 1
 
 def _radius_join(sf_dir):
     ds = _docs_encoded(sf_dir)
-    return ops.radius_join(ds, ds, JOIN_RADIUS_DEG)
+    return ops.radius_join(ds, ds, JOIN_RADIUS_DEG, n_shards=64)
 
 
 def _radius_join_oracle():
@@ -195,7 +195,7 @@ def _cell_counts(sf_dir):
     def rename(tbl: pa.Table) -> pa.Table:
         return tbl.rename_columns(["cell", "n_rows"])
 
-    return out.map_batches(rename, batch_format="pyarrow")
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 def _q1(sf_dir):
@@ -219,7 +219,7 @@ def _q1(sf_dir):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .sum(["sum_qty", "count_order"])
     )
@@ -229,7 +229,7 @@ def _q1(sf_dir):
             ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
         )
 
-    return out.map_batches(rename, batch_format="pyarrow")
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 Q1_ORACLE = """
@@ -237,6 +237,53 @@ SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
+
+
+def _dedup_rows_salted(sf_dir):
+    """Row dedup by (cell, url) with hot-cell salting over synthesized pages
+    that include dense URL clusters; result: one row per distinct url.
+    Oracle-checkable indirectly: distinct url count must equal the synth's
+    distinct-url formula — validated in tests; rows-only check here."""
+    import pyarrow.parquet as pq
+
+    from spatialindex_ray.sources import webpages
+
+    n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    pages = webpages.synth_webpages(n, hot_frac=0.05)
+    enc = ops.encode(pages, url_col="url")
+    out = ops.dedup_rows(enc, cell_col="hpx20", url_col="url", n_salt=8)
+    return out.select_columns(["url"])
+
+
+def _index_build_query(sf_dir):
+    """Build a sorted/partitioned index over synthesized pages in /tmp, then
+    run a cone query over it via parquet range pruning (the htm_tree query
+    analog). Returns matching urls; rows-only check (cells not in SQL)."""
+    import shutil
+    import tempfile
+
+    from spatialindex_ray import pipelines
+    from spatialindex_ray.sources import webpages
+
+    tmp = tempfile.mkdtemp(prefix="sptidx_")
+    try:
+        src = f"{tmp}/src"
+        webpages.synth_webpages(2000, hot_frac=0.02).write_parquet(src)
+        import os
+
+        files = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        out_dir = f"{tmp}/index"
+        pipelines.build.build_index(files, out_dir, shard_size=2)
+        si = SpatialIndex()
+        plan = si.cone_plan(83.2, 12.5, 40.0, mode=1, level=7)
+        res = pipelines.build.query_index(out_dir, plan)
+        import pandas as pd
+
+        return pd.DataFrame({"url": sorted(r["url"] for r in res.take_all())})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ contract
@@ -278,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": dedup.embedding_near_dup_query,
         "ann_topk_cosine": ann.topk_cosine_query,
         "ann_topk_ivf": ann.ivf_topk_query,
+        "image_features": multimodal.image_features_query,
+        "dedup_rows_salted": _dedup_rows_salted,
+        "index_build_query": _index_build_query,
     }
 
 

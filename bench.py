@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Headline benchmark for the spatialindex_ray engine.
+
+Runs the headline pipelines (encode, cone search, spatial radius-join +
+tile assignment over synthesized Common-Crawl-style pages, plus the
+table-driven query suite) over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32), and prints
+ONE JSON line:
+
+  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": {...}, ...}
+
+--scaling: run the headline spatial-join+tiles pipeline twice in fresh
+subprocesses (num_cpus=8 and 32) on identical input and report both
+throughputs + scaling efficiency = T32 / (4 * T8) (rows/s ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline workload sizing (rows of synthesized webpages)
+N_PAGES_ENCODE = int(os.environ.get("BENCH_PAGES_ENCODE", "1000000"))
+N_PAGES_JOIN = int(os.environ.get("BENCH_PAGES_JOIN", "400000"))
+JOIN_THETA_DEG = 0.05
+TILE_DEG = 1.0
+
+
+def _sf() -> float:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def headline_spatial_join_tiles(n_pages: int) -> dict:
+    """The BASELINE.json metric pipeline: synthesize pages -> encode ->
+    self radius-join -> raster tile assignment + per-tile counts."""
+    import ray
+
+    from spatialindex_ray import ops
+    from spatialindex_ray.sources import webpages
+
+    t0 = time.time()
+    pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
+    enc = ops.encode(pages.select_columns(["url"]), url_col="url")
+
+    # url ids: derive an int id column once (the join shuffles integer ids)
+    def add_id(tbl):
+        import pyarrow as pa
+
+        return tbl.append_column(
+            "row_id", pa.array(ops.hash64_strings(tbl["url"]).view("int64"))
+        )
+
+    # Materialize the encoded table once — the join consumes it twice and the
+    # tiling once; at production scale this materialization IS the persisted
+    # encoded index (pipelines.build.build_index), not a driver collect.
+    enc_id = enc.map_batches(add_id, batch_format="pyarrow", batch_size=None).materialize()
+    order = ops.safe_join_order(JOIN_THETA_DEG)
+    # ~10-15k shuffled rows per shard group: map_groups goes nonlinear on
+    # much larger groups (measured cliff at ~35k rows/group)
+    n_shards = max(NUM_CPUS * 8, (n_pages * 10) // 12_000)
+    n_pairs = ops.radius_join(
+        enc_id, enc_id, JOIN_THETA_DEG, id_col="row_id", order=order,
+        n_shards=n_shards,
+    ).count()
+
+    tiles = ops.tile_assign(enc_id, TILE_DEG).groupby("tile_id").count()
+    n_tiles = tiles.count()
+    wall = time.time() - t0
+    return {
+        "wall_s": wall,
+        "rows": n_pages,
+        "rows_per_sec": n_pages / wall,
+        "n_pairs": n_pairs,
+        "n_tiles": n_tiles,
+        "join_order": order,
+    }
+
+
+def bench_encode(n_pages: int) -> dict:
+    import ray
+
+    from spatialindex_ray import ops
+    from spatialindex_ray.sources import webpages
+
+    t0 = time.time()
+    pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
+    enc = ops.encode(pages.select_columns(["url"]), url_col="url")
+    # consume the stream with a cheap aggregate so encode fully executes
+    total = enc.select_columns(["htm20"]).sum("htm20")
+    wall = time.time() - t0
+    return {"wall_s": wall, "rows": n_pages, "rows_per_sec": n_pages / wall,
+            "checksum": int(total) % (1 << 62)}
+
+
+def bench_cone(n_pages: int) -> dict:
+    import ray
+
+    from spatialindex_ray import SpatialIndex, ops
+    from spatialindex_ray.sources import webpages
+
+    t0 = time.time()
+    pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
+    enc = ops.encode(pages.select_columns(["url"]), url_col="url")
+    plan = SpatialIndex().cone_plan(83.2, 12.5, 10.0, mode=0, level=7)
+    n = ops.region_search(enc, plan).count()
+    wall = time.time() - t0
+    return {"wall_s": wall, "rows": n_pages, "rows_per_sec": n_pages / wall, "hits": n}
+
+
+def run_suite() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    import __ray_entry__ as entry
+
+    results: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+
+    # warm the worker pool (imports + first-task costs) so measurements
+    # reflect steady-state throughput, not cold start
+    bench_encode(20_000)
+
+    r = bench_encode(N_PAGES_ENCODE)
+    results["encode_1m"] = round(r["wall_s"], 3)
+    extras["encode_1m"] = r
+
+    r = bench_cone(N_PAGES_ENCODE)
+    results["cone_search_1m"] = round(r["wall_s"], 3)
+    extras["cone_search_1m"] = r
+
+    r = headline_spatial_join_tiles(N_PAGES_JOIN)
+    results["spatial_join_tiles"] = round(r["wall_s"], 3)
+    extras["spatial_join_tiles"] = r
+
+    # table-driven query suite over SF_DIR
+    qs = entry.queries()
+    for name in [
+        "radius_join", "knn", "tile_assign_grid", "q1_lineitem_agg",
+        "exact_dedup", "token_stats", "minhash_near_dup", "ann_topk_cosine",
+    ]:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res = res.to_pandas()
+        except Exception:
+            pass
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "spatial-join + tile-assignment suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf(),
+        "num_cpus": NUM_CPUS,
+        "headline_rows_per_sec": round(extras["spatial_join_tiles"]["rows_per_sec"], 1),
+        "encode_rows_per_sec": round(extras["encode_1m"]["rows_per_sec"], 1),
+        "detail": {k: {kk: (round(vv, 3) if isinstance(vv, float) else vv)
+                       for kk, vv in v.items()} for k, v in extras.items()},
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Two fresh processes at num_cpus=8 and 32 over the identical headline
+    job; efficiency = throughput_32 / (4 * throughput_8).
+
+    Each subprocess warms its worker pool (imports, first-task costs) before
+    the timed run — otherwise the 32-cpu run pays 4x the cold-start of the
+    8-cpu run inside the measured window and 'scaling' measures process
+    spawn, not the pipeline."""
+    n_rows = int(os.environ.get("BENCH_PAGES_SCALING", "600000"))
+    attempts = int(os.environ.get("BENCH_SCALING_ATTEMPTS", "2"))
+    code = (
+        "import os,sys,json,time;"
+        f"sys.path.insert(0,{REPO!r});"
+        "import ray;"
+        "ray.init(address='local',num_cpus=int(os.environ['BENCH_CPUS']),"
+        "include_dashboard=False);"
+        "import bench;"
+        "bench.headline_spatial_join_tiles(30000);"  # warm the pool
+        f"r=bench.headline_spatial_join_tiles({n_rows});"
+        "print('RESULT'+json.dumps(r));ray.shutdown()"
+    )
+
+    def _cleanup():
+        # leftover raylets from a previous leg degrade the next session badly
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+        time.sleep(3)
+
+    out = {}
+    for cpus in (8, 32):
+        best = None
+        for _ in range(attempts):
+            _cleanup()
+            env = dict(os.environ, BENCH_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True, env=env
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT")]
+            if not line:
+                print(proc.stdout[-2000:], file=sys.stderr)
+                print(proc.stderr[-2000:], file=sys.stderr)
+                continue
+            r = json.loads(line[0][len("RESULT"):])
+            if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
+                best = r
+        if best is None:
+            raise RuntimeError(f"scaling run at {cpus} cpus failed")
+        out[cpus] = best
+    _cleanup()
+    eff = out[32]["rows_per_sec"] / (4.0 * out[8]["rows_per_sec"])
+    # record in BASELINE-comparable form
+    return {
+        "metric": "spatial-join + tile-assignment scaling (8 -> 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "rows": n_rows,
+        "throughput_8cpu_rows_per_sec": round(out[8]["rows_per_sec"], 1),
+        "throughput_32cpu_rows_per_sec": round(out[32]["rows_per_sec"], 1),
+        "wall_8cpu_s": round(out[8]["wall_s"], 3),
+        "wall_32cpu_s": round(out[32]["wall_s"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": _sf(),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

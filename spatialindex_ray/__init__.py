@@ -20,3 +20,15 @@ try:  # public API surface; kernels usable standalone during bootstrap
     from .spatial_index import SpatialIndex  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+
+# Ray workers may be launched before this repo lands on sys.path (callers
+# ray.init() from an arbitrary cwd, then import us). Ship the library by
+# value inside task closures so workers never need to import it from disk.
+try:  # pragma: no cover - environment-dependent
+    import sys as _sys
+
+    from ray import cloudpickle as _rcp
+
+    _rcp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass

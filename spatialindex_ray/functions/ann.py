@@ -58,7 +58,7 @@ def topk_cosine_query(sf_dir: str, k: int = ANN_K):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
     import pandas as pd
 
     df = pd.DataFrame(parts)
@@ -138,7 +138,7 @@ def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
     import pandas as pd
 
     rows = []

@@ -39,12 +39,12 @@ def exact_dedup_query(sf_dir: str):
         )
         return pa.table({"h": pa.array(hs), "doc_id": tbl["doc_id"]})
 
-    out = ds.map_batches(hash_batch, batch_format="pyarrow").groupby("h").min("doc_id")
+    out = ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=None).groupby("h").min("doc_id")
 
     def project(tbl: pa.Table) -> pa.Table:
         return pa.table({"doc_id": tbl["min(doc_id)"]})
 
-    return out.map_batches(project, batch_format="pyarrow")
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 EXACT_DEDUP_ORACLE = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -63,19 +63,39 @@ _PERM_A = (_rng.randint(1, _MERSENNE, size=N_PERM)).astype(np.uint64)
 _PERM_B = (_rng.randint(0, _MERSENNE, size=N_PERM)).astype(np.uint64)
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < SHINGLE_W:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
-    if not grams:
-        return np.zeros(1, dtype=np.uint64)
-    out = np.fromiter(
-        (int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big") for g in set(grams)),
-        dtype=np.uint64,
-    )
+# token -> 64-bit hash cache; text is natural language so the working
+# vocabulary is small — each worker process hashes a token once, ever.
+_token_cache: dict[str, int] = {}
+_G1 = np.uint64(0x9E3779B97F4A7C15)
+_G2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_G3 = np.uint64(0x165667B19E3779F9)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    out = np.empty(len(toks), dtype=np.uint64)
+    cache = _token_cache
+    for i, w in enumerate(toks):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big")
+            cache[w] = h
+        out[i] = h
     return out
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Distinct word-SHINGLE_W-gram hashes, vectorized: per-token sha1 via a
+    process-local vocab cache, gram hash = weighted wrap-sum of the window."""
+    toks = text.split()
+    hs = _token_hashes(toks)
+    with np.errstate(over="ignore"):
+        if len(hs) == 0:
+            return np.zeros(1, dtype=np.uint64)
+        if len(hs) < SHINGLE_W:
+            g = np.array([int((hs * _G1).sum(dtype=np.uint64))], dtype=np.uint64)
+        else:
+            g = hs[:-2] * _G1 + hs[1:-1] * _G2 + hs[2:] * _G3
+    return np.unique(g)
 
 
 def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
@@ -104,7 +124,7 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigds = ds.map_batches(minhash_batch, batch_format="pyarrow")
+    sigds = ds.map_batches(minhash_batch, batch_format="pyarrow", batch_size=None)
 
     def band_keys(tbl: pa.Table) -> pa.Table:
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
@@ -129,24 +149,53 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
             )
         return pa.concat_tables(rows)
 
-    banded = sigds.map_batches(band_keys, batch_format="pyarrow")
+    banded = sigds.map_batches(band_keys, batch_format="pyarrow", batch_size=None)
 
-    def pairs_in_bucket(df):
+    # Shuffle by a bounded shard key (hash of (band,bucket) mod n_shards),
+    # not by raw bucket: per-group overhead is ~10 ms and bucket count is
+    # O(docs x bands). Within a shard, one vectorized pandas self-merge on
+    # (band, bucket) emits candidates.
+    n_shards = 256
+
+    def add_shard(tbl: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                tbl["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + tbl["band"].to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        return tbl.append_column("shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def pairs_in_shard(df):
         import pandas as pd
 
-        if len(df) < 2:
-            return pd.DataFrame({"left_id": pa.array([], type=pa.int64()).to_pandas(),
-                                 "right_id": pa.array([], type=pa.int64()).to_pandas()})
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
+        sub = df[["band", "bucket", "doc_id"]].reset_index(drop=True)
+        sub["pos"] = np.arange(len(sub))
+        cand = sub.merge(sub, on=["band", "bucket"], suffixes=("_l", "_r"))
+        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        if len(cand) == 0:
+            return pd.DataFrame(
+                {"left_id": np.array([], dtype=np.int64),
+                 "right_id": np.array([], dtype=np.int64)}
+            )
         sig = np.stack(df["sig"].to_numpy()).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        match = (sig[ii] == sig[jj]).mean(axis=1)
+        si = sig[cand["pos_l"].to_numpy()]
+        sj = sig[cand["pos_r"].to_numpy()]
+        match = (si == sj).mean(axis=1)
         keep = match >= tau
-        return pd.DataFrame({"left_id": ids[ii[keep]], "right_id": ids[jj[keep]]})
+        return pd.DataFrame(
+            {
+                "left_id": cand["doc_id_l"].to_numpy()[keep],
+                "right_id": cand["doc_id_r"].to_numpy()[keep],
+            }
+        )
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pandas")
-    # a pair can surface in multiple bands -> distinct
+    pairs = (
+        banded.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+    )
+    # a pair can surface in multiple bands -> distinct (hash aggregate)
     return pairs.groupby(["left_id", "right_id"]).count().select_columns(["left_id", "right_id"])
 
 
@@ -161,11 +210,7 @@ def simhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
         if not toks:
             out[i] = 0
             continue
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big") for w in toks),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        hs = _token_hashes(toks)
         votes = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
         out[i] = np.uint64(((votes * 2 > len(toks)).astype(np.uint64) << bits).sum())
     return pa.table({id_col: pa.array(ids), "simhash": pa.array(out.view(np.int64))})
@@ -175,7 +220,7 @@ def simhash_query(sf_dir: str):
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------------ exact n-gram Jaccard
@@ -194,7 +239,7 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
     def filter_subset(tbl: pa.Table) -> pa.Table:
         return tbl.filter(pa.compute.less(tbl["doc_id"], limit))
 
-    sub = ds.map_batches(filter_subset, batch_format="pyarrow")
+    sub = ds.map_batches(filter_subset, batch_format="pyarrow", batch_size=None)
 
     def explode(tbl: pa.Table) -> pa.Table:
         gids, gh = [], []
@@ -217,28 +262,42 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
             }
         )
 
-    grams = sub.map_batches(explode, batch_format="pyarrow")
+    grams = sub.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
-    def pair_counts(df):
+    # shard by gram hash (bounded group count), pair inside the shard with a
+    # vectorized self-merge on gram, pre-aggregate pair counts per shard.
+    n_shards = 64
+
+    def add_shard(tbl: pa.Table) -> pa.Table:
+        g = tbl["gram"].to_numpy(zero_copy_only=False)
+        return tbl.append_column("shard", pa.array(g % np.int64(n_shards)))
+
+    def pair_counts_shard(df):
         import pandas as pd
 
-        ids = np.sort(df["doc_id"].to_numpy())
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"left_id": ids[ii], "right_id": ids[jj],
-             "inter": np.ones(len(ii), dtype=np.int64)}
+        sub = df[["gram", "doc_id"]]
+        cand = sub.merge(sub, on="gram", suffixes=("_l", "_r"))
+        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        out = (
+            cand.groupby(["doc_id_l", "doc_id_r"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_l": "left_id", "doc_id_r": "right_id",
+                             "size": "inter"})
         )
+        out["inter"] = out["inter"].astype(np.int64)
+        return out
 
     inter = (
-        grams.groupby("gram")
-        .map_groups(pair_counts, batch_format="pandas")
+        grams.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(pair_counts_shard, batch_format="pandas")
         .groupby(["left_id", "right_id"])
         .sum("inter")
     )
 
     # gram-set sizes: small (<= limit docs) -> broadcast dict
     sizes = {}
-    for b in sub.map_batches(explode, batch_format="pyarrow").groupby("doc_id").count().iter_rows():
+    for b in sub.map_batches(explode, batch_format="pyarrow", batch_size=None).groupby("doc_id").count().iter_rows():
         sizes[b["doc_id"]] = b["count()"]
 
     def verify(tbl: pa.Table) -> pa.Table:
@@ -251,7 +310,7 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
         keep = jac >= tau
         return pa.table({"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])})
 
-    return inter.map_batches(verify, batch_format="pyarrow")
+    return inter.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -307,4 +366,4 @@ def embedding_near_dup_query(sf_dir: str, tau: float = EMB_TAU):
             {"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])}
         )
 
-    return ds.map_batches(block, batch_format="pyarrow")
+    return ds.map_batches(block, batch_format="pyarrow", batch_size=None)

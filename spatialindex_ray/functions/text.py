@@ -49,7 +49,7 @@ def token_stats_query(sf_dir: str):
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
 class LangID:
@@ -78,7 +78,7 @@ def lang_id_query(sf_dir: str):
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangID, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(LangID, batch_format="pyarrow", batch_size=None, concurrency=2)
 
 
 def quality_score_batch(tbl: pa.Table) -> pa.Table:
@@ -104,7 +104,7 @@ def quality_score_query(sf_dir: str):
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow", batch_size=None)
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -157,4 +157,4 @@ def fingerprint_query(sf_dir: str):
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=None)

@@ -1,7 +1,7 @@
 """Dataset -> Dataset spatial operators (the Ray-Data-native engine core).
 
 Every operator is a composable function over ``ray.data.Dataset`` built from
-``map_batches(batch_format="pyarrow")`` + vectorized NumPy kernels, with
+``map_batches(batch_format="pyarrow", batch_size=None)`` + vectorized NumPy kernels, with
 ``groupby`` only for genuinely wide steps (cell joins). Query plans (range
 arrays, predicate coefficients) are tiny driver-side objects captured in task
 closures — Ray ships them once per task, not per batch.
@@ -189,6 +189,67 @@ def tile_assign(ds, tile_deg: float, **kw):
     )
 
 
+# -------------------------------------------------------- hash exchange
+def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
+    """Deterministic hash-partitioned exchange + per-shard apply, built on
+    raw Ray tasks (the documented last-resort: Ray Data's sort-based
+    groupby().map_groups() measured 5-6x slower than the sort itself on this
+    access pattern, and its hash-shuffle strategy spawns one aggregator
+    actor per partition — pathological on few nodes).
+
+    ds rows must carry an integer column ``key_col`` in [0, n_shards).
+    shard_fn: pyarrow.Table -> pyarrow.Table, applied once per shard with
+    all of that shard's rows. Returns a Dataset of the shard outputs.
+
+    Scale shape: M map tasks x n_shards object-store partitions (zero-copy
+    Arrow slices), n_shards reduce tasks; identical to a cluster-wide
+    hash shuffle — partition count should be ~2-4x total cores.
+    """
+    import ray
+
+    @ray.remote
+    def _split(tbl: pa.Table, nsh: int):
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sk = keys[order]
+        bounds = np.searchsorted(sk, np.arange(nsh + 1))
+        return tuple(
+            sorted_tbl.slice(bounds[s], bounds[s + 1] - bounds[s])
+            for s in range(nsh)
+        )
+
+    @ray.remote
+    def _reduce(*parts):
+        tbl = pa.concat_tables([p for p in parts if len(p)])
+        if len(tbl) == 0:
+            empty = shard_fn(parts[0])
+            return empty
+        return shard_fn(tbl)
+
+    # Keep exchange pieces LARGE: Ray inlines objects under ~100 KB through
+    # the owner process, so an M-blocks x n_shards exchange of tiny pieces
+    # funnels the whole shuffle through the driver (measured: superlinear
+    # collapse beyond ~10k pieces). Coalesce input blocks so M x S stays
+    # bounded and pieces stay comfortably above the inline threshold.
+    block_refs = ds.to_arrow_refs()
+    if len(block_refs) * n_shards > 4096:
+        m_target = max(8, 4096 // n_shards)
+        ds = ray.data.from_arrow_refs(block_refs).repartition(m_target)
+        block_refs = ds.to_arrow_refs()
+    split_refs = [
+        _split.options(num_returns=n_shards).remote(r, n_shards)
+        for r in block_refs
+    ]
+    if n_shards == 1:
+        split_refs = [[r] for r in split_refs]
+    out = [
+        _reduce.remote(*[split_refs[m][s] for m in range(len(split_refs))])
+        for s in range(n_shards)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
 # ------------------------------------------------ cell join (radius join)
 def safe_join_order(radius_deg: float, max_order: int = 18) -> int:
     """Largest HEALPix order whose 3x3 neighbor patch provably covers a
@@ -214,6 +275,7 @@ def radius_join(
     radius_deg: float,
     *,
     order: int | None = None,
+    n_shards: int = 256,
     left_id="left_id",
     right_id="right_id",
     id_col="doc_id",
@@ -222,34 +284,43 @@ def radius_join(
 ):
     """Distributed point-point radius join (engine addition per north_rule).
 
-    Plan: probe side (left) is exploded into its 9-cell neighbor patch at
-    ``order``; build side (right) keys by its own cell. A co-shuffle
-    ``groupby(cell)`` then yields candidates; the exact secant-distance
-    predicate dist2 <= 4 sin^2(theta/2) filters. Each qualifying pair is
-    produced exactly once (in the build point's own cell), so no dedupe
-    shuffle is needed. Only (cell, id, x, y, z) ever enters the shuffle.
+    Correctness plan: the probe side (left) is exploded into its 9-cell
+    HEALPix neighbor patch at ``order`` (partitioning assumption: radius <=
+    safe_join_order bound); the build side (right) keys by its own cell;
+    candidates are same-fine-cell (probe patch, build own); the exact
+    secant-distance predicate dist2 <= 4 sin^2(theta/2) filters. Each
+    qualifying pair is produced exactly once — in the build point's own
+    (unique) cell — so no dedupe shuffle is needed.
+
+    Scale plan: the shuffle key is ``cell % n_shards`` (size the shard count
+    to ~4-8x cluster cores), NOT the raw cell — per-group Python overhead is
+    ~10 ms, so millions of sparse cells as groups would dominate. Inside a
+    shard the candidate pairing is one vectorized pandas merge on the fine
+    cell followed by a vectorized distance mask. Only (cell, id, x, y, z)
+    ever enters the shuffle — never payload columns.
     """
     if order is None:
         order = safe_join_order(radius_deg)
     shift = 2 * (hpx_level - order)
     s = math.sin(radius_deg * 0.5 * RAD)
     thresh = 4.0 * s * s
+    nsh = np.int64(n_shards)
 
     def explode_left(tbl: pa.Table) -> pa.Table:
         pix = tbl[hpx_col].to_numpy(zero_copy_only=False) >> shift
-        patch = _patch_cells(order, pix)  # (N, 9)
-        n = len(tbl)
-        rep = np.repeat(np.arange(n), 9)
-        cells = patch.ravel()
-        keep = cells >= 0
+        patch = _patch_cells(order, pix)  # (N, 9), -1 padded
+        keep = patch >= 0
+        rep = np.repeat(np.arange(len(tbl)), 9)[keep.ravel()]
+        cells = patch.ravel()[keep.ravel()]
         return pa.table(
             {
-                "cell": pa.array(cells[keep]),
-                "side": pa.array(np.zeros(keep.sum(), dtype=np.int8)),
-                "id": pa.array(tbl[id_col].to_numpy(zero_copy_only=False)[rep[keep]]),
-                "x": pa.array(tbl["x"].to_numpy(zero_copy_only=False)[rep[keep]]),
-                "y": pa.array(tbl["y"].to_numpy(zero_copy_only=False)[rep[keep]]),
-                "z": pa.array(tbl["z"].to_numpy(zero_copy_only=False)[rep[keep]]),
+                "shard": pa.array(cells % nsh),
+                "cell": pa.array(cells),
+                "side": pa.array(np.zeros(len(rep), dtype=np.int8)),
+                "id": pa.array(tbl[id_col].to_numpy(zero_copy_only=False)[rep]),
+                "x": pa.array(tbl["x"].to_numpy(zero_copy_only=False)[rep]),
+                "y": pa.array(tbl["y"].to_numpy(zero_copy_only=False)[rep]),
+                "z": pa.array(tbl["z"].to_numpy(zero_copy_only=False)[rep]),
             }
         )
 
@@ -257,6 +328,7 @@ def radius_join(
         pix = tbl[hpx_col].to_numpy(zero_copy_only=False) >> shift
         return pa.table(
             {
+                "shard": pa.array(pix % nsh),
                 "cell": pa.array(pix),
                 "side": pa.array(np.ones(len(tbl), dtype=np.int8)),
                 "id": tbl[id_col],
@@ -266,33 +338,38 @@ def radius_join(
             }
         )
 
-    probes = left_ds.map_batches(explode_left, batch_format="pyarrow")
-    builds = right_ds.map_batches(key_right, batch_format="pyarrow")
+    probes = left_ds.map_batches(explode_left, batch_format="pyarrow", batch_size=None)
+    builds = right_ds.map_batches(key_right, batch_format="pyarrow", batch_size=None)
     both = probes.union(builds)
 
-    def join_group(df):
+    def join_shard(tbl: pa.Table) -> pa.Table:
+        side = tbl["side"].to_numpy(zero_copy_only=False)
         import pandas as pd
 
-        probe = df[df["side"] == 0]
-        build = df[df["side"] == 1]
+        cols = ["cell", "id", "x", "y", "z"]
+        df = pa.table({c: tbl[c] for c in cols}).to_pandas()
+        probe = df[side == 0]
+        build = df[side == 1]
         if len(probe) == 0 or len(build) == 0:
-            return pd.DataFrame({left_id: [], right_id: []}).astype(np.int64)
-        pv = probe[["x", "y", "z"]].to_numpy()
-        bv = build[["x", "y", "z"]].to_numpy()
-        # pairwise squared secant distance, vectorized
-        dx = pv[:, 0, None] - bv[None, :, 0]
-        dy = pv[:, 1, None] - bv[None, :, 1]
-        dz = pv[:, 2, None] - bv[None, :, 2]
-        d2 = dx * dx + dy * dy + dz * dz
-        ii, jj = np.nonzero(d2 <= thresh)
-        return pd.DataFrame(
+            return pa.table(
+                {
+                    left_id: pa.array([], type=pa.int64()),
+                    right_id: pa.array([], type=pa.int64()),
+                }
+            )
+        cand = probe.merge(build, on="cell", suffixes=("_l", "_r"))
+        dx = cand["x_l"].to_numpy() - cand["x_r"].to_numpy()
+        dy = cand["y_l"].to_numpy() - cand["y_r"].to_numpy()
+        dz = cand["z_l"].to_numpy() - cand["z_r"].to_numpy()
+        m = dx * dx + dy * dy + dz * dz <= thresh
+        return pa.table(
             {
-                left_id: probe["id"].to_numpy()[ii],
-                right_id: build["id"].to_numpy()[jj],
+                left_id: pa.array(cand["id_l"].to_numpy()[m]),
+                right_id: pa.array(cand["id_r"].to_numpy()[m]),
             }
         )
 
-    return both.groupby("cell").map_groups(join_group, batch_format="pandas")
+    return hash_exchange(both, "shard", n_shards, join_shard)
 
 
 # ------------------------------------------------------------------- kNN
@@ -347,7 +424,7 @@ def knn(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=None).take_all()
     import pandas as pd
 
     df = pd.DataFrame(partials)
@@ -355,6 +432,82 @@ def knn(
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rank"] <= k][["query_id", id_col, "rank"]].reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------------------- skew / hot cells
+_HASH_BASE = np.uint64(1099511628211)
+
+
+def hash64_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of a string column (zero-copy over
+    the Arrow buffers; no per-row Python hashing). Deterministic."""
+    col = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    n = len(col)
+    lens = offsets[1:] - offsets[:-1]
+    lmax = int(lens.max()) if n else 0
+    padded = np.zeros((n, max(lmax, 1)), dtype=np.uint64)
+    col_idx = np.arange(max(lmax, 1))
+    mask = col_idx[None, :] >= (lmax - lens)[:, None]
+    flat = np.empty(int(lens.sum()), dtype=np.uint8)
+    pos = 0
+    for i in range(n):
+        flat[pos : pos + lens[i]] = data[offsets[i] : offsets[i + 1]]
+        pos += lens[i]
+    padded[mask] = flat
+    with np.errstate(over="ignore"):
+        acc = np.multiply.accumulate(np.full(max(lmax, 1), _HASH_BASE, dtype=np.uint64))
+        powers = np.empty(max(lmax, 1), dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        if lmax > 1:
+            powers[: lmax - 1] = acc[: lmax - 1][::-1]
+        h = (padded * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        h += np.where(lens > 0, acc[np.maximum(lens, 1) - 1], np.uint64(1))
+    return h
+
+
+def hot_cells(ds, cell_col: str, out_level: int, threshold: int, data_level: int = 20):
+    """Detect cells whose row count exceeds ``threshold`` (dense URL
+    clusters). Cheap: partial per-batch counts -> small groupby."""
+    counts = cell_counts(ds, cell_col, out_level, data_level)
+    tbl = counts.to_pandas()
+    col = [c for c in tbl.columns if c.startswith("sum")][0]
+    return set(tbl.loc[tbl[col] > threshold, "cell"].astype(int))
+
+
+def dedup_rows(
+    ds,
+    *,
+    cell_col: str = "hpx20",
+    url_col: str = "url",
+    n_salt: int = 16,
+):
+    """Exact row dedup by (cell, url) — the resume-idempotency operator
+    (SURVEY §2.9) with explicit hot-cell salting: the shuffle key is
+    (cell, salt) where salt = hash(url) % n_salt, so a dense URL cluster
+    (many rows, few distinct urls, one cell) splits across n_salt reducers
+    while identical urls still co-locate. Join results are independent of
+    n_salt. Keeps the first row per (cell, url) by warc_ts then url order.
+    """
+
+    def add_salt(tbl: pa.Table) -> pa.Table:
+        salt = (hash64_strings(tbl[url_col]) % np.uint64(n_salt)).astype(np.int64)
+        return tbl.append_column("_salt", pa.array(salt))
+
+    def first_per_url(df):
+        sort_cols = [url_col] + (["warc_ts"] if "warc_ts" in df.columns else [])
+        df = df.sort_values(sort_cols, kind="mergesort")
+        out = df.groupby(url_col, as_index=False).first()
+        return out.drop(columns=["_salt"])
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
+        .groupby([cell_col, "_salt"])
+        .map_groups(first_per_url, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------- aggregates
@@ -370,7 +523,7 @@ def cell_counts(ds, cell_col: str, out_level: int, data_level: int = 20):
         return pa.table({"cell": pa.array(uniq), "partial_count": pa.array(cnt)})
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("cell")
         .sum("partial_count")
     )

@@ -34,7 +34,9 @@ def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
     hot_mod = int(1.0 / hot_frac) if hot_frac > 0 else 0
     for i in indices.tolist():
         if hot_mod and (i % hot_mod) == 0:
-            u = f"https://hot{i % N_HOT_HOSTS}.example/{(i // N_HOT_HOSTS) % N_HOT_PATHS:04d}"
+            j = i // hot_mod  # dense index over hot rows only — otherwise the
+            # modulus correlates with i and all hot rows collapse to one url
+            u = f"https://hot{j % N_HOT_HOSTS}.example/{(j // N_HOT_HOSTS) % N_HOT_PATHS:04d}"
         else:
             u = f"https://site{i % 1000}.example/{i:08d}"
         urls.append(u)
@@ -60,12 +62,18 @@ def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
 
 def synth_webpages(n_rows: int, *, hot_frac: float = 0.02, override_num_blocks=None):
     """Dataset of n_rows synthetic pages; generation itself runs distributed
-    (ray.data.range -> map_batches), so no driver-side materialization."""
+    (ray.data.range -> map_batches), so no driver-side materialization.
+
+    Block sizing: ~50k rows per block (bounded to [8, 1024] blocks) — small
+    enough to pipeline/spill, large enough that per-task scheduling overhead
+    is amortized (1538-row blocks measured 10x slower end-to-end)."""
     import ray
 
+    if override_num_blocks is None:
+        override_num_blocks = max(8, min(1024, n_rows // 16_000))
     ds = ray.data.range(n_rows, override_num_blocks=override_num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         return synth_batch(batch["id"].to_numpy(), hot_frac=hot_frac)
 
-    return ds.map_batches(gen, batch_format="pyarrow")
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
