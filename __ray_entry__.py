@@ -239,6 +239,86 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+ELLIPSE = dict(ra=150.0, dec=20.0, a=25.0, b=12.0, angle=40.0, level=7)
+WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _ellipse_query(sf_dir):
+    si = SpatialIndex()
+    plan = si.ellipse_plan(
+        ELLIPSE["ra"], ELLIPSE["dec"], ELLIPSE["a"], ELLIPSE["b"],
+        ELLIPSE["angle"], level=ELLIPSE["level"],
+    )
+    ds = _docs_encoded(sf_dir)
+    return ops.region_search(ds, plan).select_columns(["doc_id"])
+
+
+def _ellipse_oracle():
+    from spatialindex_ray import geom
+
+    e = geom.Ellipse.from_center(
+        ELLIPSE["ra"], ELLIPSE["dec"], ELLIPSE["a"], ELLIPSE["b"], ELLIPSE["angle"]
+    )
+    # mirrors Ellipse.mask float-for-float (htm_s2ellipse_cv3, a <= 90 branch)
+    qf = (
+        f"({_d(e.xx)})*x*x + ({_d(e.yy)})*y*y + ({_d(e.zz)})*z*z"
+        f" + {_d(2.0 * e.xy)}*x*y + {_d(2.0 * e.xz)}*x*z + {_d(2.0 * e.yz)}*y*z"
+    )
+    # NOTE: numpy computes 2.0*self.xy as a premultiplied array constant;
+    # embed the premultiplied literal so rounding matches.
+    dp = f"x*({_d(e.cen[0])}) + y*({_d(e.cen[1])}) + z*({_d(e.cen[2])})"
+    return _xyz_sql() + f"SELECT doc_id FROM n WHERE {dp} >= 0.0 AND {qf} <= 0.0"
+
+
+def _events_window_agg(sf_dir):
+    """Tumbling 1-hour window aggregate over the events stream table:
+    (window_id, event_type) -> n_events, n_users. Exact distinct users via a
+    two-level groupby (streaming-friendly; no driver loops)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts // WINDOW_US
+        return pa.table(
+            {
+                "window_id": pa.array(win),
+                "event_type": tbl["event_type"],
+                "user_id": tbl["user_id"],
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    counts = keyed_ds.groupby(["window_id", "event_type"]).count().to_pandas()
+    counts = counts.rename(columns={"count()": "n_events"})
+    distinct = (
+        keyed_ds.groupby(["window_id", "event_type", "user_id"])
+        .count()
+        .groupby(["window_id", "event_type"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_users"})
+    )
+    out = counts.merge(distinct, on=["window_id", "event_type"])
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["window_id", "event_type", "n_events", "n_users"]], preserve_index=False
+    )
+
+
+EVENTS_WINDOW_ORACLE = f"""
+SELECT CAST(floor(epoch_us(ts) / {WINDOW_US}) AS BIGINT) AS window_id,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
 def _dedup_rows_salted(sf_dir):
     """Row dedup by (cell, url) with hot-cell salting over synthesized pages
     that include dense URL clusters; result: one row per distinct url.
@@ -328,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": multimodal.image_features_query,
         "dedup_rows_salted": _dedup_rows_salted,
         "index_build_query": _index_build_query,
+        "ellipse_search_htm": _ellipse_query,
+        "events_window_agg": _events_window_agg,
     }
 
 
@@ -344,6 +426,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "token_stats": textfn.TOKEN_STATS_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
+        "ellipse_search_htm": _ellipse_oracle(),
+        "events_window_agg": EVENTS_WINDOW_ORACLE,
         # lang_id / quality_score / doc_fingerprint / minhash / simhash /
         # embedding_near_dup / ann_topk_cosine / cell_counts_htm4: not
         # SQL-expressible (hashing / heuristics / HTM ids) -> rows-only check.

@@ -341,6 +341,28 @@ def _ne_basis(v):
     return north, east
 
 
+def polygon_area(poly: "ConvexPolygon") -> float:
+    """Solid angle (steradians) via Girard's theorem — htm_s2cpoly_area
+    (geometry.c:606-625)."""
+    n = poly.n
+    asum = 0.0
+    for i in range(n):
+        j = n - 1 if i == 0 else i - 1
+        v = _rcross(poly.edges[j], poly.edges[i])
+        sina = 0.5 * _norm(v)
+        cosa = -_dot(poly.edges[j], poly.edges[i])
+        asum += math.atan2(sina, cosa)
+    return asum - (n - 2) * math.pi
+
+
+def centroid(points) -> tuple:
+    """Normalized vector sum — htm_v3_centroid (geometry.c:115-133).
+    points: (N, 3) array or list of tuples."""
+    arr = np.asarray(points, dtype=np.float64)
+    s = arr.sum(axis=0)
+    return _normalize((float(s[0]), float(s[1]), float(s[2])))
+
+
 def v3_rot(v, k, angle_deg):
     """Rodrigues rotation of v around axis k — htm_v3_rot (geometry.c:85-112)."""
     nk = _norm(k)

@@ -157,6 +157,21 @@ class SpatialIndex:
             "region": cone,
         }
 
+    def ellipse_plan(self, ra, dec, a, b, angle, level=7, compress=True):
+        """HTM ellipse query plan (htm_s2ellipse_ids path; HPX has no ellipse
+        decomposition in the reference either)."""
+        ell = geom.Ellipse.from_center(ra, dec, a, b, angle)
+        ranges = cover.htm_ellipse_ranges(ell, level)
+        if compress:
+            ranges = cover.gap_compress(ranges)
+        return {
+            "kind": "ellipse",
+            "mode": self.HTM,
+            "level": level,
+            "ranges": cover.ranges_to_array(ranges),
+            "region": ell,
+        }
+
     def polygon_plan(self, ra, dec, mode=0, level=7, compress=True):
         polyregion = geom.ConvexPolygon(list(ra), list(dec))
         if mode == self.HTM:
