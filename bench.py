@@ -195,8 +195,11 @@ def run_scaling() -> dict:
     the timed run — otherwise the 32-cpu run pays 4x the cold-start of the
     8-cpu run inside the measured window and 'scaling' measures process
     spawn, not the pipeline."""
-    n_rows = int(os.environ.get("BENCH_PAGES_SCALING", "600000"))
+    n_rows = int(os.environ.get("BENCH_PAGES_SCALING", "2400000"))
     attempts = int(os.environ.get("BENCH_SCALING_ATTEMPTS", "2"))
+    legs = tuple(
+        int(c) for c in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(",")
+    )
     code = (
         "import os,sys,json,time;"
         f"sys.path.insert(0,{REPO!r});"
@@ -215,7 +218,7 @@ def run_scaling() -> dict:
         time.sleep(3)
 
     out = {}
-    for cpus in (8, 32):
+    for cpus in legs:
         best = None
         for _ in range(attempts):
             _cleanup()
@@ -235,17 +238,21 @@ def run_scaling() -> dict:
             raise RuntimeError(f"scaling run at {cpus} cpus failed")
         out[cpus] = best
     _cleanup()
-    eff = out[32]["rows_per_sec"] / (4.0 * out[8]["rows_per_sec"])
+    lo, hi = legs
+    factor = hi / lo
+    eff = out[hi]["rows_per_sec"] / (factor * out[lo]["rows_per_sec"])
     # record in BASELINE-comparable form
     return {
-        "metric": "spatial-join + tile-assignment scaling (8 -> 32 cpus)",
+        "metric": f"spatial-join + tile-assignment scaling ({lo} -> {hi} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "rows": n_rows,
-        "throughput_8cpu_rows_per_sec": round(out[8]["rows_per_sec"], 1),
-        "throughput_32cpu_rows_per_sec": round(out[32]["rows_per_sec"], 1),
-        "wall_8cpu_s": round(out[8]["wall_s"], 3),
-        "wall_32cpu_s": round(out[32]["wall_s"], 3),
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "throughput_lowcpu_rows_per_sec": round(out[lo]["rows_per_sec"], 1),
+        "throughput_highcpu_rows_per_sec": round(out[hi]["rows_per_sec"], 1),
+        "wall_lowcpu_s": round(out[lo]["wall_s"], 3),
+        "wall_highcpu_s": round(out[hi]["wall_s"], 3),
         "scaling_efficiency": round(eff, 3),
         "sf": _sf(),
     }

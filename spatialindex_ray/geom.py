@@ -341,6 +341,111 @@ def _ne_basis(v):
     return north, east
 
 
+HTM_RMAX = 90.0 - 0.001 / 3600.0
+
+
+def _tanrot(v1, v2, r):
+    """htm_v3_tanrot (geometry.c:54-82): rotation angle making the (v1,v2)
+    great-circle plane tangent to radius-r circles at v1 and v2."""
+    a = _angsep_scalar(v1, v2)
+    if a == 0.0:
+        raise RegionError("degenerate edge")
+    if a + 2.0 * r > 2.0 * HTM_RMAX:
+        raise RegionError("radius too large")
+    rr = r * RAD_PER_DEG
+    aa = a * RAD_PER_DEG
+    s = 2.0 * math.sin(rr) * math.sin(0.5 * aa) / math.sin(aa)
+    if s >= 1.0:
+        return 90.0
+    return math.asin(s) * DEG_PER_RAD
+
+
+def _angsep_scalar(v1, v2):
+    n = _cross(v1, v2)
+    ss = _norm(n)
+    cs = _dot(v1, v2)
+    if cs == 0.0 and ss == 0.0:
+        return 0.0
+    a = math.atan2(ss, cs) * DEG_PER_RAD
+    return min(a, 180.0)
+
+
+def polygon_box(ra, dec, width, height, angle=0.0) -> "ConvexPolygon":
+    """Lat/lon box polygon — htm_s2cpoly_box (geometry.c:429-484)."""
+    if width <= 0.0 or height <= 0.0 or width >= HTM_RMAX or height >= HTM_RMAX:
+        raise RegionError("invalid box dimensions")
+    cen = radec_to_v3(ra, dec)
+    north, east = _ne_basis(cen)
+    edges = [None] * 4
+    edges[0] = v3_rot(east, north, 0.5 * width)
+    edges[2] = v3_rot(east, north, -0.5 * width)
+    edges[1] = v3_rot(north, east, -0.5 * height)
+    edges[3] = v3_rot(north, east, 0.5 * height)
+    verts = [
+        _normalize(_rcross(edges[0], edges[1])),
+        _normalize(_rcross(edges[2], edges[1])),
+        _normalize(_rcross(edges[2], edges[3])),
+        _normalize(_rcross(edges[0], edges[3])),
+    ]
+    if angle != 0.0:
+        verts = [v3_rot(v, cen, angle) for v in verts]
+    return _poly_from_verts(verts)
+
+
+def polygon_ngon(ra, dec, r, n) -> "ConvexPolygon":
+    """N-gon inscribed in a circle — htm_s2cpoly_ngon (geometry.c:489-550)."""
+    if r <= 0.0 or r >= HTM_RMAX or n < 3:
+        raise RegionError("invalid ngon parameters")
+    cen = radec_to_v3(ra, dec)
+    north, east = _ne_basis(cen)
+    sr = math.sin(r * RAD_PER_DEG)
+    cr = math.cos(r * RAD_PER_DEG)
+    verts = []
+    for i in range(n):
+        ang = (RAD_PER_DEG * 360.0 * i) / n
+        sa, ca = math.sin(ang), math.cos(ang)
+        v = (
+            ca * north[0] + sa * east[0],
+            ca * north[1] + sa * east[1],
+            ca * north[2] + sa * east[2],
+        )
+        verts.append(
+            _normalize((cr * cen[0] + sr * v[0], cr * cen[1] + sr * v[1], cr * cen[2] + sr * v[2]))
+        )
+    return _poly_from_verts(verts)
+
+
+def polygon_line(ra1, dec1, ra2, dec2, r) -> "ConvexPolygon":
+    """Line segment padded by radius r — htm_s2cpoly_line (geometry.c:553-589)."""
+    v1 = radec_to_v3(ra1, dec1)
+    v2 = radec_to_v3(ra2, dec2)
+    a = _tanrot(v1, v2, r)
+    axis1 = _sub(v1, v2)
+    axis2 = _rcross(v1, v2)
+    edges = [None] * 4
+    edges[0] = v3_rot(axis2, axis1, a)
+    edges[1] = v3_rot(_rcross(v1, axis2), axis2, -r)
+    edges[2] = v3_rot(axis2, axis1, -a)
+    edges[3] = v3_rot(_rcross(v2, axis2), axis2, r)
+    verts = [
+        _normalize(_rcross(edges[0], edges[1])),
+        _normalize(_rcross(edges[2], edges[1])),
+        _normalize(_rcross(edges[2], edges[3])),
+        _normalize(_rcross(edges[0], edges[3])),
+    ]
+    return _poly_from_verts(verts)
+
+
+def _poly_from_verts(verts) -> "ConvexPolygon":
+    """Build a ConvexPolygon from unit-vector vertices (converts back to
+    ra/dec for the sptPolygonSearch-style normal derivation)."""
+    import numpy as _np
+
+    arr = _np.asarray(verts)
+    lon, lat = vec.v3_to_sc(arr)
+    return ConvexPolygon(list(map(float, lon)), list(map(float, lat)))
+
+
 def polygon_area(poly: "ConvexPolygon") -> float:
     """Solid angle (steradians) via Girard's theorem — htm_s2cpoly_area
     (geometry.c:606-625)."""

@@ -117,7 +117,8 @@ def encode_batch(
 def encode(ds, **kw):
     """Dataset flavor of encode_batch; stateless, embarrassingly parallel."""
     return ds.map_batches(
-        lambda tbl: encode_batch(tbl, **kw), batch_format="pyarrow"
+        lambda tbl: encode_batch(tbl, **kw), batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -158,16 +159,30 @@ def region_filter_batch(tbl: pa.Table, plan, cell_col: str, shift: int) -> pa.Ta
     return sub.filter(pa.array(gm))
 
 
-def region_search(ds, plan, *, cell_col=None, data_level=20):
+def region_search(ds, plan, *, cell_col=None, data_level=20, negate=False):
     """cone_search / polygon_search over an encoded Dataset: broadcast the
     plan, filter each batch (no shuffle). Returns the matching rows."""
     if cell_col is None:
         cell_col = ("htm" if plan["mode"] == 0 else "hpx") + str(data_level)
     shift = 2 * (data_level - plan["level"])
-    return ds.map_batches(
-        lambda tbl: region_filter_batch(tbl, plan, cell_col, shift),
-        batch_format="pyarrow",
-    )
+    if not negate:
+        return ds.map_batches(
+            lambda tbl: region_filter_batch(tbl, plan, cell_col, shift),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        xyz = np.column_stack(
+            [
+                tbl["x"].to_numpy(zero_copy_only=False),
+                tbl["y"].to_numpy(zero_copy_only=False),
+                tbl["z"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return tbl.filter(pa.array(~plan["region"].mask(xyz)))
+
+    return ds.map_batches(anti, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------------------------- tiling
@@ -185,7 +200,8 @@ def tile_assign_batch(tbl: pa.Table, tile_deg: float, lon_col="lon", lat_col="la
 
 def tile_assign(ds, tile_deg: float, **kw):
     return ds.map_batches(
-        lambda t: tile_assign_batch(t, tile_deg, **kw), batch_format="pyarrow"
+        lambda t: tile_assign_batch(t, tile_deg, **kw), batch_format="pyarrow",
+        batch_size=None,
     )
 
 

@@ -139,7 +139,8 @@ def query_index(out_dir: str, plan, *, cell_col: str = "hpx20", data_level: int 
         files, filter=_ranges_filter_expr(cell_col, fine_ranges)
     )
     return ds.map_batches(
-        lambda tbl: _geom_filter(tbl, plan), batch_format="pyarrow"
+        lambda tbl: _geom_filter(tbl, plan), batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -160,6 +161,142 @@ def region_count(out_dir: str, plan, *, cell_col="hpx20", data_level=20) -> int:
     (manifest-only, no data touch) is provided by region_count_bounds."""
     ds = query_index(out_dir, plan, cell_col=cell_col, data_level=data_level)
     return ds.count()
+
+
+def knn_indexed(
+    out_dir: str,
+    cell_counts: dict,
+    query_points,
+    k: int,
+    *,
+    count_level: int,
+    data_level: int = 20,
+    cell_col: str = "hpx20",
+    id_col: str = "url",
+):
+    """kNN served by per-cell neighbor-ring expansion over the sorted cell
+    index (the north-star kNN path): instead of scanning all rows, the
+    driver walks rings of HEALPix cells outward from each query point using
+    the per-cell count table until >= k candidates are guaranteed, then one
+    range-pruned parquet read scores only those cells.
+
+    Exactness: after the candidate rings contain >= k points, expansion
+    continues until the guaranteed minimum distance to any unvisited cell
+    (rings_expanded * the conservative per-ring width bound used by
+    safe_join_order, i.e. 0.5 * maxpixrad(count_level)) exceeds an upper
+    bound on the kth distance (from the ring radius that captured k).
+
+    cell_counts: {cell_id at count_level -> row count} (from ops.cell_counts
+    or the build manifest). Returns a pyarrow Table
+    (query_id, id_col, rank).
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..kernels import healpix
+    from .. import ops
+
+    ring_w = 0.5 * healpix.max_pix_rad(count_level)  # conservative rad/ring
+    qids = [q[0] for q in query_points]
+    qv = ops.xyz_from_lonlat(
+        np.array([q[1] for q in query_points], dtype=np.float64),
+        np.array([q[2] for q in query_points], dtype=np.float64),
+    )
+    per_query_cells: list[set] = []
+    for qi, (_, qlon, qlat) in enumerate(query_points):
+        start = int(healpix.sky2hpx(count_level, np.array([qlon]), np.array([qlat]))[0])
+        visited = {start}
+        frontier = {start}
+        total = cell_counts.get(start, 0)
+        rings = 0
+        rings_at_k = None
+        while True:
+            if total >= k and rings_at_k is None:
+                rings_at_k = rings
+            if rings_at_k is not None:
+                # kth distance <= (rings_at_k + 1) rings of max pixel width;
+                # unvisited region is >= (rings - 1) * ring_w away
+                ub = (rings_at_k + 1) * 2.0 * healpix.max_pix_rad(count_level)
+                if (rings - 1) * ring_w > ub or not frontier:
+                    break
+            if not frontier:
+                break  # exhausted the sphere
+            nb = healpix.neighbors(count_level, np.array(sorted(frontier)))
+            nxt = set(int(c) for c in nb.ravel() if c >= 0) - visited
+            visited |= nxt
+            frontier = nxt
+            total += sum(cell_counts.get(c, 0) for c in nxt)
+            rings += 1
+        per_query_cells.append(visited)
+
+    all_cells = sorted(set().union(*per_query_cells))
+    shift = 2 * (data_level - count_level)
+    ranges = np.array(
+        [[c << shift, ((c + 1) << shift) - 1] for c in all_cells], dtype=np.int64
+    )
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files, filter=_ranges_filter_expr(cell_col, ranges))
+    qref = ray.put((qv, [np.array(sorted(s), dtype=np.int64) for s in per_query_cells]))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        qv_, qcells_ = ray.get(qref)
+        xyz = np.column_stack(
+            [
+                tbl["x"].to_numpy(zero_copy_only=False),
+                tbl["y"].to_numpy(zero_copy_only=False),
+                tbl["z"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False) >> shift
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(qv_)):
+            m = np.isin(cells, qcells_[qi])
+            if not m.any():
+                continue
+            sub = xyz[m]
+            dx = sub[:, 0] - qv_[qi, 0]
+            dy = sub[:, 1] - qv_[qi, 1]
+            dz = sub[:, 2] - qv_[qi, 2]
+            d2 = dx * dx + dy * dy + dz * dz
+            kk = min(k, len(d2))
+            part = (
+                np.argpartition(d2, kk - 1)[:kk] if kk < len(d2) else np.arange(len(d2))
+            )
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[m][part])
+            out_d.append(d2[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "qi": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.string()),
+                    "dist2": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "dist2": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    df = pd.DataFrame(parts)
+    if len(df) == 0:
+        return pa.table({"query_id": [], id_col: [], "rank": []})
+    df["query_id"] = np.array(qids)[df["qi"].to_numpy()]
+    df = df.sort_values(["query_id", "dist2", id_col], kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", id_col, "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def region_count_bounds(

@@ -1,0 +1,71 @@
+"""Property tests for the polygon constructors (box/ngon/line) and
+area/centroid — reference parity targets geometry.c:429-626."""
+
+import math
+
+import numpy as np
+
+from spatialindex_ray import geom, ops
+from spatialindex_ray.kernels import vec
+
+
+def _sample_disk(ra, dec, r, n, seed=0):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    rr = np.sqrt(rng.uniform(0, 1, n)) * r
+    lon = (ra + rr * np.cos(ang) / max(np.cos(np.radians(dec)), 1e-9)) % 360
+    lat = np.clip(dec + rr * np.sin(ang), -90, 90)
+    return lon, lat
+
+
+def test_box_contains_center_and_respects_bounds():
+    poly = geom.polygon_box(120.0, 30.0, width=6.0, height=4.0)
+    cen = geom.radec_to_v3(120.0, 30.0)
+    assert poly.contains(cen)
+    lon, lat = _sample_disk(120.0, 30.0, 8.0, 4000)
+    v = ops.xyz_from_lonlat(lon, lat)
+    inside = poly.mask(v)
+    # all inside points are within the bounding disk of the box corners
+    corners = np.asarray(poly.verts)
+    maxsep = max(
+        float(vec.angsepu(np.asarray(cen), c)) for c in corners
+    )
+    sep = vec.angsepu(np.asarray(cen)[None, :], v[inside])
+    assert (sep <= maxsep + 1e-9).all()
+    assert inside.sum() > 0
+
+
+def test_ngon_approximates_circle():
+    r = 3.0
+    poly = geom.polygon_ngon(45.0, -20.0, r=r, n=24)
+    lon, lat = _sample_disk(45.0, -20.0, 4.0, 6000, seed=1)
+    v = ops.xyz_from_lonlat(lon, lat)
+    inside = poly.mask(v)
+    cen = np.asarray(geom.radec_to_v3(45.0, -20.0))
+    sep = vec.angsepu(cen[None, :], v)
+    # inscribed ngon: inside => within r; points within 0.97r mostly inside
+    assert (sep[inside] <= r + 1e-9).all()
+    core = sep <= 0.97 * r * math.cos(math.pi / 24)
+    assert inside[core].mean() > 0.99
+
+
+def test_line_polygon_covers_segment_neighborhood():
+    poly = geom.polygon_line(10.0, 5.0, 14.0, 7.0, r=0.5)
+    # points on the segment are inside
+    for t in np.linspace(0.05, 0.95, 7):
+        lon = 10.0 + t * 4.0
+        lat = 5.0 + t * 2.0
+        v = geom.radec_to_v3(lon, lat)
+        assert poly.contains(v), t
+    # points far away are not
+    assert not poly.contains(geom.radec_to_v3(20.0, 20.0))
+
+
+def test_area_and_centroid():
+    poly = geom.polygon_ngon(0.0, 0.0, r=5.0, n=64)
+    area = geom.polygon_area(poly)
+    # ngon area -> spherical cap area 2*pi*(1-cos r)
+    cap = 2 * math.pi * (1 - math.cos(math.radians(5.0)))
+    assert abs(area - cap) / cap < 0.02
+    cen = geom.centroid(np.asarray(poly.verts))
+    assert vec.angsepu(np.asarray(cen), np.asarray(geom.radec_to_v3(0.0, 0.0))) < 0.1
