@@ -239,6 +239,92 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _orders_customer_join(sf_dir):
+    """General distributed equi-join (orders x customer) + aggregate:
+    orders per customer nation. Exercises ops.equi_join / hash_exchange2."""
+    import ray
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = ops.equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    out = joined.groupby("c_nationkey").count().to_pandas()
+    out = out.rename(columns={"count()": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out[["c_nationkey", "n_orders"]], preserve_index=False)
+
+
+ORDERS_JOIN_ORACLE = """
+SELECT c_nationkey, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def _sessionize_events(sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user: returns
+    (user_id, n_sessions, longest_session_events) — a streaming-analytics
+    operator the reference lacks; groups shuffle only (user_id, ts)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    def sessions(df):
+        import pandas as pd
+
+        df = df.sort_values("ts_us", kind="mergesort")
+        ts = df["ts_us"].to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        new[1:] = (ts[1:] - ts[:-1] > SESSION_GAP_US).astype(np.int64)
+        sess = new.cumsum()
+        sizes = np.bincount(sess)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_sessions": [int(sess[-1])],
+                "longest_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+    return out
+
+
+SESSIONIZE_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+         ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t
+),
+sz AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS longest_session_events
+FROM sz GROUP BY user_id
+"""
+
+
 ELLIPSE = dict(ra=150.0, dec=20.0, a=25.0, b=12.0, angle=40.0, level=7)
 WINDOW_US = 3_600_000_000  # 1 hour
 
@@ -410,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_build_query": _index_build_query,
         "ellipse_search_htm": _ellipse_query,
         "events_window_agg": _events_window_agg,
+        "orders_customer_join": _orders_customer_join,
+        "sessionize_events": _sessionize_events,
     }
 
 
@@ -428,6 +516,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
+        "orders_customer_join": ORDERS_JOIN_ORACLE,
+        "sessionize_events": SESSIONIZE_ORACLE,
         # lang_id / quality_score / doc_fingerprint / minhash / simhash /
         # embedding_near_dup / ann_topk_cosine / cell_counts_htm4: not
         # SQL-expressible (hashing / heuristics / HTM ids) -> rows-only check.

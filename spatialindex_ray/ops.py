@@ -526,6 +526,115 @@ def dedup_rows(
     )
 
 
+# ------------------------------------------------------------- equi-join
+def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
+    """Two-sided hash exchange: co-partition two datasets by their (integer,
+    [0, n_shards)) key columns and apply shard_fn(table_a, table_b) once per
+    shard. Same raw-task exchange and large-piece rules as hash_exchange."""
+    import ray
+
+    def _mk_split(key_col):
+        @ray.remote
+        def _split(tbl: pa.Table, nsh: int):
+            keys = tbl[key_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            sorted_tbl = tbl.take(pa.array(order))
+            sk = keys[order]
+            bounds = np.searchsorted(sk, np.arange(nsh + 1))
+            return tuple(
+                sorted_tbl.slice(bounds[s], bounds[s + 1] - bounds[s])
+                for s in range(nsh)
+            )
+
+        return _split
+
+    @ray.remote
+    def _reduce(n_a, *parts):
+        a = pa.concat_tables(parts[:n_a])
+        b = pa.concat_tables(parts[n_a:])
+        return shard_fn(a, b)
+
+    def _refs(ds):
+        refs = ds.to_arrow_refs()
+        if len(refs) * n_shards > 2048:
+            m_target = max(8, 2048 // n_shards)
+            import ray as _r
+
+            refs = _r.data.from_arrow_refs(refs).repartition(m_target).to_arrow_refs()
+        return refs
+
+    refs_a = _refs(ds_a)
+    refs_b = _refs(ds_b)
+    split_a = _mk_split(key_col_a)
+    split_b = _mk_split(key_col_b)
+    parts_a = [split_a.options(num_returns=n_shards).remote(r, n_shards) for r in refs_a]
+    parts_b = [split_b.options(num_returns=n_shards).remote(r, n_shards) for r in refs_b]
+    if n_shards == 1:
+        parts_a = [[r] for r in parts_a]
+        parts_b = [[r] for r in parts_b]
+    out = [
+        _reduce.remote(
+            len(parts_a),
+            *[parts_a[m][s] for m in range(len(parts_a))],
+            *[parts_b[m][s] for m in range(len(parts_b))],
+        )
+        for s in range(n_shards)
+    ]
+    import ray as _r
+
+    return _r.data.from_arrow_refs(out)
+
+
+def equi_join(
+    left_ds,
+    right_ds,
+    on: str,
+    *,
+    right_on: str | None = None,
+    how: str = "inner",
+    n_shards: int = 64,
+):
+    """General distributed equi-join via the two-sided hash exchange
+    (bounded shard key + one vectorized pandas merge per shard). Used e.g.
+    to re-attach wide payload columns (text/html) to join results by id
+    after a narrow-column shuffle."""
+    right_on = right_on or on
+
+    def tag(key_name):
+        def f(tbl: pa.Table) -> pa.Table:
+            key = tbl[key_name]
+            knum = key.to_numpy(zero_copy_only=False)
+            if knum.dtype.kind in "iu":
+                shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
+            else:
+                shard = (hash64_strings(key) % np.uint64(n_shards)).astype(np.int64)
+            return tbl.append_column("_shard", pa.array(shard))
+
+        return f
+
+    def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ldf = ta.drop(["_shard"]).to_pandas()
+        rdf = tb.drop(["_shard"]).to_pandas()
+        merged = ldf.merge(
+            rdf, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
+        )
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    left = left_ds.map_batches(tag(on), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(tag(right_on), batch_format="pyarrow", batch_size=None)
+    return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
+
+
+def attach_columns(result_ds, source_ds, on: str, columns: list, n_shards: int = 64):
+    """Re-attach wide columns (e.g. text/html) from the source table to a
+    narrow result by key — the pattern that keeps payload bytes out of the
+    heavy shuffles (SURVEY §4.2)."""
+    src = source_ds.map_batches(
+        lambda t: t.select([on] + columns), batch_format="pyarrow", batch_size=None
+    )
+    return equi_join(result_ds, src, on, n_shards=n_shards)
+
+
 # --------------------------------------------------------------- aggregates
 def cell_counts(ds, cell_col: str, out_level: int, data_level: int = 20):
     """Per-cell point counts at out_level (tree-node counts analog,
