@@ -196,7 +196,8 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
         .map_groups(pairs_in_shard, batch_format="pandas")
     )
     # a pair can surface in multiple bands -> distinct (hash aggregate)
-    return pairs.groupby(["left_id", "right_id"]).count().select_columns(["left_id", "right_id"])
+    out = pairs.groupby(["left_id", "right_id"]).count().select_columns(["left_id", "right_id"])
+    return _typed_pairs(out)
 
 
 # ----------------------------------------------------------------- simhash
@@ -310,7 +311,21 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
         keep = jac >= tau
         return pa.table({"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])})
 
-    return inter.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    out = inter.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    return _typed_pairs(out)
+
+
+def _typed_pairs(ds):
+    """Materialize a (left_id, right_id) result with a guaranteed schema —
+    a fully-empty Dataset otherwise loses its column names downstream."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"left_id": pd.Series(dtype="int64"), "right_id": pd.Series(dtype="int64")}
+        )
+    return pa.Table.from_pandas(df[["left_id", "right_id"]], preserve_index=False)
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -366,4 +381,4 @@ def embedding_near_dup_query(sf_dir: str, tau: float = EMB_TAU):
             {"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])}
         )
 
-    return ds.map_batches(block, batch_format="pyarrow", batch_size=None)
+    return _typed_pairs(ds.map_batches(block, batch_format="pyarrow", batch_size=None))

@@ -446,6 +446,72 @@ def _poly_from_verts(verts) -> "ConvexPolygon":
     return ConvexPolygon(list(map(float, lon)), list(map(float, lat)))
 
 
+def hemispherical(points) -> bool:
+    """True if all points fit in some open hemisphere (necessary for a
+    convex spherical polygon) — functional equivalent of
+    htm_v3_hemispherical (geometry.c:1060-1186), decided via the centroid
+    direction + per-point dot test with a tiny LP-style fallback."""
+    arr = np.asarray(points, dtype=np.float64)
+    c = arr.sum(axis=0)
+    n = np.linalg.norm(c)
+    if n > 0:
+        c = c / n
+        if (arr @ c > 0).all():
+            return True
+    # fallback: test all pairwise cross-product directions (exact for the
+    # small vertex counts polygons have)
+    m = len(arr)
+    for i in range(m):
+        for j in range(i + 1, m):
+            d = np.cross(arr[i], arr[j])
+            for sgn in (1.0, -1.0):
+                if (arr @ (sgn * d) > -1e-15).all() and (np.abs(arr @ d) > 0).any():
+                    if (arr @ (sgn * d) >= 0).all():
+                        return True
+    return False
+
+
+def polygon_hull(ra, dec) -> "ConvexPolygon":
+    """Convex hull of a hemispherical point set, as a ConvexPolygon —
+    functional equivalent of htm_s2cpoly_hull (geometry.c:1388-1603):
+    angular sort around the centroid, then Graham-scan-style elimination of
+    reflex vertices on the sphere."""
+    pts = [radec_to_v3(r, d) for r, d in zip(ra, dec)]
+    if len(pts) < 3:
+        raise RegionError("hull needs >= 3 points")
+    if not hemispherical(pts):
+        raise RegionError("points are not hemispherical")
+    cen = centroid(pts)
+    north, east = _ne_basis(cen)
+    ang = [
+        math.atan2(_dot(p, east), _dot(p, north)) for p in pts
+    ]
+    order = sorted(range(len(pts)), key=lambda i: ang[i])
+    ring = [pts[i] for i in order][::-1]  # CCW viewed from outside
+    # Graham scan on the sphere: stack-based left-turn filter over the
+    # angularly sorted ring, then closure passes for the wrap-around edges.
+    hull: list = []
+    for p in ring:
+        while len(hull) >= 2 and _dot(_rcross(hull[-2], hull[-1]), p) <= 0.0:
+            hull.pop()
+        hull.append(p)
+    stable = False
+    while not stable and len(hull) >= 3:
+        stable = True
+        if _dot(_rcross(hull[-2], hull[-1]), hull[0]) <= 0.0:
+            hull.pop()
+            stable = False
+            continue
+        if _dot(_rcross(hull[-1], hull[0]), hull[1]) <= 0.0:
+            hull.pop(0)
+            stable = False
+    ring = hull
+    if len(ring) < 3:
+        raise RegionError("degenerate hull")
+    lon, lat = vec.v3_to_sc(np.asarray(ring))
+    return ConvexPolygon(list(map(float, lon)), list(map(float, lat)))
+
+
 def polygon_area(poly: "ConvexPolygon") -> float:
     """Solid angle (steradians) via Girard's theorem — htm_s2cpoly_area
     (geometry.c:606-625)."""

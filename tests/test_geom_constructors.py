@@ -69,3 +69,32 @@ def test_area_and_centroid():
     assert abs(area - cap) / cap < 0.02
     cen = geom.centroid(np.asarray(poly.verts))
     assert vec.angsepu(np.asarray(cen), np.asarray(geom.radec_to_v3(0.0, 0.0))) < 0.1
+
+
+def test_hull_contains_all_points():
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        ra0 = rng.uniform(0, 360)
+        dec0 = rng.uniform(-60, 60)
+        n = int(rng.integers(5, 40))
+        ras = (ra0 + rng.uniform(-4, 4, n)) % 360
+        decs = np.clip(dec0 + rng.uniform(-4, 4, n), -90, 90)
+        poly = geom.polygon_hull(list(ras), list(decs))
+        v = ops.xyz_from_lonlat(ras, decs)
+        m = poly.mask(v)
+        # all input points inside (or on) the hull
+        x, y, z = v[:, 0], v[:, 1], v[:, 2]
+        ok = np.ones(n, bool)
+        for nm in poly.normals:
+            ok &= (x * nm[0] + y * nm[1] + z * nm[2]) >= -1e-12
+        assert ok.all()
+        # hull is a valid convex polygon (constructor would raise otherwise)
+        assert poly.n >= 3
+
+
+def test_hemispherical():
+    assert geom.hemispherical([geom.radec_to_v3(0, 0), geom.radec_to_v3(10, 5),
+                               geom.radec_to_v3(350, -5)])
+    assert not geom.hemispherical([geom.radec_to_v3(0, 0), geom.radec_to_v3(120, 0),
+                                   geom.radec_to_v3(240, 0), geom.radec_to_v3(0, 80),
+                                   geom.radec_to_v3(180, -80)])
