@@ -158,6 +158,7 @@ def run_suite() -> dict:
     for name in [
         "radius_join", "knn", "tile_assign_grid", "q1_lineitem_agg",
         "exact_dedup", "token_stats", "minhash_near_dup", "ann_topk_cosine",
+        "orders_customer_join", "events_window_agg", "sessionize_events",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)
