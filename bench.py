@@ -70,9 +70,9 @@ def headline_spatial_join_tiles(n_pages: int) -> dict:
     # encoded index (pipelines.build.build_index), not a driver collect.
     enc_id = enc.map_batches(add_id, batch_format="pyarrow", batch_size=None).materialize()
     order = ops.safe_join_order(JOIN_THETA_DEG)
-    # ~10-15k shuffled rows per shard group: map_groups goes nonlinear on
-    # much larger groups (measured cliff at ~35k rows/group)
-    n_shards = max(NUM_CPUS * 8, (n_pages * 10) // 12_000)
+    # shard count caps at 512 (hash_exchange piece budget: M x S pieces
+    # must stay ~4096 and above Ray's ~100 KB inline threshold)
+    n_shards = min(512, max(NUM_CPUS * 4, n_pages // 4_000))
     n_pairs = ops.radius_join(
         enc_id, enc_id, JOIN_THETA_DEG, id_col="row_id", order=order,
         n_shards=n_shards,

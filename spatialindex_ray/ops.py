@@ -317,6 +317,9 @@ def radius_join(
     """
     if order is None:
         order = safe_join_order(radius_deg)
+    # shard-count cap: M x S exchange pieces must stay ~4096 and above
+    # Ray's ~100 KB inline threshold (see hash_exchange docstring)
+    n_shards = min(n_shards, 512)
     shift = 2 * (hpx_level - order)
     s = math.sin(radius_deg * 0.5 * RAD)
     thresh = 4.0 * s * s
@@ -530,7 +533,9 @@ def dedup_rows(
 def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
     """Two-sided hash exchange: co-partition two datasets by their (integer,
     [0, n_shards)) key columns and apply shard_fn(table_a, table_b) once per
-    shard. Same raw-task exchange and large-piece rules as hash_exchange."""
+    shard. Same raw-task exchange and large-piece rules as hash_exchange.
+    NOTE: callers must key by `key % n_shards` AFTER this clamp — pass the
+    already-clamped value (both call sites use <= 512)."""
     import ray
 
     def _mk_split(key_col):
@@ -599,6 +604,7 @@ def equi_join(
     to re-attach wide payload columns (text/html) to join results by id
     after a narrow-column shuffle."""
     right_on = right_on or on
+    n_shards = min(n_shards, 512)
 
     def tag(key_name):
         def f(tbl: pa.Table) -> pa.Table:
