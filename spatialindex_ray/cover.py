@@ -435,7 +435,7 @@ def htm_circle_ranges(center, radius_deg, level, maxranges=None):
     s = math.sin(radius_deg * 0.5 * geom.RAD_PER_DEG)
     dist2 = 4.0 * s * s
     if maxranges is None:
-        return _htm_circle_ranges_fast(center, dist2, level)
+        return _htm_cover_fast(_circle_classifier(center, dist2), level)
     return _htm_cover(lambda n: _circle_htmcov(n, center, dist2), level, maxranges)
 
 
@@ -462,28 +462,14 @@ def _edgedist2_vec(c, v1, v2, e):
     return np.where(interior, interior_val, endpoint_val)
 
 
-def _htm_circle_ranges_fast(center, dist2, level):
-    """Level-synchronous NumPy frontier version of the HTM circle DFS.
+def _dot3(v, c):
+    """Explicit x*c0 + y*c1 + z*c2 chain (no BLAS matvec) — must match the
+    scalar htm_v3_dot rounding exactly."""
+    return v[:, 0] * c[0] + v[:, 1] * c[1] + v[:, 2] * c[2]
 
-    Equivalence to the scalar traversal: (1) the CONTAINS sibling-pruning in
-    the C code is a pure optimization — a triangle strictly containing the
-    circle forces every disjoint triangle to classify DISJOINT anyway; (2)
-    left-to-right DFS emissions are globally sorted by range min, so
-    emitting per level, sorting by min and replaying the append-merge rule
-    (_htm_ids_add) yields the identical range list. Verified byte-exact
-    against the scalar path in tests."""
-    from .kernels import vec as kvec
 
+def _circle_classifier(center, dist2):
     c = np.asarray(center, dtype=np.float64)
-    v0 = htmk.ROOT_TRI_VERTS[:, 0, :].copy()
-    v1 = htmk.ROOT_TRI_VERTS[:, 1, :].copy()
-    v2 = htmk.ROOT_TRI_VERTS[:, 2, :].copy()
-    e0 = htmk.ROOT_TRI_EDGES[:, 0, :].copy()
-    e1 = htmk.ROOT_TRI_EDGES[:, 1, :].copy()
-    e2 = htmk.ROOT_TRI_EDGES[:, 2, :].copy()
-    ids = np.arange(8, 16, dtype=np.int64)
-
-    emissions = []  # (min, max) arrays per level
 
     def classify(v0, v1, v2, e0, e1, e2):
         din0 = ((c - v0) ** 2).sum(axis=1) <= dist2
@@ -499,15 +485,10 @@ def _htm_circle_ranges_fast(center, dist2, level):
                 | (_edgedist2_vec(c, v1[check], v2[check], e1[check]) <= dist2)
                 | (_edgedist2_vec(c, v2[check], v0[check], e2[check]) <= dist2)
             )
-            def _dotc(e):
-                # explicit chain (no BLAS matvec): must match scalar
-                # htm_v3_dot rounding exactly
-                return e[:, 0] * c[0] + e[:, 1] * c[1] + e[:, 2] * c[2]
-
             contains = (
-                (_dotc(e0[check]) >= 0.0)
-                & (_dotc(e1[check]) >= 0.0)
-                & (_dotc(e2[check]) >= 0.0)
+                (_dot3(e0[check], c) >= 0.0)
+                & (_dot3(e1[check], c) >= 0.0)
+                & (_dot3(e2[check], c) >= 0.0)
             )
             sub = np.zeros(check.sum(), dtype=np.int8)  # 0 = disjoint
             sub[ed] = 1           # intersect
@@ -515,10 +496,158 @@ def _htm_circle_ranges_fast(center, dist2, level):
             full = np.zeros(len(v0), dtype=np.int8)
             full[intersect] = 1
             full[inside] = 3
-            full[check] = np.where(sub == 2, 1, sub)  # contains behaves as intersect
+            full[check] = np.where(sub == 2, 1, sub)
         else:
             full = np.where(inside, np.int8(3), np.where(intersect, np.int8(1), np.int8(0)))
         return full  # 0 disjoint, 1 intersect(+contains), 3 inside
+
+    return classify
+
+
+def _isect_test_vec(va, vb, nrm, edges_np):
+    """Vectorized _htm_isect_test (htm.c:689-775) over (N,3) triangle-edge
+    arrays against a polygon's (nv,3) edge planes. The min/max feasibility
+    accumulations are order-independent, so array evaluation matches the
+    scalar loop exactly."""
+    n = len(va)
+    nv = len(edges_np)
+    c0 = np.empty((n, 3)); c1 = np.empty((n, 3))
+    # cross(nrm, va) and cross(vb, nrm), scalar _cross component order
+    c0[:, 0] = nrm[:, 1] * va[:, 2] - nrm[:, 2] * va[:, 1]
+    c0[:, 1] = nrm[:, 2] * va[:, 0] - nrm[:, 0] * va[:, 2]
+    c0[:, 2] = nrm[:, 0] * va[:, 1] - nrm[:, 1] * va[:, 0]
+    c1[:, 0] = vb[:, 1] * nrm[:, 2] - vb[:, 2] * nrm[:, 1]
+    c1[:, 1] = vb[:, 2] * nrm[:, 0] - vb[:, 0] * nrm[:, 2]
+    c1[:, 2] = vb[:, 0] * nrm[:, 1] - vb[:, 1] * nrm[:, 0]
+
+    ab = np.empty((n, nv + 2, 2))
+
+    def fill(branch_axis):
+        # branch_axis: 2 -> n.z path, 1 -> n.y path, 0 -> n.x path
+        s = np.where(nrm[:, branch_axis] > 0.0, 1.0, -1.0)
+        w = nrm[:, branch_axis]
+        out = np.empty((n, nv + 2, 2))
+        if branch_axis == 2:
+            out[:, 0, 0] = s * (c0[:, 0] * w - c0[:, 2] * nrm[:, 0])
+            out[:, 0, 1] = s * (c0[:, 1] * w - c0[:, 2] * nrm[:, 1])
+            out[:, 1, 0] = s * (c1[:, 0] * w - c1[:, 2] * nrm[:, 0])
+            out[:, 1, 1] = s * (c1[:, 1] * w - c1[:, 2] * nrm[:, 1])
+            for i in range(nv):
+                e = edges_np[i]
+                out[:, 2 + i, 0] = s * (e[0] * w - e[2] * nrm[:, 0])
+                out[:, 2 + i, 1] = s * (e[1] * w - e[2] * nrm[:, 1])
+        elif branch_axis == 1:
+            out[:, 0, 0] = s * (c0[:, 0] * w - c0[:, 1] * nrm[:, 0])
+            out[:, 0, 1] = s * (c0[:, 2] * w)
+            out[:, 1, 0] = s * (c1[:, 0] * w - c1[:, 1] * nrm[:, 0])
+            out[:, 1, 1] = s * (c1[:, 2] * w)
+            for i in range(nv):
+                e = edges_np[i]
+                out[:, 2 + i, 0] = s * (e[0] * w - e[1] * nrm[:, 0])
+                out[:, 2 + i, 1] = s * (e[2] * w)
+        else:
+            out[:, 0, 0] = s * (c0[:, 1] * w)
+            out[:, 0, 1] = s * (c0[:, 2] * w)
+            out[:, 1, 0] = s * (c1[:, 1] * w)
+            out[:, 1, 1] = s * (c1[:, 2] * w)
+            for i in range(nv):
+                e = edges_np[i]
+                out[:, 2 + i, 0] = s * (e[1] * w)
+                out[:, 2 + i, 1] = s * (e[2] * w)
+        return out
+
+    use_z = nrm[:, 2] != 0.0
+    use_y = ~use_z & (nrm[:, 1] != 0.0)
+    use_x = ~use_z & ~use_y & (nrm[:, 0] != 0.0)
+    none = ~use_z & ~use_y & ~use_x
+    ab[use_z] = fill(2)[use_z]
+    if use_y.any():
+        ab[use_y] = fill(1)[use_y]
+    if use_x.any():
+        ab[use_x] = fill(0)[use_x]
+
+    a = ab[:, :, 0]
+    b = ab[:, :, 1]
+    azero = a == 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = -b / a
+    neg = (a < 0.0).sum(axis=1)
+    pos = (a > 0.0).sum(axis=1)
+    inf = np.inf
+    max_1 = np.where(a < 0.0, d, inf).min(axis=1)
+    min_1 = np.where(a > 0.0, d, -inf).max(axis=1)
+    max_m1 = np.where(a < 0.0, -d, inf).min(axis=1)
+    min_m1 = np.where(a > 0.0, -d, -inf).max(axis=1)
+    kill_1 = (azero & (b < 0.0)).any(axis=1)
+    kill_m1 = (azero & (b > 0.0)).any(axis=1)
+    min_1 = np.where(kill_1, inf, min_1)
+    max_1 = np.where(kill_1, -inf, max_1)
+    min_m1 = np.where(kill_m1, inf, min_m1)
+    max_m1 = np.where(kill_m1, -inf, max_m1)
+    res = (min_1 <= max_1) | (min_m1 <= max_m1) | (neg == 0) | (pos == 0)
+    res[none] = False
+    return res
+
+
+def _cpoly_classifier(poly: geom.ConvexPolygon):
+    edges_np = [np.asarray(e, dtype=np.float64) for e in poly.edges]
+    vsum = np.asarray(poly.vsum, dtype=np.float64)
+
+    def pcontains(v):
+        m = np.ones(len(v), dtype=bool)
+        for e in edges_np:
+            m &= _dot3(v, e) >= 0.0
+        return m
+
+    def classify(v0, v1, v2, e0, e1, e2):
+        nin = pcontains(v0).astype(np.int8) + pcontains(v1) + pcontains(v2)
+        inside = nin == 3
+        intersect = (nin > 0) & ~inside
+        check = nin == 0
+        full = np.zeros(len(v0), dtype=np.int8)
+        full[intersect] = 1
+        full[inside] = 3
+        if check.any():
+            isect = (
+                _isect_test_vec(v0[check], v1[check], e0[check], edges_np)
+                | _isect_test_vec(v1[check], v2[check], e1[check], edges_np)
+                | _isect_test_vec(v2[check], v0[check], e2[check], edges_np)
+            )
+            contains = (
+                (_dot3(e0[check], vsum) >= 0.0)
+                & (_dot3(e1[check], vsum) >= 0.0)
+                & (_dot3(e2[check], vsum) >= 0.0)
+            )
+            sub = np.zeros(int(check.sum()), dtype=np.int8)
+            sub[isect] = 1
+            sub[~isect & contains] = 1  # CONTAINS behaves as intersect
+            full[check] = sub
+        return full
+
+    return classify
+
+
+def _htm_cover_fast(classify, level):
+    """Level-synchronous NumPy frontier version of the HTM cover DFS.
+
+    Equivalence to the scalar traversal: (1) the CONTAINS sibling-pruning in
+    the C code is a pure optimization — a triangle strictly containing the
+    region forces every disjoint triangle to classify DISJOINT anyway; (2)
+    left-to-right DFS emissions are globally sorted by range min, so
+    emitting per level, sorting by min and replaying the append-merge rule
+    (_htm_ids_add) yields the identical range list. Verified byte-exact
+    against the scalar path in tests."""
+    from .kernels import vec as kvec
+
+    v0 = htmk.ROOT_TRI_VERTS[:, 0, :].copy()
+    v1 = htmk.ROOT_TRI_VERTS[:, 1, :].copy()
+    v2 = htmk.ROOT_TRI_VERTS[:, 2, :].copy()
+    e0 = htmk.ROOT_TRI_EDGES[:, 0, :].copy()
+    e1 = htmk.ROOT_TRI_EDGES[:, 1, :].copy()
+    e2 = htmk.ROOT_TRI_EDGES[:, 2, :].copy()
+    ids = np.arange(8, 16, dtype=np.int64)
+
+    emissions = []  # (min, max) arrays per level
 
     for curlevel in range(level + 1):
         cov = classify(v0, v1, v2, e0, e1, e2)
@@ -573,9 +702,11 @@ def _htm_circle_ranges_fast(center, dist2, level):
 
 
 def htm_polygon_ranges(poly: geom.ConvexPolygon, level, maxranges=None):
-    """htm_s2cpoly_ids (htm.c:1417-1559)."""
+    """htm_s2cpoly_ids (htm.c:1417-1559). Unbounded maxranges (the query
+    path) runs on the vectorized frontier; finite maxranges keeps the
+    faithful scalar DFS (see htm_circle_ranges)."""
     if maxranges is None:
-        maxranges = 1 << 62
+        return _htm_cover_fast(_cpoly_classifier(poly), level)
     return _htm_cover(lambda n: _cpoly_htmcov(n, poly), level, maxranges)
 
 
