@@ -627,6 +627,113 @@ def _cpoly_classifier(poly: geom.ConvexPolygon):
     return classify
 
 
+def _ellipse_isect_vec(va, vb, e: geom.Ellipse):
+    """Vectorized _htm_s2ellipse_isect (htm.c:520-604) over (N,3) edges."""
+    e1 = va + vb
+    e2 = vb - va
+    xx, yy, zz, xy, xz, yz = e.xx, e.yy, e.zz, e.xy, e.xz, e.yz
+    c11 = (
+        e1[:, 0] * e1[:, 0] * xx
+        + e1[:, 1] * e1[:, 1] * yy
+        + e1[:, 2] * e1[:, 2] * zz
+        + e1[:, 0] * e1[:, 1] * xy * 2.0
+        + e1[:, 0] * e1[:, 2] * xz * 2.0
+        + e1[:, 1] * e1[:, 2] * yz * 2.0
+    )
+    c22 = (
+        e2[:, 0] * e2[:, 0] * xx
+        + e2[:, 1] * e2[:, 1] * yy
+        + e2[:, 2] * e2[:, 2] * zz
+        + e2[:, 0] * e2[:, 1] * xy * 2.0
+        + e2[:, 0] * e2[:, 2] * xz * 2.0
+        + e2[:, 1] * e2[:, 2] * yz * 2.0
+    )
+    c21 = (
+        e2[:, 0] * e1[:, 0] * xx
+        + e2[:, 1] * e1[:, 1] * yy
+        + e2[:, 2] * e1[:, 2] * zz
+        + (e2[:, 0] * e1[:, 1] + e2[:, 1] * e1[:, 0]) * xy
+        + (e2[:, 0] * e1[:, 2] + e2[:, 2] * e1[:, 0]) * xz
+        + (e2[:, 1] * e1[:, 2] + e2[:, 2] * e1[:, 1]) * yz
+    )
+    cen = np.asarray(e.cen, dtype=np.float64)
+    big_a = e.a >= 90.0
+
+    def hemi(k):
+        # v = e2 * k + e1 (componentwise, scalar op order), then dot with cen
+        vx = e2[:, 0] * k + e1[:, 0]
+        vy = e2[:, 1] * k + e1[:, 1]
+        vz = e2[:, 2] * k + e1[:, 2]
+        return vx * cen[0] + vy * cen[1] + vz * cen[2] >= 0.0
+
+    d_e1 = _dot3(e1, cen)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        # case A: c11 == 0
+        resA = np.where(
+            big_a | (d_e1 >= 0.0),
+            True,
+            np.where(
+                (c22 == 0.0) | (np.abs(c22) < np.abs(2.0 * c21)),
+                False,
+                hemi(-2.0 * c21 / c22),
+            ),
+        )
+        # case B: c11 != 0, c22 == 0
+        resB = np.where(
+            c21 == 0.0,
+            False,
+            np.where(
+                np.abs(c11) <= np.abs(2.0 * c21),
+                big_a | hemi(-0.5 * c11 / c21),
+                False,
+            ),
+        )
+        delta = c21 * c21 - c11 * c22
+        sq = np.sqrt(np.maximum(delta, 0.0))
+        resD = big_a | hemi((sq - c21) / c22)
+        resE = big_a | hemi(-(sq + c21) / c22)
+        resC = np.where(
+            delta < 0.0,
+            False,
+            np.where(
+                np.abs(c22) >= np.abs(sq - c21),
+                resD,
+                np.where(np.abs(c22) >= np.abs(sq + c21), resE, False),
+            ),
+        )
+    return np.where(c11 == 0.0, resA, np.where(c22 == 0.0, resB, resC)).astype(bool)
+
+
+def _ellipse_classifier(e: geom.Ellipse):
+    cen = np.asarray(e.cen, dtype=np.float64)
+
+    def classify(v0, v1, v2, e0, e1, e2):
+        nin = e.mask(v0).astype(np.int8) + e.mask(v1) + e.mask(v2)
+        inside = nin == 3
+        intersect = (nin > 0) & ~inside
+        check = nin == 0
+        full = np.zeros(len(v0), dtype=np.int8)
+        full[intersect] = 1
+        full[inside] = 3
+        if check.any():
+            isect = (
+                _ellipse_isect_vec(v0[check], v1[check], e)
+                | _ellipse_isect_vec(v1[check], v2[check], e)
+                | _ellipse_isect_vec(v2[check], v0[check], e)
+            )
+            contains = (
+                (_dot3(e0[check], cen) >= 0.0)
+                & (_dot3(e1[check], cen) >= 0.0)
+                & (_dot3(e2[check], cen) >= 0.0)
+            )
+            sub = np.zeros(int(check.sum()), dtype=np.int8)
+            sub[isect | (~isect & contains)] = 1
+            full[check] = sub
+        return full
+
+    return classify
+
+
 def _htm_cover_fast(classify, level):
     """Level-synchronous NumPy frontier version of the HTM cover DFS.
 
@@ -711,9 +818,10 @@ def htm_polygon_ranges(poly: geom.ConvexPolygon, level, maxranges=None):
 
 
 def htm_ellipse_ranges(ellipse: geom.Ellipse, level, maxranges=None):
-    """htm_s2ellipse_ids (htm.c:1295-1414)."""
+    """htm_s2ellipse_ids (htm.c:1295-1414). Unbounded maxranges runs on the
+    vectorized frontier; finite keeps the scalar DFS."""
     if maxranges is None:
-        maxranges = 1 << 62
+        return _htm_cover_fast(_ellipse_classifier(ellipse), level)
     return _htm_cover(lambda n: _ellipse_htmcov(n, ellipse), level, maxranges)
 
 
