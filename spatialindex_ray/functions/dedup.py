@@ -15,10 +15,10 @@ Scale shape:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from ..kernels import hashing
 
 # ------------------------------------------------------------- exact dedup
 def exact_dedup_query(sf_dir: str):
@@ -29,13 +29,10 @@ def exact_dedup_query(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hash_batch(tbl: pa.Table) -> pa.Table:
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big") >> 1
-                for t in tbl["text"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=len(tbl),
+        # batched SHA-1 over the flat Arrow buffer (kernels/hashing.py);
+        # same value as int.from_bytes(sha1(text)[:8], "big") >> 1
+        hs = (hashing.sha1_pairs_of_column(tbl["text"])[:, 0] >> np.uint64(1)).astype(
+            np.int64
         )
         return pa.table({"h": pa.array(hs), "doc_id": tbl["doc_id"]})
 
@@ -74,12 +71,22 @@ _G3 = np.uint64(0x165667B19E3779F9)
 def _token_hashes(toks: list[str]) -> np.ndarray:
     out = np.empty(len(toks), dtype=np.uint64)
     cache = _token_cache
+    miss_i: list[int] = []
+    miss_w: list[str] = []
     for i, w in enumerate(toks):
         h = cache.get(w)
         if h is None:
-            h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big")
-            cache[w] = h
-        out[i] = h
+            miss_i.append(i)
+            miss_w.append(w)
+        else:
+            out[i] = h
+    if miss_w:
+        # batch the cache misses through the vectorized SHA-1 kernel
+        hs = hashing.sha1_pairs_of_strings(miss_w)[:, 0]
+        for j, w, h in zip(miss_i, miss_w, hs):
+            hv = int(h)
+            cache[w] = hv
+            out[j] = hv
     return out
 
 
@@ -243,23 +250,29 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
     sub = ds.map_batches(filter_subset, batch_format="pyarrow", batch_size=None)
 
     def explode(tbl: pa.Table) -> pa.Table:
-        gids, gh = [], []
-        sizes_id, sizes_n = [], []
+        gids: list[int] = []
+        all_grams: list[str] = []
         for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
             toks = t.split(" ")
             grams = {
                 " ".join(toks[i : i + SHINGLE_W])
                 for i in range(max(len(toks) - SHINGLE_W + 1, 0))
             }
-            sizes_id.append(did)
-            sizes_n.append(len(grams))
-            for g in grams:
-                gids.append(did)
-                gh.append(int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big") >> 1)
+            gids.extend([did] * len(grams))
+            all_grams.extend(grams)
+        # one batched SHA-1 over every gram in the batch (same value as
+        # int.from_bytes(sha1(gram)[:8], "big") >> 1)
+        gh = (
+            (hashing.sha1_pairs_of_strings(all_grams)[:, 0] >> np.uint64(1)).astype(
+                np.int64
+            )
+            if all_grams
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
                 "gram": pa.array(gh, type=pa.int64()),
-                "doc_id": pa.array(gids, type=pa.int64()),
+                "doc_id": pa.array(np.array(gids, dtype=np.int64)),
             }
         )
 
@@ -315,17 +328,20 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
     return _typed_pairs(out)
 
 
-def _typed_pairs(ds):
-    """Materialize a (left_id, right_id) result with a guaranteed schema —
-    a fully-empty Dataset otherwise loses its column names downstream."""
-    import pandas as pd
+_PAIR_SCHEMA = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
 
-    df = ds.to_pandas()
-    if df.empty:
-        df = pd.DataFrame(
-            {"left_id": pd.Series(dtype="int64"), "right_id": pd.Series(dtype="int64")}
-        )
-    return pa.Table.from_pandas(df[["left_id", "right_id"]], preserve_index=False)
+
+def _typed_pairs(ds):
+    """Schema-enforce the (left_id, right_id) result inside the stream: cast
+    per batch in a final map_batches stage — no driver materialization
+    (VERDICT r1 item 7; at scale pair sets are not driver-sized)."""
+
+    def cast(tbl: pa.Table) -> pa.Table:
+        if not {"left_id", "right_id"}.issubset(tbl.column_names):
+            return _PAIR_SCHEMA.empty_table()
+        return tbl.select(["left_id", "right_id"]).cast(_PAIR_SCHEMA)
+
+    return ds.map_batches(cast, batch_format="pyarrow", batch_size=None)
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -351,34 +367,92 @@ WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - C
 
 # ------------------------------------------------- embedding cosine near-dup
 EMB_TAU = 0.45  # synthetic embeddings: near-dup tail starts ~0.45
+EMB_CENTROIDS = 16
+EMB_PROBES = 4
 
 
-def embedding_near_dup_query(sf_dir: str, tau: float = EMB_TAU):
-    """Pairs of embeddings with cosine similarity >= tau. The full normalized
-    matrix (small side at test scale; IVF buckets at 10^12 scale) is put in
-    the object store ONCE and read by every task — not re-shipped per batch."""
+def embedding_near_dup_query(
+    sf_dir: str,
+    tau: float = EMB_TAU,
+    n_centroids: int = EMB_CENTROIDS,
+    probes: int = EMB_PROBES,
+):
+    """Pairs of embeddings with cosine similarity >= tau — IVF-bucketed
+    (round 2; replaces the full-matrix broadcast + all-pairs matmul):
+
+    1. centroids trained on a distributed sample (functions.ann, never a
+       driver read of the full table),
+    2. each vector emits (bucket, vec) for its top-``probes`` centroids,
+    3. pairs are scored within buckets only (groupby bucket-shard ->
+       vectorized per-bucket matmul),
+    4. a pair surfacing in multiple shared buckets dedupes via groupby.
+
+    Approximate: a qualifying pair is found iff the two vectors share >= 1
+    probed centroid — recall vs brute is asserted in tests. At 10^12 rows
+    scale n_centroids ~ sqrt(N) and shard the posting lists; nothing here
+    materializes the dataset.
+    """
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    tbl = ds.to_arrow_refs()
-    full = pa.concat_tables([ray.get(r) for r in tbl])
-    ids_all = full["vec_id"].to_numpy(zero_copy_only=False)
-    M = np.stack(full["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids_all, M))
+    from .ann import train_centroids
 
-    def block(tbl: pa.Table) -> pa.Table:
-        ids_all_, M_ = ray.get(ref)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = train_centroids(ds, c=n_centroids)
+    cref = ray.put(cent)
+    n_shards = 64
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        cent_ = ray.get(cref)
         ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
         V = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
-        sims = V @ M_.T
-        ii, jj = np.nonzero(sims >= tau)
-        li = ids[ii]
-        ri = ids_all_[jj]
-        keep = li < ri
+        sims = V @ cent_.T
+        p = min(probes, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        rep = np.repeat(np.arange(len(ids)), p)
+        bucket = top.ravel().astype(np.int64)
         return pa.table(
-            {"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])}
+            {
+                "bucket": pa.array(bucket),
+                "shard": pa.array(bucket % np.int64(n_shards)),
+                "vec_id": pa.array(ids[rep]),
+                "vn": pa.array(list(V[rep]), type=pa.list_(pa.float64(), V.shape[1])),
+            }
         )
 
-    return _typed_pairs(ds.map_batches(block, batch_format="pyarrow", batch_size=None))
+    def pairs_in_shard(df):
+        import pandas as pd
+
+        out_l, out_r = [], []
+        for _, grp in df.groupby("bucket"):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            V = np.stack(grp["vn"].to_numpy())
+            S = V @ V.T
+            ii, jj = np.nonzero(S >= tau)
+            keep = ids[ii] < ids[jj]
+            out_l.append(ids[ii][keep])
+            out_r.append(ids[jj][keep])
+        if not out_l:
+            return pd.DataFrame(
+                {"left_id": np.array([], dtype=np.int64),
+                 "right_id": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"left_id": np.concatenate(out_l), "right_id": np.concatenate(out_r)}
+        )
+
+    pairs = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+    )
+    out = (
+        pairs.groupby(["left_id", "right_id"])
+        .count()
+        .select_columns(["left_id", "right_id"])
+    )
+    return _typed_pairs(out)

@@ -144,12 +144,14 @@ def v3_id(points, level):
 
 def level_of(ids):
     """Vectorized htm_level (htm.c:1064-1084): id -> subdivision level, -1 if invalid."""
+    from . import hashing
+
     ids = np.asarray(ids, dtype=np.int64)
     x = ids.astype(np.uint64).copy()
     for s in (1, 2, 4, 8, 16, 32):
         x |= x >> np.uint64(s)
-    # popcount via numpy bit tricks (portable, no np.bitwise_count in 1.26)
-    l = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64) - 4
+    # popcount via a 16-bit LUT (4 gathers + add) — no per-element Python
+    l = hashing.popcount64(x) - 4
     bad = (
         (ids < 8)
         | ((l & 1) != 0)

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import geom
-from .kernels import healpix, htm as htmk, vec
+from .kernels import hashing, healpix, htm as htmk, vec
 
 # Position-derivation constants. The doc_id-based derivation is restricted to
 # +,*,fmod,sin,cos — ops that are bit-identical between NumPy, libm and
@@ -52,14 +52,14 @@ def positions_from_id(ids: np.ndarray):
 def positions_from_url(urls) -> tuple[np.ndarray, np.ndarray]:
     """FIXTURES.md §1: h = sha1(url); u1 = h[0:8]/2^64, u2 = h[8:16]/2^64;
     lon = 360*u1, lat = degrees(asin(2*u2 - 1)) — uniform on the sphere.
-    Engine columns derive from url alone => idempotent partition recompute."""
-    n = len(urls)
-    raw = np.empty((n, 2), dtype=np.uint64)
-    sha1 = hashlib.sha1
-    for i, u in enumerate(urls):
-        d = sha1(u.encode() if isinstance(u, str) else u).digest()
-        raw[i, 0] = int.from_bytes(d[0:8], "big")
-        raw[i, 1] = int.from_bytes(d[8:16], "big")
+    Engine columns derive from url alone => idempotent partition recompute.
+
+    urls may be an Arrow string column (zero-copy batched SHA-1 over the flat
+    buffer, kernels/hashing.py) or any Python sequence of str/bytes."""
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        raw = hashing.sha1_pairs_of_column(urls)
+    else:
+        raw = hashing.sha1_pairs_of_strings(urls)
     u = raw.astype(np.float64) / 18446744073709551616.0  # 2^64
     lon = 360.0 * u[:, 0]
     lat = np.degrees(np.arcsin(2.0 * u[:, 1] - 1.0))
@@ -95,7 +95,7 @@ def encode_batch(
         lon = tbl[lon_col].to_numpy(zero_copy_only=False)
         lat = tbl[lat_col].to_numpy(zero_copy_only=False)
     elif url_col is not None:
-        lon, lat = positions_from_url(tbl[url_col].to_pylist())
+        lon, lat = positions_from_url(tbl[url_col])
     else:
         lon, lat = positions_from_id(tbl[id_col].to_numpy(zero_copy_only=False))
     v = xyz_from_lonlat(lon, lat)
@@ -237,11 +237,10 @@ def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
 
     @ray.remote
     def _reduce(*parts):
-        tbl = pa.concat_tables([p for p in parts if len(p)])
-        if len(tbl) == 0:
-            empty = shard_fn(parts[0])
-            return empty
-        return shard_fn(tbl)
+        nonempty = [p for p in parts if len(p)]
+        if not nonempty:
+            return shard_fn(parts[0])  # empty slice: shard_fn supplies schema
+        return shard_fn(pa.concat_tables(nonempty))
 
     # Keep exchange pieces LARGE: Ray inlines objects under ~100 KB through
     # the owner process, so an M-blocks x n_shards exchange of tiny pieces
@@ -285,6 +284,9 @@ def _patch_cells(order, pix):
     return np.column_stack([pix, nb])
 
 
+_SHARD_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def radius_join(
     left_ds,
     right_ds,
@@ -292,6 +294,7 @@ def radius_join(
     *,
     order: int | None = None,
     n_shards: int = 256,
+    coarse_levels: int = 3,
     left_id="left_id",
     right_id="right_id",
     id_col="doc_id",
@@ -300,41 +303,55 @@ def radius_join(
 ):
     """Distributed point-point radius join (engine addition per north_rule).
 
-    Correctness plan: the probe side (left) is exploded into its 9-cell
-    HEALPix neighbor patch at ``order`` (partitioning assumption: radius <=
-    safe_join_order bound); the build side (right) keys by its own cell;
-    candidates are same-fine-cell (probe patch, build own); the exact
-    secant-distance predicate dist2 <= 4 sin^2(theta/2) filters. Each
-    qualifying pair is produced exactly once — in the build point's own
-    (unique) cell — so no dedupe shuffle is needed.
+    Correctness plan: candidates are (probe, build) rows where the build
+    point's own HEALPix cell at ``order`` lies in the probe's 3x3 neighbor
+    patch (partitioning assumption: radius <= the safe_join_order bound);
+    the exact secant-distance predicate dist2 <= 4 sin^2(theta/2) filters.
 
-    Scale plan: the shuffle key is ``cell % n_shards`` (size the shard count
-    to ~4-8x cluster cores), NOT the raw cell — per-group Python overhead is
-    ~10 ms, so millions of sparse cells as groups would dominate. Inside a
-    shard the candidate pairing is one vectorized pandas merge on the fine
-    cell followed by a vectorized distance mask. Only (cell, id, x, y, z)
-    ever enters the shuffle — never payload columns.
+    Scale plan (round 2 — replaces the 9x probe explode of round 1): rows
+    are routed by the COARSE cell ``order - coarse_levels``. The build side
+    goes to exactly one shard (hash of its own coarse cell); a probe goes to
+    each DISTINCT coarse cell covering its 9-cell patch — measured ~1.2-1.6x
+    duplication instead of 9x, so the shuffle moves ~6x fewer probe bytes.
+    Each probe copy carries its routing coarse cell; in-shard it only
+    matches patch cells inside that coarse cell, so every qualifying pair is
+    produced exactly once (in the build point's unique shard) even when two
+    of a probe's coarse cells hash to the same shard. The in-shard merge is
+    a sorted searchsorted range join (pure NumPy — no pandas hash merge).
+    Only (coarse, cell, id, x, y, z) enters the shuffle — never payloads.
     """
     if order is None:
         order = safe_join_order(radius_deg)
+    coarse_order = max(order - coarse_levels, 0)
+    cshift = 2 * (order - coarse_order)
     # shard-count cap: M x S exchange pieces must stay ~4096 and above
     # Ray's ~100 KB inline threshold (see hash_exchange docstring)
     n_shards = min(n_shards, 512)
     shift = 2 * (hpx_level - order)
     s = math.sin(radius_deg * 0.5 * RAD)
     thresh = 4.0 * s * s
-    nsh = np.int64(n_shards)
+    nsh = np.uint64(n_shards)
+
+    def _shard_of(coarse: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((coarse.astype(np.uint64) * _SHARD_MIX) % nsh).astype(np.int64)
 
     def explode_left(tbl: pa.Table) -> pa.Table:
         pix = tbl[hpx_col].to_numpy(zero_copy_only=False) >> shift
         patch = _patch_cells(order, pix)  # (N, 9), -1 padded
-        keep = patch >= 0
-        rep = np.repeat(np.arange(len(tbl)), 9)[keep.ravel()]
-        cells = patch.ravel()[keep.ravel()]
+        coarse = np.where(patch >= 0, patch >> cshift, np.int64(-1))
+        cs = np.sort(coarse, axis=1)
+        keep = cs >= 0
+        keep[:, 1:] &= cs[:, 1:] != cs[:, :-1]  # distinct coarse per row
+        rep = np.broadcast_to(
+            np.arange(len(tbl))[:, None], cs.shape
+        ).ravel()[keep.ravel()]
+        route = cs.ravel()[keep.ravel()]
         return pa.table(
             {
-                "shard": pa.array(cells % nsh),
-                "cell": pa.array(cells),
+                "shard": pa.array(_shard_of(route)),
+                "coarse": pa.array(route),
+                "cell": pa.array(pix[rep]),
                 "side": pa.array(np.zeros(len(rep), dtype=np.int8)),
                 "id": pa.array(tbl[id_col].to_numpy(zero_copy_only=False)[rep]),
                 "x": pa.array(tbl["x"].to_numpy(zero_copy_only=False)[rep]),
@@ -345,9 +362,11 @@ def radius_join(
 
     def key_right(tbl: pa.Table) -> pa.Table:
         pix = tbl[hpx_col].to_numpy(zero_copy_only=False) >> shift
+        coarse = pix >> cshift
         return pa.table(
             {
-                "shard": pa.array(pix % nsh),
+                "shard": pa.array(_shard_of(coarse)),
+                "coarse": pa.array(coarse),
                 "cell": pa.array(pix),
                 "side": pa.array(np.ones(len(tbl), dtype=np.int8)),
                 "id": tbl[id_col],
@@ -361,30 +380,57 @@ def radius_join(
     builds = right_ds.map_batches(key_right, batch_format="pyarrow", batch_size=None)
     both = probes.union(builds)
 
+    empty = pa.table(
+        {
+            left_id: pa.array([], type=pa.int64()),
+            right_id: pa.array([], type=pa.int64()),
+        }
+    )
+
     def join_shard(tbl: pa.Table) -> pa.Table:
         side = tbl["side"].to_numpy(zero_copy_only=False)
-        import pandas as pd
-
-        cols = ["cell", "id", "x", "y", "z"]
-        df = pa.table({c: tbl[c] for c in cols}).to_pandas()
-        probe = df[side == 0]
-        build = df[side == 1]
-        if len(probe) == 0 or len(build) == 0:
-            return pa.table(
-                {
-                    left_id: pa.array([], type=pa.int64()),
-                    right_id: pa.array([], type=pa.int64()),
-                }
-            )
-        cand = probe.merge(build, on="cell", suffixes=("_l", "_r"))
-        dx = cand["x_l"].to_numpy() - cand["x_r"].to_numpy()
-        dy = cand["y_l"].to_numpy() - cand["y_r"].to_numpy()
-        dz = cand["z_l"].to_numpy() - cand["z_r"].to_numpy()
+        is_b = side == 1
+        if not is_b.any() or is_b.all():
+            return empty
+        cell = tbl["cell"].to_numpy(zero_copy_only=False)
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        xs = tbl["x"].to_numpy(zero_copy_only=False)
+        ys = tbl["y"].to_numpy(zero_copy_only=False)
+        zs = tbl["z"].to_numpy(zero_copy_only=False)
+        # build side sorted by fine cell for range lookups
+        b_idx = np.flatnonzero(is_b)
+        b_order = b_idx[np.argsort(cell[b_idx], kind="stable")]
+        bc = cell[b_order]
+        p_idx = np.flatnonzero(~is_b)
+        p_cell = cell[p_idx]
+        p_route = tbl["coarse"].to_numpy(zero_copy_only=False)[p_idx]
+        # re-derive each probe copy's patch; keep only cells in its routing
+        # coarse cell (pair-uniqueness under shard hash collisions)
+        patch = _patch_cells(order, p_cell)  # (P, 9)
+        patch = np.where(
+            (patch >= 0) & ((patch >> cshift) == p_route[:, None]),
+            patch,
+            np.int64(-1),
+        )
+        lo = np.searchsorted(bc, patch, side="left")
+        hi = np.searchsorted(bc, patch, side="right")
+        cnt = (hi - lo).ravel()
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        rep_pj = np.repeat(np.arange(patch.size), cnt)  # flat (row, j) index
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        cand_b = b_order[lo.ravel()[rep_pj] + within]
+        cand_p = p_idx[rep_pj // 9]
+        dx = xs[cand_p] - xs[cand_b]
+        dy = ys[cand_p] - ys[cand_b]
+        dz = zs[cand_p] - zs[cand_b]
         m = dx * dx + dy * dy + dz * dz <= thresh
         return pa.table(
             {
-                left_id: pa.array(cand["id_l"].to_numpy()[m]),
-                right_id: pa.array(cand["id_r"].to_numpy()[m]),
+                left_id: pa.array(ids[cand_p[m]]),
+                right_id: pa.array(ids[cand_b[m]]),
             }
         )
 
@@ -458,34 +504,11 @@ _HASH_BASE = np.uint64(1099511628211)
 
 
 def hash64_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Vectorized 64-bit polynomial hash of a string column (zero-copy over
-    the Arrow buffers; no per-row Python hashing). Deterministic."""
-    col = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    n = len(col)
-    lens = offsets[1:] - offsets[:-1]
-    lmax = int(lens.max()) if n else 0
-    padded = np.zeros((n, max(lmax, 1)), dtype=np.uint64)
-    col_idx = np.arange(max(lmax, 1))
-    mask = col_idx[None, :] >= (lmax - lens)[:, None]
-    flat = np.empty(int(lens.sum()), dtype=np.uint8)
-    pos = 0
-    for i in range(n):
-        flat[pos : pos + lens[i]] = data[offsets[i] : offsets[i + 1]]
-        pos += lens[i]
-    padded[mask] = flat
-    with np.errstate(over="ignore"):
-        acc = np.multiply.accumulate(np.full(max(lmax, 1), _HASH_BASE, dtype=np.uint64))
-        powers = np.empty(max(lmax, 1), dtype=np.uint64)
-        powers[-1] = np.uint64(1)
-        if lmax > 1:
-            powers[: lmax - 1] = acc[: lmax - 1][::-1]
-        h = (padded * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        h += np.where(lens > 0, acc[np.maximum(lens, 1) - 1], np.uint64(1))
-    return h
+    """Vectorized 64-bit polynomial hash of a string column: O(total bytes)
+    segment-wise Horner over the zero-copy Arrow buffer (kernels/hashing.py)
+    — no (N, Lmax) padded matrix, so a single long outlier row costs only its
+    own bytes. Values unchanged vs the round-1 implementation."""
+    return hashing.poly_hash64_of_column(arr, base=_HASH_BASE)
 
 
 def hot_cells(ds, cell_col: str, out_level: int, threshold: int, data_level: int = 20):

@@ -8,14 +8,18 @@ property the resume/checkpoint path and Ray lineage retries rely on.
 A configurable fraction of rows reuses a small hot-host URL set (duplicated
 urls => identical sha1-derived sky positions => dense cells) to exercise the
 hot-cell salting path.
+
+Fully vectorized as of round 2: one batched SHA-1 (kernels/hashing.py) per
+batch, html/text built by flat-buffer gather (no per-row Python beyond url
+f-strings) — byte-identical to the round-1 per-row implementation.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from ..kernels import hashing
 
 LANGS = ["en", "de", "fr", "es", "zh"]
 EPOCH_2025 = 1735689600_000000  # 2025-01-01T00:00:00 in us
@@ -23,38 +27,85 @@ EPOCH_2025 = 1735689600_000000  # 2025-01-01T00:00:00 in us
 N_HOT_HOSTS = 5
 N_HOT_PATHS = 50
 
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
-def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
-    """Generate webpage rows for the given global row indices."""
-    n = len(indices)
-    urls = []
-    htmls = []
-    texts = []
-    langs = []
+
+def _urls_for(indices: np.ndarray, hot_frac: float) -> list[str]:
     hot_mod = int(1.0 / hot_frac) if hot_frac > 0 else 0
+    urls = []
     for i in indices.tolist():
         if hot_mod and (i % hot_mod) == 0:
             j = i // hot_mod  # dense index over hot rows only — otherwise the
             # modulus correlates with i and all hot rows collapse to one url
-            u = f"https://hot{j % N_HOT_HOSTS}.example/{(j // N_HOT_HOSTS) % N_HOT_PATHS:04d}"
+            urls.append(
+                f"https://hot{j % N_HOT_HOSTS}.example/"
+                f"{(j // N_HOT_HOSTS) % N_HOT_PATHS:04d}"
+            )
         else:
-            u = f"https://site{i % 1000}.example/{i:08d}"
-        urls.append(u)
-        d = hashlib.sha1(u.encode()).digest()
-        length = 200 + (int.from_bytes(d[16:18], "big") % 1801)
-        html = (d * ((length // 20) + 1))[:length]
-        htmls.append(html)
-        # deterministic "extracted text" — must stay byte-identical per url
-        # through every engine stage
-        texts.append(html.hex()[: length // 2])
-        langs.append(LANGS[i % len(LANGS)])
-    ts = (EPOCH_2025 + indices.astype(np.int64) * 1_000_000)
+            urls.append(f"https://site{i % 1000}.example/{i:08d}")
+    return urls
+
+
+def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
+    """Generate webpage rows for the given global row indices.
+
+    Per-row rules (byte-identical to round 1):
+      d = sha1(url); length = 200 + (be16(d[16:18]) % 1801)
+      html = tile(d)[:length]; text = html.hex()[:length // 2]
+      lang = LANGS[i % 5]; warc_ts = 2025-01-01 + i seconds
+    """
+    n = len(indices)
+    urls = _urls_for(indices, hot_frac)
+    enc = [u.encode() for u in urls]
+    u_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in enc], out=u_offsets[1:])
+    u_data = (
+        np.frombuffer(b"".join(enc), dtype=np.uint8)
+        if n
+        else np.empty(0, dtype=np.uint8)
+    )
+    d = hashing.sha1_digest_bytes(u_data, u_offsets)  # (N, 20)
+
+    length = 200 + (
+        (d[:, 16].astype(np.int64) << 8 | d[:, 17].astype(np.int64)) % 1801
+    )
+    # html: digest tiled to `length` bytes, flat gather
+    h_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(length, out=h_off[1:])
+    total = int(h_off[-1])
+    row_of = np.repeat(np.arange(n), length)
+    within = np.arange(total, dtype=np.int64) - np.repeat(h_off[:-1], length)
+    html_flat = d[row_of, within % 20]
+    html_arr = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(h_off.astype(np.int32)), pa.py_buffer(html_flat)],
+    )
+    # text: hex(html)[: length // 2] — char p is the hi/lo nibble of html
+    # byte p // 2, rendered through a hex LUT
+    tlen = length // 2
+    t_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tlen, out=t_off[1:])
+    t_total = int(t_off[-1])
+    t_row = np.repeat(np.arange(n), tlen)
+    t_within = np.arange(t_total, dtype=np.int64) - np.repeat(t_off[:-1], tlen)
+    src_byte = d[t_row, (t_within >> 1) % 20]
+    text_flat = np.where(
+        (t_within & 1) == 0, _HEX[src_byte >> 4], _HEX[src_byte & 15]
+    )
+    text_arr = pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(t_off.astype(np.int32)), pa.py_buffer(text_flat)],
+    )
+    langs = np.array(LANGS)[np.asarray(indices, dtype=np.int64) % len(LANGS)]
+    ts = EPOCH_2025 + np.asarray(indices, dtype=np.int64) * 1_000_000
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
             "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
+            "html": html_arr,
+            "text": text_arr,
             "lang": pa.array(langs, type=pa.string()),
         }
     )
