@@ -127,32 +127,45 @@ def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
     qids, Q = _query_matrix(sf_dir)
     cent = _train_centroids(sf_dir)
     qprobe = np.argsort(-(Q @ cent.T), axis=1)[:, :probes]  # (Q, probes)
-    probe_sets = [set(map(int, row)) for row in qprobe]
-    wanted = sorted(set().union(*probe_sets))
-    qref = ray.put((Q, cent, np.array(wanted, dtype=np.int64)))
+    allowed = np.zeros((len(Q), len(cent)), dtype=bool)  # (Q, C) probe LUT
+    allowed[np.repeat(np.arange(len(Q)), qprobe.shape[1]), qprobe.ravel()] = True
+    qref = ray.put((Q, cent, allowed))
 
     def partial(tbl: pa.Table) -> pa.Table:
-        Q_, cent_, wanted_ = ray.get(qref)
+        """Emit (qi, vec_id, sim) only for vectors inside each query's probed
+        buckets, per-batch top-k bounded — the driver merge sees Q*k rows per
+        batch, fully vectorized (no per-row Python)."""
+        Q_, cent_, allowed_ = ray.get(qref)
         ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
         V = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
         assign = np.argmax(V @ cent_.T, axis=1)
-        mask = np.isin(assign, wanted_)
-        if not mask.any():
+        ok = allowed_[:, assign]  # (Q, B) — vector visible to query?
+        sims = np.where(ok, Q_ @ V.T, -np.inf)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(Q_)):
+            s = sims[qi]
+            vis = np.flatnonzero(np.isfinite(s))
+            kk = min(k, len(vis))
+            if kk == 0:
+                continue
+            part = vis[np.argpartition(-s[vis], kk - 1)[:kk]] if kk < len(vis) else vis
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[part])
+            out_s.append(s[part])
+        if not out_q:
             return pa.table(
                 {
+                    "qi": pa.array([], type=pa.int64()),
                     "vec_id": pa.array([], type=pa.int64()),
-                    "bucket": pa.array([], type=pa.int64()),
-                    "sim_q": pa.array([], type=pa.list_(pa.float64())),
+                    "sim": pa.array([], type=pa.float64()),
                 }
             )
-        V = V[mask]
-        sims = Q_ @ V.T
         return pa.table(
             {
-                "vec_id": pa.array(ids[mask]),
-                "bucket": pa.array(assign[mask].astype(np.int64)),
-                "sim_q": pa.array(list(sims.T)),
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_i)),
+                "sim": pa.array(np.concatenate(out_s)),
             }
         )
 
@@ -160,12 +173,16 @@ def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
     import pandas as pd
 
-    rows = []
-    for r in parts:
-        for qi, s in enumerate(r["sim_q"]):
-            if int(r["bucket"]) in probe_sets[qi]:
-                rows.append((int(qids[qi]), int(r["vec_id"]), float(s)))
-    df = pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+    df = pd.DataFrame(parts)
+    if len(df) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    df["query_id"] = qids[df["qi"].to_numpy(dtype=np.int64)]
     df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
                         kind="mergesort")
     df["rank"] = df.groupby("query_id").cumcount() + 1

@@ -119,3 +119,25 @@ def test_webpages_text_byte_identity(ray_session):
     for r in hot:
         by_url.setdefault(r["url"], set()).add(r["htm20"])
     assert all(len(s) == 1 for s in by_url.values())
+
+
+def test_embedding_near_dup_recall(ray_session):
+    """Bucketed (IVF) near-dup finds nearly all true cosine>=tau pairs —
+    and nothing below tau (precision is exact by construction)."""
+    import pyarrow.parquet as pq
+
+    from spatialindex_ray.functions import dedup
+
+    got = dedup.embedding_near_dup_query(SF).to_pandas()
+    got_set = set(map(tuple, got[["left_id", "right_id"]].to_numpy()))
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = X @ X.T
+    ii, jj = np.nonzero(S >= dedup.EMB_TAU)
+    keep = ids[ii] < ids[jj]
+    true_set = set(zip(ids[ii][keep].tolist(), ids[jj][keep].tolist()))
+    assert got_set <= true_set  # no false positives (exact cosine in-bucket)
+    recall = len(got_set & true_set) / max(len(true_set), 1)
+    assert recall >= 0.8, recall

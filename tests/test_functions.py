@@ -108,3 +108,38 @@ def test_hash64_strings_vectorized_vs_scalar():
     # stability across different batch groupings
     h2 = ops.hash64_strings(pa.array(vals[2:]))
     assert h[2] == h2[0]
+
+
+def test_sha1_kernel_matches_hashlib():
+    import hashlib
+
+    from spatialindex_ray.kernels import hashing
+
+    msgs = [b"", b"a", b"x" * 55, b"y" * 56, b"z" * 64, b"w" * 200,
+            "https://site1.example/00000001".encode()]
+    got = hashing.sha1_pairs_of_strings(msgs)
+    for i, m in enumerate(msgs):
+        d = hashlib.sha1(m).digest()
+        assert got[i, 0] == int.from_bytes(d[0:8], "big")
+        assert got[i, 1] == int.from_bytes(d[8:16], "big")
+    # full digest bytes
+    import numpy as np
+
+    offs = np.array([0, 3], dtype=np.int64)
+    db = hashing.sha1_digest_bytes(np.frombuffer(b"abc", dtype=np.uint8), offs)
+    assert bytes(db[0]) == hashlib.sha1(b"abc").digest()
+
+
+def test_fingerprint_long_outlier_memory():
+    """One 1 MB doc among 20k rows must not inflate the batch (the round-1
+    padded-matrix implementation would have allocated 20k x 1MB x 8 bytes =
+    160 GB here and crashed)."""
+    texts = ["short doc %d" % i for i in range(20000)]
+    texts[123] = "x" * 1_000_000
+    t = _doc_table(texts)
+    out = text.fingerprint_batch(t)
+    fps = out["fingerprint"].to_pylist()
+    # outlier hashes like any other row, identical rows don't exist here
+    assert len(fps) == 20000
+    solo = text.fingerprint_batch(_doc_table(["x" * 1_000_000]))
+    assert solo["fingerprint"].to_pylist()[0] == fps[123]
