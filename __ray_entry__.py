@@ -251,7 +251,12 @@ def _orders_customer_join(sf_dir):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    joined = ops.equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    # customer is the small build side -> broadcast map-side hash join
+    # (one ray.put, zero exchange); equivalence with the exchange path is
+    # asserted in tests/test_engine.py::test_equi_join_broadcast_matches_exchange
+    joined = ops.equi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", broadcast="right"
+    )
     out = joined.groupby("c_nationkey").count().to_pandas()
     out = out.rename(columns={"count()": "n_orders"})
     out["n_orders"] = out["n_orders"].astype("int64")

@@ -613,6 +613,23 @@ def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
     return _r.data.from_arrow_refs(out)
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_side(ref):
+    """Worker-process cache: one object-store fetch + pandas conversion per
+    worker, however many batches it processes."""
+    import ray
+
+    key = ref.hex()
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref).to_pandas()
+        _BCAST_CACHE.clear()  # hold at most one broadcast table per worker
+        _BCAST_CACHE[key] = hit
+    return hit
+
+
 def equi_join(
     left_ds,
     right_ds,
@@ -621,13 +638,46 @@ def equi_join(
     right_on: str | None = None,
     how: str = "inner",
     n_shards: int = 64,
+    broadcast: str | None = None,
 ):
-    """General distributed equi-join via the two-sided hash exchange
-    (bounded shard key + one vectorized pandas merge per shard). Used e.g.
-    to re-attach wide payload columns (text/html) to join results by id
-    after a narrow-column shuffle."""
+    """General distributed equi-join. Two plans:
+
+    - ``broadcast="right"`` (or "left"): the small side is materialized ONCE
+      into the object store (``ray.put``) and every map task joins its batch
+      against the worker-cached copy — a map-side hash join, no exchange at
+      all. The right plan whenever one side fits in a worker's heap
+      (dimension tables, manifests, query sets).
+    - default: two-sided hash exchange (bounded shard key + one vectorized
+      pandas merge per shard). Used e.g. to re-attach wide payload columns
+      (text/html) to join results by id after a narrow-column shuffle."""
     right_on = right_on or on
     n_shards = min(n_shards, 512)
+
+    if broadcast in ("left", "right"):
+        import ray
+
+        small_ds, big_ds = (
+            (left_ds, right_ds) if broadcast == "left" else (right_ds, left_ds)
+        )
+        small_tbl = pa.concat_tables(ray.get(small_ds.to_arrow_refs()))
+        ref = ray.put(small_tbl)
+
+        def join_batch(tbl: pa.Table) -> pa.Table:
+            small = _broadcast_side(ref)
+            df = tbl.to_pandas()
+            if broadcast == "right":
+                merged = df.merge(
+                    small, left_on=on, right_on=right_on, how=how,
+                    suffixes=("", "_r"),
+                )
+            else:
+                merged = small.merge(
+                    df, left_on=on, right_on=right_on, how=how,
+                    suffixes=("", "_r"),
+                )
+            return pa.Table.from_pandas(merged, preserve_index=False)
+
+        return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
     def tag(key_name):
         def f(tbl: pa.Table) -> pa.Table:

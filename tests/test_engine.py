@@ -141,3 +141,20 @@ def test_embedding_near_dup_recall(ray_session):
     assert got_set <= true_set  # no false positives (exact cosine in-bucket)
     recall = len(got_set & true_set) / max(len(true_set), 1)
     assert recall >= 0.8, recall
+
+
+def test_equi_join_broadcast_matches_exchange(ray_session):
+    """Broadcast map-side hash join == two-sided exchange join."""
+    import ray
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def run(**kw):
+        out = ops.equi_join(orders, cust, on="o_custkey", right_on="c_custkey", **kw)
+        df = out.to_pandas()[["o_orderkey", "o_custkey", "c_nationkey"]]
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    a = run(broadcast="right")
+    b = run()
+    pd.testing.assert_frame_equal(a, b)
