@@ -329,6 +329,40 @@ class Ellipse:
         return (dp >= 0.0) | (qf >= 0.0)
 
 
+def contains_cap(region, centers: np.ndarray, pad_rad) -> np.ndarray:
+    """(N,) bool: is the spherical cap (centers[i], pad_rad[i]) fully inside
+    ``region``? The conservative fully-inside classifier behind count lower
+    bounds — INSIDE semantics of htm_tree_s2circle_range / s2cpoly_range
+    (/root/reference/lib/src/tinyhtm/src/htm.c:1943-2057).
+
+    pad_rad: scalar or (N,) array of cap radii in radians (a cell is fully
+    inside the region if the cap covering it is).
+    - Cone: angsep(center, cone center) + pad <= cone radius.
+    - ConvexPolygon: sin(distance) to every inward edge plane >= sin(pad).
+    - Ellipse: returns all-False (the reference provides tree ranges only
+      for circle/cpoly; a 0 lower bound stays correct).
+    """
+    centers = np.asarray(centers, dtype=np.float64)
+    pad_rad = np.asarray(pad_rad, dtype=np.float64)
+    if isinstance(region, Cone):
+        c = np.asarray(region.center)
+        d = np.clip(
+            centers[:, 0] * c[0] + centers[:, 1] * c[1] + centers[:, 2] * c[2],
+            -1.0,
+            1.0,
+        )
+        return np.arccos(d) + pad_rad <= region.radius * RAD_PER_DEG
+    if isinstance(region, ConvexPolygon):
+        sp = np.sin(np.minimum(pad_rad, math.pi / 2.0))
+        out = np.ones(len(centers), dtype=bool)
+        for n in region.normals:
+            out &= (
+                centers[:, 0] * n[0] + centers[:, 1] * n[1] + centers[:, 2] * n[2]
+            ) >= sp
+        return out
+    return np.zeros(len(centers), dtype=bool)
+
+
 def _ne_basis(v):
     """North/east unit basis at v — htm_v3_ne (geometry.c:24-48)."""
     x, y, z = v

@@ -104,6 +104,193 @@ def build_index(
     return manifest
 
 
+def sample_cell_boundaries(
+    enc_ds, cell_col: str, n_partitions: int, per_block: int = 512
+) -> np.ndarray:
+    """Global range boundaries from a DISTRIBUTED cell-column sample: each
+    block contributes <= per_block evenly-strided cells (a bounded partial),
+    the tiny union is quantiled on the driver. Deterministic for a given
+    block structure. Returns (n_partitions - 1,) int64 ascending cut points
+    (partition j owns cells in [bounds[j-1], bounds[j]) )."""
+
+    def samp(tbl: pa.Table) -> pa.Table:
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False)
+        if len(cells) > per_block:
+            idx = np.linspace(0, len(cells) - 1, per_block).astype(np.int64)
+            cells = np.sort(cells)[idx]
+        return pa.table({"cell": pa.array(np.asarray(cells, dtype=np.int64))})
+
+    sample = np.array(
+        [
+            r["cell"]
+            for r in enc_ds.map_batches(
+                samp, batch_format="pyarrow", batch_size=None
+            ).take_all()
+        ],
+        dtype=np.int64,
+    )
+    if len(sample) == 0:
+        return np.array([], dtype=np.int64)
+    qs = np.quantile(sample, np.linspace(0, 1, n_partitions + 1)[1:-1])
+    return np.unique(qs.astype(np.int64))
+
+
+def build_index_ranged(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    cell_col: str = "hpx20",
+    url_col: str | None = "url",
+    id_col: str | None = None,
+    n_partitions: int = 64,
+) -> Manifest:
+    """GLOBAL range-partitioned index build (VERDICT r1 item 4): encode ->
+    sample global cell boundaries -> one range exchange -> each partition
+    sorts its disjoint cell range and writes its own ``range=<j>/`` parquet
+    + a manifest record carrying (cell_min, cell_max).
+
+    This is the Ray-Data-native analog of the reference's external sort +
+    cache-oblivious tree layout (tree_gen.c:1857-, tree.c:27-145): the
+    manifest's disjoint per-file cell ranges replace the varint tree, so a
+    query touches only the files owning its cell ranges — O(result), not
+    O(all files) (contrast build_index, which prunes per shard).
+
+    Resumability: boundaries are computed once and persisted in the manifest
+    (resume reuses them — partition layout is stable); completed range
+    partitions skip their sort + write on re-run.
+    """
+    import ray
+
+    manifest = Manifest(os.path.join(out_dir, "_manifest.json"))
+    fp = _shard_fingerprint(input_files)
+    ds = ray.data.read_parquet(input_files)
+    enc = ops.encode(ds, url_col=url_col, id_col=id_col)
+
+    meta = manifest.stage_metrics.get("range_boundaries")
+    if meta and meta.get("input_fingerprint") == fp:
+        bounds = np.array(meta["boundaries"], dtype=np.int64)
+    else:
+        bounds = sample_cell_boundaries(enc, cell_col, n_partitions)
+        manifest.record_stage_metrics(
+            "range_boundaries",
+            {"boundaries": [int(b) for b in bounds], "input_fingerprint": fp},
+        )
+    n_parts = len(bounds) + 1
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, cells, side="right").astype(np.int64)
+        return tbl.append_column("_range", pa.array(part))
+
+    tagged = enc.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    done = {
+        int(pid.split("=")[1])
+        for pid, rec in manifest.partitions().items()
+        if pid.startswith("range=") and rec["input_fingerprint"] == fp
+    }
+
+    def write_range(tbl: pa.Table) -> pa.Table:
+        stats_schema = pa.schema(
+            [("range_id", pa.int64()), ("rows", pa.int64()),
+             ("bytes", pa.int64()), ("cell_min", pa.int64()),
+             ("cell_max", pa.int64()), ("skipped", pa.bool_())]
+        )
+        if len(tbl) == 0:
+            return stats_schema.empty_table()
+        rid = int(tbl["_range"][0].as_py())
+        if rid in done:
+            return pa.table(
+                {"range_id": [rid], "rows": [0], "bytes": [0],
+                 "cell_min": [0], "cell_max": [0], "skipped": [True]},
+                schema=stats_schema,
+            )
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(cells, kind="stable")
+        out = tbl.take(pa.array(order)).drop(["_range"])
+        rdir = os.path.join(out_dir, f"range={rid}")
+        os.makedirs(rdir, exist_ok=True)
+        path = os.path.join(rdir, "part.parquet")
+        pq.write_table(out, path)
+        return pa.table(
+            {"range_id": [rid], "rows": [len(out)],
+             "bytes": [os.path.getsize(path)],
+             "cell_min": [int(cells[order[0]])],
+             "cell_max": [int(cells[order[-1]])], "skipped": [False]},
+            schema=stats_schema,
+        )
+
+    t0 = time.time()
+    stats = ops.hash_exchange(tagged, "_range", n_parts, write_range).take_all()
+    wall = time.time() - t0
+    for r in stats:
+        if r["skipped"]:
+            continue
+        manifest.record(
+            PartitionRecord(
+                partition_id=f"range={r['range_id']}",
+                input_fingerprint=fp,
+                rows=r["rows"],
+                bytes=r["bytes"],
+                wall_s=wall / max(len(stats), 1),
+                extra={"cell_min": r["cell_min"], "cell_max": r["cell_max"],
+                       "sorted_by": cell_col},
+            )
+        )
+    manifest.record_stage_metrics(
+        "build_index_ranged",
+        {"partitions": n_parts, "rows": manifest.total_rows(),
+         "bytes": manifest.total_bytes()},
+    )
+    return manifest
+
+
+def select_range_files(out_dir: str, fine_ranges: np.ndarray) -> list[str]:
+    """Manifest-level pruning: the files whose recorded disjoint [cell_min,
+    cell_max] intersects any query range — consulted BEFORE any parquet
+    footer is opened (at 10^12 rows the manifest is the first-level index)."""
+    manifest = Manifest(os.path.join(out_dir, "_manifest.json"))
+    files = []
+    for pid, rec in manifest.partitions().items():
+        if not pid.startswith("range="):
+            continue
+        lo, hi = rec["extra"]["cell_min"], rec["extra"]["cell_max"]
+        if any(int(a) <= hi and lo <= int(b) for a, b in fine_ranges):
+            rdir = os.path.join(out_dir, pid)
+            files.extend(
+                os.path.join(rdir, f)
+                for f in sorted(os.listdir(rdir))
+                if f.endswith(".parquet")
+            )
+    return sorted(files)
+
+
+def query_index_ranged(
+    out_dir: str, plan, *, cell_col: str = "hpx20", data_level: int = 20
+):
+    """Region query over a build_index_ranged directory: manifest pruning
+    (disjoint file ranges) -> row-group-pruned parquet read -> exact
+    geometric post-filter."""
+    import ray
+
+    level = plan["level"]
+    shift = 2 * (data_level - level)
+    fine = plan["ranges"].astype(object)
+    fine_ranges = np.empty((len(fine), 2), dtype=np.int64)
+    for i, (lo, hi) in enumerate(fine):
+        fine_ranges[i, 0] = int(lo) << shift
+        fine_ranges[i, 1] = ((int(hi) + 1) << shift) - 1
+    files = select_range_files(out_dir, fine_ranges)
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    ds = ray.data.read_parquet(
+        files, filter=_ranges_filter_expr(cell_col, fine_ranges)
+    )
+    return ds.map_batches(
+        lambda tbl: _geom_filter(tbl, plan), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _ranges_filter_expr(cell_col: str, ranges: np.ndarray):
     """pyarrow dataset filter expression: OR of BETWEEN terms — pushed down
     to parquet row-group statistics (sorted files => tight pruning)."""
@@ -303,8 +490,15 @@ def region_count_bounds(
     cell_count_table: pa.Table, plan, *, count_level: int, data_level: int = 20
 ):
     """Estimate [min, max] count from a per-cell count table without touching
-    data (J3 analog): cells fully inside the (uncompressed) region ranges
-    contribute to min; cells intersecting ranges contribute to max."""
+    data (J3 analog, htm_tree_s2circle_range semantics, htm.c:1943-2057):
+    cells intersecting the plan ranges contribute to max; cells whose
+    covering cap is FULLY INSIDE the region (geom.contains_cap) contribute
+    to min. Works for cone + convex polygon regions in both HTM and HEALPix
+    modes (ellipse min stays 0, matching the reference's tree-range scope).
+    """
+    from .. import geom
+    from ..kernels import healpix, htm as htmk
+
     cells = cell_count_table["cell"].to_numpy(zero_copy_only=False)
     counts = cell_count_table["n_rows"].to_numpy(zero_copy_only=False)
     shift = 2 * (count_level - plan["level"])
@@ -314,4 +508,16 @@ def region_count_bounds(
         coarse = cells << (-shift)
     m = ops.ranges_mask(coarse, plan["ranges"])
     mx = int(counts[m].sum())
-    return 0, mx  # without per-cell geometry the safe lower bound is 0
+    if mx == 0:
+        return 0, 0
+    # lower bound: only candidate (intersecting) cells can be fully inside
+    cand = cells[m]
+    if plan.get("mode", 1) == 0:
+        _, centers, radius_deg = htmk.tri_geometry(cand)
+        pad = np.asarray(radius_deg, dtype=np.float64) * ops.RAD
+    else:
+        centers = healpix.pix2v3(count_level, cand)
+        pad = healpix.max_pix_rad(count_level)
+    inside = geom.contains_cap(plan["region"], centers, pad)
+    mn = int(counts[m][inside].sum())
+    return mn, mx

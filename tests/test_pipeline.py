@@ -89,6 +89,21 @@ def test_region_count_and_bounds(built_index, ray_session):
         pa.Table.from_pandas(tbl), plan, count_level=7
     )
     assert lo <= exact <= hi
+    # J3 parity: an interior 25-deg cone over level-7 cells must have a
+    # NON-TRIVIAL lower bound (fully-inside cells carry most of the count)
+    assert lo > 0
+    assert lo >= 0.5 * exact
+    # HTM mode: same invariants through the trixel geometry path
+    plan_htm = si.cone_plan(200.0, -30.0, 25.0, mode=0, level=7)
+    exact_htm = pipelines.build.region_count(
+        out_dir, plan_htm, cell_col="htm20"
+    )
+    counts_htm = ops.cell_counts(enc, "htm20", out_level=7)
+    tblh = counts_htm.to_pandas().rename(columns={"sum(partial_count)": "n_rows"})
+    lo_h, hi_h = pipelines.build.region_count_bounds(
+        pa.Table.from_pandas(tblh), plan_htm, count_level=7
+    )
+    assert 0 < lo_h <= exact_htm <= hi_h
 
 
 def test_dedup_rows_salted(ray_session):
@@ -110,3 +125,66 @@ def test_dedup_rows_salted(ray_session):
     ref = {r["url"]: r["text"] for r in pages.take_all()}
     for u, t in by_url.items():
         assert ref[u] == t
+
+
+def test_build_index_ranged_global_pruning(ray_session, tmp_path):
+    """Global range partitioning: disjoint per-file cell ranges in the
+    manifest; a small cone opens ONLY the overlapping files; query results
+    match brute force; resume skips completed partitions."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    src = str(tmp_path / "src")
+    webpages.synth_webpages(4000, hot_frac=0.0).write_parquet(src)
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out_dir = str(tmp_path / "ranged")
+    m = pipelines.build.build_index_ranged(files, out_dir, n_partitions=16)
+    assert m.total_rows() == 4000
+    # disjoint, ordered ranges
+    recs = [
+        (v["extra"]["cell_min"], v["extra"]["cell_max"], k)
+        for k, v in m.partitions().items()
+        if k.startswith("range=")
+    ]
+    recs.sort()
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(recs, recs[1:]):
+        assert hi1 < lo2  # strictly disjoint
+    # parquet files really honor the recorded bounds
+    for lo, hi, pid in recs[:3]:
+        f = os.path.join(out_dir, pid, "part.parquet")
+        cells = pq.read_table(f, columns=["hpx20"])["hpx20"].to_numpy()
+        assert cells.min() == lo and cells.max() == hi
+
+    si = SpatialIndex()
+    plan = si.cone_plan(83.2, 12.5, 5.0, mode=1, level=7)
+    # manifest-level pruning: a 5-deg cone must NOT touch every partition
+    shift = 2 * (20 - plan["level"])
+    fine = np.array(
+        [[int(lo) << shift, ((int(hi) + 1) << shift) - 1]
+         for lo, hi in plan["ranges"].astype(object)],
+        dtype=np.int64,
+    )
+    sel = pipelines.build.select_range_files(out_dir, fine)
+    n_parts = len(recs)
+    assert 0 < len(sel) < n_parts
+    # query parity vs brute force
+    res = pipelines.build.query_index_ranged(out_dir, plan).take_all()
+    enc = ops.encode(ray.data.read_parquet(files), url_col="url")
+    from spatialindex_ray import geom
+
+    cone = geom.Cone(83.2, 12.5, 5.0)
+    exp = {
+        r["url"]
+        for r in enc.take_all()
+        if r["x"] * cone.center[0] + r["y"] * cone.center[1]
+        + r["z"] * cone.center[2] >= cone.cosrad
+    }
+    assert {r["url"] for r in res} == exp
+    # resume: nothing recomputed on a second run
+    before = {k: v["completed_at"] for k, v in m.partitions().items()}
+    m2 = pipelines.build.build_index_ranged(files, out_dir, n_partitions=16)
+    after = {k: v["completed_at"] for k, v in m2.partitions().items()}
+    assert before == after
