@@ -127,6 +127,28 @@ def _polygon_oracle():
     return _xyz_sql() + f"SELECT doc_id FROM n WHERE {terms}"
 
 
+PAD_DEG = 3.0
+
+
+def _padded_polygon_query(sf_dir):
+    """Region query over the POLY_* polygon grown by PAD_DEG degrees
+    (geom.s2cpoly_pad — byte-exact port of htm_s2cpoly_pad)."""
+    si = SpatialIndex()
+    plan = si.padded_polygon_plan(POLY_RA, POLY_DEC, PAD_DEG, level=POLY_LEVEL)
+    ds = _docs_encoded(sf_dir)
+    return ops.region_search(ds, plan).select_columns(["doc_id"])
+
+
+def _padded_polygon_oracle():
+    from spatialindex_ray import geom
+
+    padded = geom.s2cpoly_pad(geom.ConvexPolygon(POLY_RA, POLY_DEC), PAD_DEG)
+    terms = " AND ".join(
+        f"x*{_d(e[0])} + y*{_d(e[1])} + z*{_d(e[2])} >= 0.0" for e in padded.edges
+    )
+    return _xyz_sql() + f"SELECT doc_id FROM n WHERE {terms}"
+
+
 def _tile_counts(sf_dir):
     ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
     tiled = ops.tile_assign(ds, TILE_DEG)
@@ -480,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cone_search_hpx": lambda sf: _cone_query(sf, 1),
         "polygon_search_htm": lambda sf: _polygon_query(sf, 0),
         "polygon_search_hpx": lambda sf: _polygon_query(sf, 1),
+        "padded_polygon_search": _padded_polygon_query,
         "tile_assign_grid": _tile_counts,
         "radius_join": _radius_join,
         "knn": _knn_query,
@@ -512,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "cone_search_hpx": _cone_oracle(1),
         "polygon_search_htm": _polygon_oracle(),
         "polygon_search_hpx": _polygon_oracle(),
+        "padded_polygon_search": _padded_polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),

@@ -329,6 +329,156 @@ class Ellipse:
         return (dp >= 0.0) | (qf >= 0.0)
 
 
+# htm_v3_convex tolerance constants (geometry.c:1170-1185)
+_RCROSS_N2MIN = 4.0e-16
+_SIN_MIN = 1.0e-10
+_COS_MAX = 0.999999999999999
+
+
+def v3_convex(points):
+    """Exact port of htm_v3_convex (geometry.c:1188-1279): arbitrary-order
+    convexity validation. Returns (result, degenerate): result is +1 for a
+    convex counter-clockwise vertex chain, -1 for convex clockwise, 0 for
+    non-convex / non-hemispherical / too-few vertices; degenerate is True
+    where the C code reports HTM_EDEGEN (coincident or antipodal corners).
+    """
+    pts = [(float(p[0]), float(p[1]), float(p[2])) for p in points]
+    n = len(pts)
+    if n < 3:
+        return 0, False
+    if not hemispherical(pts):
+        return 0, False
+    cen = centroid(pts)
+    p1 = _rcross(cen, pts[n - 1])
+    n2 = _dot(p1, p1)
+    if abs(n2) < _RCROSS_N2MIN:
+        return 0, True
+    cw = ccw = False
+    wind = 0.0
+    for end in range(n):
+        beg = (n - 2) + end if end < 2 else end - 2
+        mid = n - 1 if end == 0 else end - 1
+        plane = _rcross(pts[mid], pts[end])
+        n2 = _dot(plane, plane)
+        if _dot(pts[mid], pts[end]) >= _COS_MAX or n2 < _RCROSS_N2MIN:
+            return 0, True
+        sq = math.sqrt(n2)
+        plane = (plane[0] / sq, plane[1] / sq, plane[2] / sq)
+        d = _dot(plane, pts[beg])
+        if d > _SIN_MIN:
+            if cw:
+                return 0, False
+            ccw = True
+        elif d < -_SIN_MIN:
+            if ccw:
+                return 0, False
+            cw = True
+        # vertices must always wind around cen in the same direction
+        d = _dot(plane, cen)
+        if (d < _SIN_MIN and ccw) or (d > -_SIN_MIN and cw):
+            return 0, False
+        p2 = _rcross(cen, pts[end])
+        n2 = _dot(p2, p2)
+        if abs(n2) < _RCROSS_N2MIN:
+            return 0, True
+        wind += _angsep_scalar(p1, p2)
+        p1 = p2
+    # for convex polygons the closest multiple of 360 to the winding is 1
+    if 180.0 < wind < 540.0:
+        return (1 if ccw else -1), False
+    return 0, False
+
+
+@dataclass
+class PaddedPolygon:
+    """Convex polygon in the pure htm_s2cpoly form (verts + rcross edge
+    planes + vsum) as produced by s2cpoly_pad — duck-compatible with
+    ConvexPolygon for HTM coverage (cover._cpoly_classifier) and region
+    filtering. Membership is htm_s2cpoly_cv3: AND over v . edge_i >= 0."""
+
+    verts: list
+    edges: list
+    vsum: tuple
+
+    @property
+    def n(self):
+        return len(self.verts)
+
+    def contains(self, v) -> bool:
+        return all(_dot(v, e) >= 0.0 for e in self.edges)
+
+    def mask(self, xyz: np.ndarray) -> np.ndarray:
+        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        out = np.ones(len(xyz), dtype=bool)
+        for e in self.edges:
+            out &= (x * e[0] + y * e[1] + z * e[2]) >= 0.0
+        return out
+
+
+def cpoly_from_v3(verts) -> PaddedPolygon:
+    """htm_s2cpoly_init (geometry.c:369-427) over given unit-vector
+    vertices: rcross edge planes + vsum, with the clockwise-input reversal.
+    Returns the pure cpoly form (no ra/dec round-trip — bit-preserving)."""
+    n = len(verts)
+    if n < 3:
+        raise RegionError("polygon needs >= 3 vertices")
+    vs = [(float(v[0]), float(v[1]), float(v[2])) for v in verts]
+    vsum = vs[n - 1]
+    edges = [None] * n
+    for i in range(n - 1):
+        edges[i] = _rcross(vs[i], vs[i + 1])
+        vsum = _add(vsum, vs[i])
+    edges[n - 1] = _rcross(vs[n - 1], vs[0])
+    if _dot(vsum, edges[0]) < 0.0:
+        vs = vs[::-1]
+        edges = [None] * n
+        for i in range(n - 1):
+            edges[i] = _rcross(vs[i], vs[i + 1])
+        edges[n - 1] = _rcross(vs[n - 1], vs[0])
+    return PaddedPolygon(verts=vs, edges=edges, vsum=vsum)
+
+
+def s2cpoly_pad(poly, r: float) -> PaddedPolygon:
+    """Exact port of htm_s2cpoly_pad (geometry.c:645-719): grow a convex
+    spherical polygon by radius ``r`` degrees — every point within r of the
+    original polygon is inside the padded one. The natural pre-filter for
+    polygon-vs-point radius joins (polygon grown by the join radius)."""
+    if r < 0.0:
+        raise RegionError("negative pad radius")
+    if r == 0.0:
+        return PaddedPolygon(
+            verts=list(poly.verts), edges=list(poly.edges), vsum=tuple(poly.vsum)
+        )
+    ve = list(poly.verts)
+    ed = list(poly.edges)
+    n = len(ve)
+    rot_edges = [None] * n
+    # rotate edge plane normals outward
+    for i in range(n):
+        j = n - 1 if i == 0 else i - 1
+        angle = _tanrot(ve[j], ve[i], r)
+        tmp = _sub(ve[i], ve[j])
+        rot_edges[j] = v3_rot(ed[j], tmp, angle)
+    # new vertices: normalized intersections of consecutive rotated planes
+    new_verts = [None] * n
+    for i in range(n):
+        j = n - 1 if i == 0 else i - 1
+        v = _normalize(_rcross(rot_edges[j], rot_edges[i]))
+        if _dot(v, ve[i]) < 0.0:
+            v = _neg(v)
+        new_verts[i] = v
+    # the union of old and new vertices must stay hemispherical
+    if not hemispherical(ve + new_verts):
+        raise RegionError("pad radius too large (not hemispherical)")
+    vsum = new_verts[n - 1]
+    new_edges = [None] * n
+    for i in range(n - 1):
+        new_edges[i] = _rcross(new_verts[i], new_verts[i + 1])
+        vsum = _add(vsum, new_verts[i])
+    new_edges[n - 1] = _rcross(new_verts[n - 1], new_verts[0])
+    return PaddedPolygon(verts=new_verts, edges=new_edges, vsum=vsum)
+
+
 def contains_cap(region, centers: np.ndarray, pad_rad) -> np.ndarray:
     """(N,) bool: is the spherical cap (centers[i], pad_rad[i]) fully inside
     ``region``? The conservative fully-inside classifier behind count lower
@@ -480,29 +630,170 @@ def _poly_from_verts(verts) -> "ConvexPolygon":
     return ConvexPolygon(list(map(float, lon)), list(map(float, lat)))
 
 
+# Megiddo linear-programming hemisphericity test — exact port of
+# htm_v3_hemispherical (geometry.c:722-1186). Decides whether the linear
+# system { p . w > 0 for all points p } has a solution w by fixing
+# w.z = +-1 (2D LP), then w.y = +-1 (1D), then the x-axis sign check.
+_DBL_MIN = 2.2250738585072014e-308
+_DBL_EPS = 2.220446049250313e-16
+_INF = float("inf")
+
+
+def _lp_env(constraints: list, x: float, upper: bool):
+    """_htm_g (upper=True -> max envelope) / _htm_h (geometry.c:758-817):
+    envelope value at x plus the min/max slopes attaining it."""
+    a0, b0 = constraints[0]
+    v = a0 * x + b0
+    amin = amax = a0
+    for ai, bi in constraints[1:]:
+        vi = ai * x + bi
+        if vi == v:
+            if ai < amin:
+                amin = ai
+            if ai > amax:
+                amax = ai
+        elif (vi > v) if upper else (vi < v):
+            v = vi
+            amin = ai
+            amax = ai
+    return v, amin, amax
+
+
+def _lp_prune(intersections: list, constraints: list, xr: list, g_side: bool):
+    """_htm_prune_g / _htm_prune_h (geometry.c:821-931): pair up
+    constraints, drop the dominated one of each pair whose intersection
+    falls outside (xr[0], xr[1]), collect interior intersections. Mutates
+    ``constraints`` with the same swap-with-last order as the C code."""
+    i = 0
+    n = len(constraints) - 1
+    while i < n:
+        a1, b1 = constraints[i]
+        a2, b2 = constraints[i + 1]
+        da = a1 - a2
+        if abs(da) < _DBL_MIN / _DBL_EPS:
+            xx = _INF
+        else:
+            xx = (b2 - b1) / da
+        if xx != xx or (xx != 0.0 and xx == 2 * xx):  # HTM_ISSPECIAL
+            if (b1 > b2) if g_side else (b1 < b2):
+                constraints[i + 1] = constraints[n]
+            else:
+                constraints[i] = constraints[n]
+            n -= 1
+        elif xx <= xr[0]:
+            if (a1 > a2) if g_side else (a1 < a2):
+                constraints[i + 1] = constraints[n]
+            else:
+                constraints[i] = constraints[n]
+            n -= 1
+        elif xx >= xr[1]:
+            if (a1 > a2) if g_side else (a1 < a2):
+                constraints[i] = constraints[n]
+            else:
+                constraints[i + 1] = constraints[n]
+            n -= 1
+        else:
+            intersections.append(xx)
+            i += 2
+    del constraints[n + 1 :]
+
+
+def _feasible_2d(points, z: float) -> bool:
+    """_htm_feasible_2d (geometry.c:930-1026)."""
+    xr = [-_INF, _INF]
+    I1: list = []
+    I2: list = []
+    for px, py, pz in points:
+        if abs(py) <= _DBL_MIN:
+            if abs(px) <= _DBL_MIN:
+                if z * pz <= 0.0:
+                    return False
+            else:
+                xlim = -z * pz / px
+                if px > 0.0:
+                    if xlim > xr[0]:
+                        xr[0] = xlim
+                else:
+                    if xlim < xr[1]:
+                        xr[1] = xlim
+                if xr[1] <= xr[0]:
+                    return False
+        else:
+            coeffs = (-px / py, -z * pz / py)
+            (I1 if py > 0.0 else I2).append(coeffs)
+    if not I1 or not I2:
+        return True
+    while True:
+        intersections: list = []
+        _lp_prune(intersections, I1, xr, True)
+        _lp_prune(intersections, I2, xr, False)
+        if not intersections:
+            a1, b1 = I1[0]
+            a2, b2 = I2[0]
+            da = a1 - a2
+            xi = (b2 - b1) / da if da != 0.0 else _INF
+            if xi != xi or (xi != 0.0 and xi == 2 * xi):
+                return b1 < b2
+            return (xi > xr[0] or a1 < a2) and (xi < xr[1] or a1 > a2)
+        ni = len(intersections)
+        med = sorted(intersections)[ni >> 1]  # k-th order statistic, as
+        # htm_select(intersections, ni, ni >> 1) computes (select.c)
+        g = _lp_env(I1, med, True)
+        h = _lp_env(I2, med, False)
+        if g[0] <= h[0]:
+            return True
+        elif g[1] > h[2]:
+            xr[1] = med
+        elif g[2] < h[1]:
+            xr[0] = med
+        else:
+            return False
+
+
+def _feasible_1d(points, y: float) -> bool:
+    """_htm_feasible_1d (geometry.c:1029-1057)."""
+    xmin, xmax = -_INF, _INF
+    for px, py, _ in points:
+        if abs(px) <= _DBL_MIN:
+            if y * py <= 0.0:
+                return False
+        else:
+            xlim = -y * py / px
+            if px > 0.0:
+                if xlim > xmin:
+                    xmin = xlim
+            elif xlim < xmax:
+                xmax = xlim
+            if xmax <= xmin:
+                return False
+    return True
+
+
 def hemispherical(points) -> bool:
     """True if all points fit in some open hemisphere (necessary for a
-    convex spherical polygon) — functional equivalent of
-    htm_v3_hemispherical (geometry.c:1060-1186), decided via the centroid
-    direction + per-point dot test with a tiny LP-style fallback."""
-    arr = np.asarray(points, dtype=np.float64)
-    c = arr.sum(axis=0)
-    n = np.linalg.norm(c)
-    if n > 0:
-        c = c / n
-        if (arr @ c > 0).all():
-            return True
-    # fallback: test all pairwise cross-product directions (exact for the
-    # small vertex counts polygons have)
-    m = len(arr)
-    for i in range(m):
-        for j in range(i + 1, m):
-            d = np.cross(arr[i], arr[j])
-            for sgn in (1.0, -1.0):
-                if (arr @ (sgn * d) > -1e-15).all() and (np.abs(arr @ d) > 0).any():
-                    if (arr @ (sgn * d) >= 0).all():
-                        return True
-    return False
+    convex spherical polygon) — EXACT port of htm_v3_hemispherical
+    (geometry.c:1060-1186): Megiddo 2D LP feasibility at z = +-1, 1D at
+    y = +-1, then the x-sign degenerate case."""
+    pts = [(float(p[0]), float(p[1]), float(p[2])) for p in points]
+    if not pts:
+        return False
+    if _feasible_2d(pts, 1.0) or _feasible_2d(pts, -1.0):
+        return True
+    if _feasible_1d(pts, 1.0) or _feasible_1d(pts, -1.0):
+        return True
+    pos = neg = False
+    for px, _, _ in pts:
+        if px > 0.0:
+            if neg:
+                return False
+            pos = True
+        elif px < 0.0:
+            if pos:
+                return False
+            neg = True
+        else:
+            return False
+    return True
 
 
 def polygon_hull(ra, dec) -> "ConvexPolygon":

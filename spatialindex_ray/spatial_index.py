@@ -172,6 +172,24 @@ class SpatialIndex:
             "region": ell,
         }
 
+    def padded_polygon_plan(self, ra, dec, pad_deg, level=7, compress=True):
+        """Plan for a polygon GROWN by ``pad_deg`` degrees (htm_s2cpoly_pad,
+        geometry.c:645-719) — the natural pre-filter for polygon-vs-point
+        radius joins. HTM mode only (the padded region is a pure cpoly;
+        membership is the htm_s2cpoly_cv3 edge test)."""
+        base = geom.ConvexPolygon(list(ra), list(dec))
+        padded = geom.s2cpoly_pad(base, pad_deg)
+        ranges = cover.htm_polygon_ranges(padded, level)
+        if compress:
+            ranges = cover.gap_compress(ranges)
+        return {
+            "kind": "padded_polygon",
+            "mode": self.HTM,
+            "level": level,
+            "ranges": cover.ranges_to_array(ranges),
+            "region": padded,
+        }
+
     def polygon_plan(self, ra, dec, mode=0, level=7, compress=True):
         polyregion = geom.ConvexPolygon(list(ra), list(dec))
         if mode == self.HTM:

@@ -31,7 +31,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["cone_search_htm", "polygon_search_hpx", "radius_join", "knn",
+    ["cone_search_htm", "polygon_search_hpx", "padded_polygon_search",
+     "radius_join", "knn",
      "tile_assign_grid", "exact_dedup", "token_stats", "q1_lineitem_agg"],
 )
 def test_query_vs_oracle(ray_session, oracle_con, name):

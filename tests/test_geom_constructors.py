@@ -98,3 +98,68 @@ def test_hemispherical():
     assert not geom.hemispherical([geom.radec_to_v3(0, 0), geom.radec_to_v3(120, 0),
                                    geom.radec_to_v3(240, 0), geom.radec_to_v3(0, 80),
                                    geom.radec_to_v3(180, -80)])
+
+
+def test_v3_convex_golden_parity():
+    """Exact-port parity of htm_v3_convex vs the compiled reference
+    (fixture regenerated per SURVEY §5.3 with tools/gen_pad_convex)."""
+    import json
+    import os
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "fixtures", "pad_convex_golden.json"))
+    )
+    for case in fix["convex"]:
+        verts = [tuple(float.fromhex(c) for c in v) for v in case["verts"]]
+        res, degen = geom.v3_convex(verts)
+        assert res == case["result"], case
+        assert degen == case["degen"], case
+
+
+def test_s2cpoly_pad_golden_parity():
+    """Byte-identical padded-polygon vertices/edges/vsum vs the reference."""
+    import json
+    import os
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "fixtures", "pad_convex_golden.json"))
+    )
+    for case in fix["pad"]:
+        verts = [tuple(float.fromhex(c) for c in v) for v in case["verts"]]
+        poly = geom.cpoly_from_v3(verts)
+        r = float.fromhex(case["r"])
+        if case["ec"] != 0:
+            import pytest
+
+            with pytest.raises(geom.RegionError):
+                geom.s2cpoly_pad(poly, r)
+            continue
+        padded = geom.s2cpoly_pad(poly, r)
+        n = len(verts)
+        rows = [tuple(float.fromhex(c) for c in row) for row in case["out"]]
+        for i in range(n):
+            assert tuple(padded.verts[i]) == rows[i]
+            assert tuple(padded.edges[i]) == rows[n + i]
+        assert tuple(padded.vsum) == rows[2 * n]
+
+
+def test_pad_grows_polygon():
+    """Every point within r of the original polygon is inside the pad."""
+    import numpy as np
+
+    poly = geom.polygon_ngon(83.0, 22.0, 4.0, 5)
+    padded = geom.s2cpoly_pad(poly, 1.5)
+    rng = np.random.RandomState(3)
+    # points just outside the original boundary but within r
+    for v in poly.verts:
+        assert padded.contains(v)
+    lon = rng.uniform(75, 91, 4000)
+    lat = rng.uniform(14, 30, 4000)
+    from spatialindex_ray import ops
+
+    xyz = ops.xyz_from_lonlat(lon, lat)
+    inside_orig = poly.mask(xyz)
+    inside_pad = padded.mask(xyz)
+    assert (inside_pad | ~inside_orig).all() or (inside_orig <= inside_pad).all()
+    # some ring points between the two boundaries exist
+    assert inside_pad.sum() > inside_orig.sum()
