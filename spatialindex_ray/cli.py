@@ -133,10 +133,213 @@ def cmd_cell(argv: list[str]) -> int:
     return 0
 
 
+def _tc_err(msg: str) -> int:
+    """tree_count/id_list error convention (tree_count.c:28-40: 'ERROR: ...'
+    to stdout, nonzero exit)."""
+    print(f"ERROR: {msg}")
+    return 1
+
+
+def _print_count(count: int, json_out: bool):
+    """print_count (tree_count.c:92-98) — byte-identical formats."""
+    if json_out:
+        print(f'{{"stat":"OK", "count":{count}}}')
+    else:
+        print(f'[struct stat="OK", count="{count}"]')
+
+
+def _print_range(mn: int, mx: int, json_out: bool):
+    """print_range (tree_count.c:101-110)."""
+    if json_out:
+        print(f'{{"stat":"OK", "min":{mn}, "max":{mx}}}')
+    else:
+        print(f'[struct stat="OK", min="{mn}", max="{mx}"]')
+
+
+def _count_table(index_dir: str, count_level: int):
+    """Per-cell HTM count table for estimate mode, cached alongside the
+    index (the columnar analog of the reference tree's per-node counts —
+    built once, then estimates never touch data again)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(index_dir, f"_counts_htm{count_level}.parquet")
+    if os.path.exists(cache):
+        return pq.read_table(cache)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(index_dir)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith("_counts")
+    ]
+    from . import ops
+
+    counts = ops.cell_counts(
+        ray.data.read_parquet(files, columns=["htm20"]), "htm20", count_level
+    ).to_pandas()
+    counts = counts.rename(columns={"sum(partial_count)": "n_rows"})
+    tbl = pa.Table.from_pandas(counts[["cell", "n_rows"]], preserve_index=False)
+    pq.write_table(tbl, cache)
+    return tbl
+
+
+def _tree_plan(shape: str, vals: list[float], level: int):
+    from . import cover, geom
+
+    si = SpatialIndex()
+    if shape == "circle":
+        return si.cone_plan(vals[0], vals[1], vals[2], mode=0, level=level)
+    if shape == "ellipse":
+        return si.ellipse_plan(vals[0], vals[1], vals[2], vals[3], vals[4],
+                               level=level)
+    # hull: convex hull of the input points (id_list.c:157-196 recipe)
+    ra = vals[0::2]
+    dec = vals[1::2]
+    poly = geom.polygon_hull(ra, dec)
+    ranges = cover.gap_compress(cover.htm_polygon_ranges(poly, level))
+    return {
+        "kind": "polygon",
+        "mode": 0,
+        "level": level,
+        "ranges": cover.ranges_to_array(ranges),
+        "region": poly,
+    }
+
+
+def cmd_tree_count(argv: list[str]) -> int:
+    """tree_count front-end (lib/src/tinyhtm/src/tree_count.c:112-287):
+    exact in-region point counts over a built index directory, or [min,max]
+    estimates from per-node counts without touching data (--estimate).
+
+      cli tree_count <index_dir> circle RA DEC R [--estimate] [--json]
+      cli tree_count <index_dir> ellipse RA DEC A B ANGLE [...]
+      cli tree_count <index_dir> hull RA1 DEC1 RA2 DEC2 RA3 DEC3 ... [...]
+    """
+    estimate = "--estimate" in argv or "-e" in argv
+    json_out = "--json" in argv or "-j" in argv
+    argv = [a for a in argv if a not in ("--estimate", "-e", "--json", "-j")]
+    if len(argv) < 2:
+        return _tc_err("usage: tree_count <index_dir> circle|ellipse|hull ...")
+    index_dir, shape = argv[0], argv[1]
+    try:
+        vals = [float(v) for v in argv[2:]]
+    except ValueError as e:
+        return _tc_err(f"failed to convert argument to a double ({e})")
+    need = {"circle": 3, "ellipse": 5}
+    if shape in need and len(vals) != need[shape]:
+        return _tc_err(f"{shape} requires {need[shape]} arguments")
+    if shape == "hull" and (len(vals) < 6 or len(vals) % 2):
+        return _tc_err("hull requires >= 3 ra dec pairs")
+    if shape not in ("circle", "ellipse", "hull"):
+        return _tc_err(f"unknown region shape '{shape}'")
+    from . import geom
+
+    count_level = 7
+    try:
+        plan = _tree_plan(shape, vals, count_level)
+    except geom.RegionError as e:
+        return _tc_err(str(e))
+    if estimate:
+        from .pipelines import build as buildp
+
+        tbl = _count_table(index_dir, count_level)
+        mn, mx = buildp.region_count_bounds(tbl, plan, count_level=count_level)
+        _print_range(mn, mx, json_out)
+        return 0
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    from .pipelines import build as buildp
+
+    n = buildp.region_count(index_dir, plan, cell_col="htm20")
+    _print_count(n, json_out)
+    return 0
+
+
+def cmd_id_list(argv: list[str]) -> int:
+    """id_list front-end (lib/src/tinyhtm/src/id_list.c:94-196): the HTM ids
+    (or id ranges) overlapping a region, print_ids-identical output.
+
+      cli id_list circle RA DEC R --level L [--maxranges M] [--ranges] [--decimal]
+      cli id_list ellipse RA DEC A B ANGLE [...]
+      cli id_list hull RA1 DEC1 ... [...]
+    """
+    from . import cover, geom
+
+    decimal = "--decimal" in argv or "-d" in argv
+    ranges_out = "--ranges" in argv or "-r" in argv
+    level = 0
+    maxranges = None
+    out = []
+    it = iter([a for a in argv if a not in ("--decimal", "-d", "--ranges", "-r")])
+    for a in it:
+        if a in ("--level", "-l"):
+            try:
+                level = int(next(it))
+            except (StopIteration, ValueError):
+                return _tc_err("HTM subdivision level is non-integral")
+        elif a in ("--maxranges", "-m"):
+            try:
+                maxranges = int(next(it))
+            except (StopIteration, ValueError):
+                return _tc_err("Maximum range count is non-integral")
+        else:
+            out.append(a)
+    max_level = htmk.HTM_DEC_MAX_LEVEL if decimal else htmk.HTM_MAX_LEVEL
+    if level < 0 or level > max_level:
+        return _tc_err(
+            f"HTM subdivision level `{level}' is non-integeral, negative or too large"
+        )
+    if maxranges is not None and maxranges < 4:
+        return _tc_err(
+            f"Maximum range count `{maxranges}' is non-integeral, less than 4, or too large"
+        )
+    if not out:
+        return _tc_err("usage: id_list circle|ellipse|hull ...")
+    shape = out[0]
+    try:
+        vals = [float(v) for v in out[1:]]
+    except ValueError as e:
+        return _tc_err(f"failed to convert argument to a double ({e})")
+    try:
+        if shape == "circle":
+            cone = geom.Cone(vals[0], vals[1], vals[2])
+            rngs = cover.htm_circle_ranges(cone.center, vals[2], level,
+                                           maxranges=maxranges)
+        elif shape == "ellipse":
+            ell = geom.Ellipse.from_center(vals[0], vals[1], vals[2], vals[3],
+                                           vals[4])
+            rngs = cover.htm_ellipse_ranges(ell, level, maxranges=maxranges)
+        elif shape == "hull":
+            poly = geom.polygon_hull(vals[0::2], vals[1::2])
+            rngs = cover.htm_polygon_ranges(poly, level, maxranges=maxranges)
+        else:
+            return _tc_err(f"unknown region shape '{shape}'")
+    except (geom.RegionError, ValueError, IndexError) as e:
+        return _tc_err(str(e))
+    # print_ids (id_list.c:76-91)
+    for lo, hi in rngs:
+        if ranges_out:
+            a = int(htmk.id_to_dec(lo)) if decimal else int(lo)
+            b = int(htmk.id_to_dec(hi)) if decimal else int(hi)
+            print(f"{a} {b}")
+        else:
+            for j in range(int(lo), int(hi) + 1):
+                print(int(htmk.id_to_dec(j)) if decimal else j)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("usage: cli.py query|index|cell ...", file=sys.stderr)
+        print("usage: cli.py query|index|cell|tree_count|id_list ...", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
     if cmd == "query":
@@ -145,6 +348,10 @@ def main(argv=None) -> int:
         return cmd_index(rest)
     if cmd == "cell":
         return cmd_cell(rest)
+    if cmd == "tree_count":
+        return cmd_tree_count(rest)
+    if cmd == "id_list":
+        return cmd_id_list(rest)
     print(f"unknown subcommand: {cmd}", file=sys.stderr)
     return 2
 
