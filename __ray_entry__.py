@@ -110,6 +110,21 @@ def _cone_oracle(mode):
     )
 
 
+def _cone_s2_query(sf_dir):
+    """Cone search pre-filtered by the S2 leaf-range cover (mode 2): same
+    exact predicate as cone_search_htm, so the same SQL oracle applies —
+    the hash match validates that the S2 cover is a true superset."""
+    import ray
+
+    si = SpatialIndex()
+    cfg = CONE_HTM
+    plan = si.cone_plan_s2(cfg["ra"], cfg["dec"], cfg["radius"], level=10)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None,
+                     s2_leaf=True)
+    return ops.region_search(enc, plan).select_columns(["doc_id"])
+
+
 def _polygon_query(sf_dir, mode):
     si = SpatialIndex()
     plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=mode, level=POLY_LEVEL)
@@ -503,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_search_htm": lambda sf: _polygon_query(sf, 0),
         "polygon_search_hpx": lambda sf: _polygon_query(sf, 1),
         "padded_polygon_search": _padded_polygon_query,
+        "cone_search_s2": _cone_s2_query,
         "tile_assign_grid": _tile_counts,
         "radius_join": _radius_join,
         "knn": _knn_query,
@@ -536,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_search_htm": _polygon_oracle(),
         "polygon_search_hpx": _polygon_oracle(),
         "padded_polygon_search": _padded_polygon_oracle(),
+        "cone_search_s2": _cone_oracle(0),
         "tile_assign_grid": _tile_oracle(),
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),

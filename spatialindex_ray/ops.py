@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import geom
-from .kernels import hashing, healpix, htm as htmk, vec
+from .kernels import hashing, healpix, htm as htmk, s2 as s2k, vec
 
 # Position-derivation constants. The doc_id-based derivation is restricted to
 # +,*,fmod,sin,cos — ops that are bit-identical between NumPy, libm and
@@ -81,6 +81,7 @@ def encode_batch(
     lat_col: str | None = None,
     htm_level: int | None = 20,
     hpx_level: int | None = 20,
+    s2_leaf: bool = False,
     keep_xyz: bool = True,
     keep_lonlat: bool = True,
 ) -> pa.Table:
@@ -111,6 +112,10 @@ def encode_batch(
         cols[f"htm{htm_level}"] = pa.array(htmk.v3_id(v, htm_level))
     if hpx_level is not None:
         cols[f"hpx{hpx_level}"] = pa.array(healpix.sky2hpx(hpx_level, lon, lat))
+    if s2_leaf:
+        # uint64 leaf ids (level 30); coarser S2 cells are id prefixes so
+        # any level's range query runs against the one stored column
+        cols["s230"] = pa.array(s2k.cellid_from_xyz(v))
     return pa.table(cols)
 
 
@@ -161,10 +166,14 @@ def region_filter_batch(tbl: pa.Table, plan, cell_col: str, shift: int) -> pa.Ta
 
 def region_search(ds, plan, *, cell_col=None, data_level=20, negate=False):
     """cone_search / polygon_search over an encoded Dataset: broadcast the
-    plan, filter each batch (no shuffle). Returns the matching rows."""
+    plan, filter each batch (no shuffle). Returns the matching rows.
+    plan mode: 0 = HTM, 1 = HEALPix, 2 = S2 (uint64 leaf-range plan)."""
     if cell_col is None:
-        cell_col = ("htm" if plan["mode"] == 0 else "hpx") + str(data_level)
-    shift = 2 * (data_level - plan["level"])
+        cell_col = (
+            "s230" if plan["mode"] == 2
+            else ("htm" if plan["mode"] == 0 else "hpx") + str(data_level)
+        )
+    shift = 0 if plan["mode"] == 2 else 2 * (data_level - plan["level"])
     if not negate:
         return ds.map_batches(
             lambda tbl: region_filter_batch(tbl, plan, cell_col, shift),

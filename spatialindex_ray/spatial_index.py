@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from . import cover, geom, sqlcompat
 
 MAX_QUERY_LEVEL = 20  # sptQueryLib.c:50-57
@@ -170,6 +172,24 @@ class SpatialIndex:
             "level": level,
             "ranges": cover.ranges_to_array(ranges),
             "region": ell,
+        }
+
+    def cone_plan_s2(self, ra, dec, radius, level=10):
+        """S2-mode cone plan (engine addition per north_star: H3/S2 alongside
+        HTM/HEALPix): uint64 leaf-id ranges from the vectorized BFS cap
+        cover (kernels/s2.cap_cover_ranges) + the exact cone predicate."""
+        from .kernels import s2 as s2k
+
+        cone = geom.Cone(ra, dec, radius)
+        ranges = s2k.cap_cover_ranges(
+            np.asarray(cone.center), radius * geom.RAD_PER_DEG, level
+        )
+        return {
+            "kind": "cone",
+            "mode": 2,
+            "level": level,
+            "ranges": ranges,
+            "region": cone,
         }
 
     def padded_polygon_plan(self, ra, dec, pad_deg, level=7, compress=True):

@@ -32,6 +32,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["cone_search_htm", "polygon_search_hpx", "padded_polygon_search",
+     "cone_search_s2",
      "radius_join", "knn",
      "tile_assign_grid", "exact_dedup", "token_stats", "q1_lineitem_agg"],
 )

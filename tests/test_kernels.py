@@ -134,3 +134,52 @@ def test_hpx_neighbors():
         for q in mine:
             row = back[np.where(flat == q)[0][0]]
             assert p in row
+
+
+class TestS2:
+    def test_leaf_roundtrip_and_containment(self):
+        from spatialindex_ray.kernels import s2
+
+        rng = np.random.RandomState(1)
+        v = rng.normal(size=(5000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        leaf = s2.cellid_from_xyz(v)
+        assert leaf.dtype == np.uint64
+        assert (s2.cellid_level(leaf) == 30).all()
+        assert (s2.cellid_from_xyz(s2.cellid_to_center_xyz(leaf)) == leaf).all()
+        for L in (0, 4, 11, 19):
+            cl = s2.cellid_from_xyz(v, L)
+            assert (s2.cellid_level(cl) == L).all()
+            lo, hi = s2.cellid_range(cl)
+            assert ((leaf >= lo) & (leaf <= hi)).all()
+            assert (s2.cellid_from_xyz(s2.cellid_to_center_xyz(cl), L) == cl).all()
+
+    def test_known_cell_ids(self):
+        from spatialindex_ray.kernels import s2
+
+        # face centers at level 0: canonical ids face << 61 | 2^60
+        axes = np.array(
+            [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0],
+             [-1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]]
+        )
+        ids = s2.cellid_from_xyz(axes, 0)
+        exp = np.array([(f << 61) | (1 << 60) for f in range(6)], dtype=np.uint64)
+        assert (ids == exp).all()
+
+    def test_cap_cover_superset(self):
+        from spatialindex_ray import ops
+        from spatialindex_ray.kernels import s2
+
+        rng = np.random.RandomState(2)
+        v = rng.normal(size=(20000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        leaf = s2.cellid_from_xyz(v)
+        for seed in range(5):
+            r2 = np.random.RandomState(seed)
+            c = r2.normal(size=3)
+            c /= np.linalg.norm(c)
+            rad = np.radians(float(r2.uniform(0.5, 20.0)))
+            ranges = s2.cap_cover_ranges(c, rad, 8)
+            inside = (v @ c) >= np.cos(rad)
+            m = ops.ranges_mask(leaf, ranges)
+            assert not (inside & ~m).any()
