@@ -52,6 +52,7 @@ N_PERM = 64
 N_BANDS = 16          # 16 bands x 4 rows
 ROWS_PER_BAND = N_PERM // N_BANDS
 MINHASH_TAU = 0.60
+MINHASH_BUCKET_CAP = 64  # beyond this, a band bucket emits chain pairs only
 SHINGLE_W = 3         # word 3-gram shingles
 
 _MERSENNE = (1 << 61) - 1
@@ -124,6 +125,40 @@ def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     )
 
 
+def _candidate_pairs(sub):
+    """Within-shard LSH candidate pairs with the celebrity-bucket cap: a
+    bucket with k members normally yields k^2 merge candidates; beyond
+    MINHASH_BUCKET_CAP (near-identical doc clusters) the bucket emits only
+    its doc_id-sorted CHAIN pairs — the cluster stays connected for
+    downstream union-find dedup while candidate volume drops to O(k).
+    Deterministic. ``sub``: DataFrame (band, bucket, doc_id, pos)."""
+    import pandas as pd
+
+    sizes = sub.groupby(["band", "bucket"])["doc_id"].transform("size")
+    big = sizes > MINHASH_BUCKET_CAP
+    chain_pairs = None
+    if big.any():
+        bigdf = sub[big].sort_values(["band", "bucket", "doc_id"], kind="mergesort")
+        nxt = bigdf.shift(-1)
+        same = (nxt["band"] == bigdf["band"]) & (nxt["bucket"] == bigdf["bucket"])
+        chain_pairs = pd.DataFrame(
+            {
+                "band": bigdf["band"][same].to_numpy(),
+                "bucket": bigdf["bucket"][same].to_numpy(),
+                "doc_id_l": bigdf["doc_id"][same].to_numpy(),
+                "doc_id_r": nxt["doc_id"][same].to_numpy().astype(np.int64),
+                "pos_l": bigdf["pos"][same].to_numpy(),
+                "pos_r": nxt["pos"][same].to_numpy().astype(np.int64),
+            }
+        )
+        sub = sub[~big]
+    cand = sub.merge(sub, on=["band", "bucket"], suffixes=("_l", "_r"))
+    cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+    if chain_pairs is not None:
+        cand = pd.concat([cand[chain_pairs.columns], chain_pairs], ignore_index=True)
+    return cand
+
+
 def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
     """LSH candidate pairs verified by signature-estimated Jaccard >= tau.
     Pipeline: signatures -> per-band bucket keys -> groupby(bucket) pairs ->
@@ -178,8 +213,7 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
 
         sub = df[["band", "bucket", "doc_id"]].reset_index(drop=True)
         sub["pos"] = np.arange(len(sub))
-        cand = sub.merge(sub, on=["band", "bucket"], suffixes=("_l", "_r"))
-        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        cand = _candidate_pairs(sub)
         if len(cand) == 0:
             return pd.DataFrame(
                 {"left_id": np.array([], dtype=np.int64),

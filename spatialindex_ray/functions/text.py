@@ -54,25 +54,51 @@ def token_stats_query(sf_dir: str):
     return ds.map_batches(token_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
+def _token_segments(text_col):
+    """(flat tokens array, row offsets) from a string column — one Arrow
+    whitespace split, zero per-row Python."""
+    toks = pc.utf8_split_whitespace(text_col.combine_chunks())
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = np.asarray(toks.offsets)
+    flat = toks.flatten()
+    return flat, offsets.astype(np.int64)
+
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat token-aligned array (wrap-safe cumsum diff)."""
+    cs = np.concatenate([[0], np.cumsum(values, dtype=np.float64)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 class LangID:
-    """Stopword-vote language identifier (actor-pool stage: stopword hash
-    sets built once per actor)."""
+    """Stopword-vote language identifier. Vectorized (round 2): one Arrow
+    whitespace split, per-language pc.is_in membership over the flat token
+    array, segment-sum votes — no per-row Python. Actor-pool stage: the
+    stopword value sets are built once per actor in __init__."""
 
     def __init__(self):
-        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-        self.langs = sorted(self.tables)
+        self.langs = sorted(STOPWORDS)
+        self.value_sets = {
+            lang: pa.array(sorted(STOPWORDS[lang])) for lang in self.langs
+        }
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        texts = tbl["text"].to_pylist()
-        preds = []
-        for t in texts:
-            toks = t.split()
-            scores = {
-                lang: sum(1 for w in toks if w in tbl_)
-                for lang, tbl_ in self.tables.items()
-            }
-            best = max(self.langs, key=lambda lg: (scores[lg], lg))
-            preds.append(best if scores[best] > 0 else "und")
+        flat, offsets = _token_segments(tbl["text"])
+        n = len(tbl)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for k, lang in enumerate(self.langs):
+            member = pc.is_in(flat, value_set=self.value_sets[lang])
+            vals = member.to_numpy(zero_copy_only=False).astype(np.int64)
+            scores[:, k] = _segment_sum(vals, offsets).astype(np.int64)
+        # tie-break identical to max(key=(score, lang)): the lexicographically
+        # LARGEST language among equal scores wins
+        rev = scores[:, ::-1]
+        best_rev = np.argmax(rev, axis=1)
+        best = len(self.langs) - 1 - best_rev
+        best_score = scores[np.arange(n), best]
+        langs_arr = np.array(self.langs)
+        preds = np.where(best_score > 0, langs_arr[best], "und")
         return pa.table({"doc_id": tbl["doc_id"], "lang_pred": pa.array(preds)})
 
 
@@ -85,20 +111,37 @@ def lang_id_query(sf_dir: str):
 
 def quality_score_batch(tbl: pa.Table) -> pa.Table:
     """Heuristic quality scoring: mean token length, alpha ratio, repetition
-    ratio (distinct/total tokens) — all vectorized; score in [0, 100] as a
-    deterministic int (stable across summation orders)."""
-    texts = tbl["text"].to_pylist()
-    n = len(texts)
-    scores = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            continue
-        mean_len = sum(len(w) for w in toks) / len(toks)
-        distinct_ratio = len(set(toks)) / len(toks)
-        alpha = sum(1 for w in toks if w.isalpha()) / len(toks)
-        raw = 40.0 * min(mean_len / 6.0, 1.0) + 30.0 * distinct_ratio + 30.0 * alpha
-        scores[i] = int(raw)
+    ratio (distinct/total tokens). Fully vectorized (round 2): one Arrow
+    split, utf8_length / utf8_is_alpha over the flat token array with
+    segment sums; distinct counts via a token-hash sort per batch."""
+    flat, offsets = _token_segments(tbl["text"])
+    n = len(tbl)
+    ntok = (offsets[1:] - offsets[:-1]).astype(np.float64)
+    has = ntok > 0
+    safe = np.maximum(ntok, 1.0)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    mean_len = _segment_sum(tok_lens, offsets) / safe
+    alpha_flags = pc.utf8_is_alpha(flat).to_numpy(zero_copy_only=False)
+    # match str.isalpha(): empty tokens are not alpha (Arrow agrees), and
+    # whitespace split never yields empties anyway
+    alpha = _segment_sum(alpha_flags.astype(np.int64), offsets) / safe
+    # distinct tokens per row: 64-bit token hash, sort within rows, count
+    # boundaries (collisions astronomically unlikely per ~1e3-token rows)
+    th = hashing.poly_hash64_of_column(flat)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), (offsets[1:] - offsets[:-1]))
+    order = np.lexsort((th, row_of))
+    sh, sr = th[order], row_of[order]
+    new = np.ones(len(sh), dtype=np.int64)
+    if len(sh) > 1:
+        new[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+    distinct = np.bincount(sr, weights=new, minlength=n)
+    distinct_ratio = distinct / safe
+    raw = (
+        40.0 * np.minimum(mean_len / 6.0, 1.0)
+        + 30.0 * distinct_ratio
+        + 30.0 * alpha
+    )
+    scores = np.where(has, raw.astype(np.int64), 0)
     return pa.table({"doc_id": tbl["doc_id"], "quality": pa.array(scores)})
 
 

@@ -143,3 +143,45 @@ def test_fingerprint_long_outlier_memory():
     assert len(fps) == 20000
     solo = text.fingerprint_batch(_doc_table(["x" * 1_000_000]))
     assert solo["fingerprint"].to_pylist()[0] == fps[123]
+
+
+def test_minhash_celebrity_bucket_cap():
+    """Oversized buckets emit O(k) chain pairs that keep the cluster
+    CONNECTED; normal buckets keep exact all-pairs."""
+    import pandas as pd
+
+    k = dedup.MINHASH_BUCKET_CAP * 3
+    big = pd.DataFrame(
+        {
+            "band": np.zeros(k, dtype=np.int64),
+            "bucket": np.full(k, 42, dtype=np.int64),
+            "doc_id": np.arange(k, dtype=np.int64),
+            "pos": np.arange(k, dtype=np.int64),
+        }
+    )
+    small = pd.DataFrame(
+        {
+            "band": np.ones(4, dtype=np.int64),
+            "bucket": np.full(4, 7, dtype=np.int64),
+            "doc_id": np.arange(100, 104, dtype=np.int64),
+            "pos": np.arange(k, k + 4, dtype=np.int64),
+        }
+    )
+    sub = pd.concat([big, small], ignore_index=True)
+    cand = dedup._candidate_pairs(sub)
+    big_pairs = cand[cand["bucket"] == 42]
+    small_pairs = cand[cand["bucket"] == 7]
+    assert len(big_pairs) == k - 1  # chain, not k*(k-1)/2
+    assert len(small_pairs) == 6  # exact all-pairs (4 choose 2)
+    # connectivity of the capped cluster via union-find
+    parent = list(range(k))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(big_pairs["doc_id_l"], big_pairs["doc_id_r"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(k)}) == 1
