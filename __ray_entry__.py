@@ -164,6 +164,45 @@ def _padded_polygon_oracle():
     return _xyz_sql() + f"SELECT doc_id FROM n WHERE {terms}"
 
 
+HEX_RES = 4
+
+
+def _hex_tile_agg(sf_dir):
+    """Per-hex-cell counts at aperture-7 resolution HEX_RES (H3-class
+    hexagonal binning; kernels/hexgrid.py documents the face-clipped id
+    deviation from canonical H3). Partial pre-agg inside map_batches ->
+    small groupby — same scale shape as cell_counts."""
+    import ray
+
+    from spatialindex_ray.kernels import hexgrid
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        xyz = np.column_stack(
+            [
+                tbl["x"].to_numpy(zero_copy_only=False),
+                tbl["y"].to_numpy(zero_copy_only=False),
+                tbl["z"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        cells = hexgrid.xyz_to_cell(xyz, HEX_RES)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table(
+            {"hex_cell": pa.array(uniq.view(np.int64)), "partial": pa.array(cnt)}
+        )
+
+    out = enc.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(
+        "hex_cell"
+    ).sum("partial")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["hex_cell", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def _tile_counts(sf_dir):
     ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
     tiled = ops.tile_assign(ds, TILE_DEG)
@@ -519,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_search_hpx": lambda sf: _polygon_query(sf, 1),
         "padded_polygon_search": _padded_polygon_query,
         "cone_search_s2": _cone_s2_query,
+        "hex_tile_agg": _hex_tile_agg,
         "tile_assign_grid": _tile_counts,
         "radius_join": _radius_join,
         "knn": _knn_query,

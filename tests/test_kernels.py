@@ -183,3 +183,53 @@ class TestS2:
             inside = (v @ c) >= np.cos(rad)
             m = ops.ranges_mask(leaf, ranges)
             assert not (inside & ~m).any()
+
+
+class TestHexGrid:
+    def test_partition_and_roundtrip(self):
+        from spatialindex_ray.kernels import hexgrid as hg
+
+        rng = np.random.RandomState(5)
+        v = rng.normal(size=(20000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        for res in (2, 5, 8):
+            ids = hg.xyz_to_cell(v, res)
+            assert ids.dtype == np.uint64
+            r, f, q, rr = hg.cell_to_parts(ids)
+            assert (r == res).all()
+            assert ((f >= 0) & (f < 20)).all()
+            # determinism
+            assert (hg.xyz_to_cell(v, res) == ids).all()
+            # interior-cell center roundtrip (face-boundary cells are
+            # clipped by design — see module docstring)
+            uniq = np.unique(ids)
+            back = hg.xyz_to_cell(hg.cell_center_xyz(uniq), res)
+            # boundary slivers are a larger share at coarse res
+            assert (back == uniq).mean() > (0.9 if res <= 3 else 0.95)
+
+    def test_resolution_refines(self):
+        from spatialindex_ray.kernels import hexgrid as hg
+
+        rng = np.random.RandomState(6)
+        v = rng.normal(size=(50000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        n1 = len(np.unique(hg.xyz_to_cell(v, 1)))
+        n2 = len(np.unique(hg.xyz_to_cell(v, 2)))
+        # aperture 7: each res multiplies cell count ~7x (boundary slivers
+        # push it a bit above; use coarse resolutions so 50k samples don't
+        # saturate the cell population)
+        assert 5.0 < n2 / n1 < 9.5
+
+    def test_neighbors_ring(self):
+        from spatialindex_ray.kernels import hexgrid as hg
+
+        rng = np.random.RandomState(7)
+        v = rng.normal(size=(50, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ids = hg.xyz_to_cell(v, 6)
+        nb = hg.neighbors(ids)
+        ctr = hg.cell_center_xyz(ids)
+        for k in range(6):
+            nc = hg.cell_center_xyz(nb[:, k])
+            d = np.degrees(np.arccos(np.clip((ctr * nc).sum(axis=1), -1, 1)))
+            assert (d > 0).all() and (d < 1.0).all()
