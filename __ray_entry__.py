@@ -600,11 +600,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "token_stats": textfn.TOKEN_STATS_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
+        "quality_score": textfn.QUALITY_ORACLE,
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
-        # lang_id / quality_score / doc_fingerprint / minhash / simhash /
-        # embedding_near_dup / ann_topk_cosine / cell_counts_htm4: not
-        # SQL-expressible (hashing / heuristics / HTM ids) -> rows-only check.
+        # lang_id / doc_fingerprint / minhash / simhash / embedding_near_dup
+        # / ann_topk_* / cell_counts_htm4 / hex_tile_agg / image_features /
+        # dedup_rows_salted / index_build_query: not SQL-expressible
+        # (hashing / heuristics / cell ids) -> rows-only check; each is
+        # covered by property/brute-force tests instead (tests/).
     }

@@ -97,14 +97,30 @@ def bench_encode(n_pages: int) -> dict:
     from spatialindex_ray import ops
     from spatialindex_ray.sources import webpages
 
+    import pyarrow as pa
+
     t0 = time.time()
     pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
     enc = ops.encode(pages.select_columns(["url"]), url_col="url")
-    # consume the stream with a cheap aggregate so encode fully executes
-    total = enc.select_columns(["htm20"]).sum("htm20")
+
+    # consume the stream with a cheap aggregate so encode fully executes.
+    # Per-batch int64 partial sums stay under 2^63 (<=50k rows x ~1.7e13);
+    # the driver total is an exact Python int, so the checksum matches the
+    # round-1 value (a full-dataset int64 sum would overflow into Ray's
+    # pickled-object fallback).
+    def partial_sum(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = int(tbl["htm20"].to_numpy(zero_copy_only=False).sum())
+        return pa.table({"s": pa.array([s], type=pa.int64())})
+
+    parts = enc.map_batches(
+        partial_sum, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    total = sum(r["s"] for r in parts)
     wall = time.time() - t0
     return {"wall_s": wall, "rows": n_pages, "rows_per_sec": n_pages / wall,
-            "checksum": int(total) % (1 << 62)}
+            "checksum": total % (1 << 62)}
 
 
 def bench_cone(n_pages: int) -> dict:
@@ -137,9 +153,10 @@ def run_suite() -> dict:
     results: dict[str, float] = {}
     extras: dict[str, dict] = {}
 
-    # warm the worker pool (imports + first-task costs) so measurements
-    # reflect steady-state throughput, not cold start
-    bench_encode(20_000)
+    # warm the worker pool (imports + first-task costs + first big NumPy
+    # allocations per worker — this sandbox intermittently stalls fresh page
+    # faults 10-100x) so measurements reflect steady-state throughput
+    bench_encode(200_000)
 
     r = bench_encode(N_PAGES_ENCODE)
     results["encode_1m"] = round(r["wall_s"], 3)

@@ -145,6 +145,30 @@ def quality_score_batch(tbl: pa.Table) -> pa.Table:
     return pa.table({"doc_id": tbl["doc_id"], "quality": pa.array(scores)})
 
 
+QUALITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(length(tok)) AS DOUBLE) AS lensum,
+         CAST(COUNT(DISTINCT tok) AS DOUBLE) AS dn,
+         CAST(SUM(CASE WHEN regexp_full_match(tok, '[A-Za-z]+') THEN 1 ELSE 0 END) AS DOUBLE) AS an
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(
+         floor(40.0 * least((a.lensum / a.n) / 6.0, 1.0)
+               + 30.0 * (a.dn / a.n)
+               + 30.0 * (a.an / a.n)),
+         0.0) AS BIGINT) AS quality
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def quality_score_query(sf_dir: str):
     import ray
 

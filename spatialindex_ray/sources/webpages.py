@@ -68,35 +68,48 @@ def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
 
     length = 200 + (
         (d[:, 16].astype(np.int64) << 8 | d[:, 17].astype(np.int64)) % 1801
-    )
-    # html: digest tiled to `length` bytes, flat gather
-    h_off = np.zeros(n + 1, dtype=np.int64)
+    ).astype(np.int32)
+    # html: digest tiled to `length` bytes. All index math in int32 with
+    # fused flat gathers — batch temporaries stay ~5x the output bytes
+    # (large fresh allocations intermittently stall 10-100x in this sandbox
+    # when the host is reclaiming memory; small is also right at scale).
+    length = length.astype(np.int32)
+    h_off = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(length, out=h_off[1:])
     total = int(h_off[-1])
-    row_of = np.repeat(np.arange(n), length)
-    within = np.arange(total, dtype=np.int64) - np.repeat(h_off[:-1], length)
-    html_flat = d[row_of, within % 20]
+    dflat = np.ascontiguousarray(d).reshape(-1)
+    within = np.arange(total, dtype=np.int32)
+    within -= np.repeat(h_off[:-1], length)
+    flat_idx = np.repeat(
+        np.arange(n, dtype=np.int32) * np.int32(20), length
+    )
+    flat_idx += within % np.int32(20)
+    html_flat = dflat[flat_idx]
+    del flat_idx
     html_arr = pa.Array.from_buffers(
         pa.binary(),
         n,
-        [None, pa.py_buffer(h_off.astype(np.int32)), pa.py_buffer(html_flat)],
+        [None, pa.py_buffer(h_off), pa.py_buffer(html_flat)],
     )
     # text: hex(html)[: length // 2] — char p is the hi/lo nibble of html
     # byte p // 2, rendered through a hex LUT
-    tlen = length // 2
-    t_off = np.zeros(n + 1, dtype=np.int64)
+    tlen = length // np.int32(2)
+    t_off = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(tlen, out=t_off[1:])
     t_total = int(t_off[-1])
-    t_row = np.repeat(np.arange(n), tlen)
-    t_within = np.arange(t_total, dtype=np.int64) - np.repeat(t_off[:-1], tlen)
-    src_byte = d[t_row, (t_within >> 1) % 20]
-    text_flat = np.where(
-        (t_within & 1) == 0, _HEX[src_byte >> 4], _HEX[src_byte & 15]
-    )
+    t_within = np.arange(t_total, dtype=np.int32)
+    t_within -= np.repeat(t_off[:-1], tlen)
+    t_idx = np.repeat(np.arange(n, dtype=np.int32) * np.int32(20), tlen)
+    t_idx += (t_within >> np.int32(1)) % np.int32(20)
+    src_byte = dflat[t_idx]
+    del t_idx
+    # hi nibble for even positions, lo for odd: one gather + shift select
+    shift = ((~t_within) & np.int32(1)) << np.int32(2)
+    text_flat = _HEX[(src_byte >> shift.astype(np.uint8)) & np.uint8(15)]
     text_arr = pa.Array.from_buffers(
         pa.string(),
         n,
-        [None, pa.py_buffer(t_off.astype(np.int32)), pa.py_buffer(text_flat)],
+        [None, pa.py_buffer(t_off), pa.py_buffer(text_flat)],
     )
     langs = np.array(LANGS)[np.asarray(indices, dtype=np.int64) % len(LANGS)]
     ts = EPOCH_2025 + np.asarray(indices, dtype=np.int64) * 1_000_000
