@@ -54,8 +54,8 @@ def headline_spatial_join_tiles(n_pages: int) -> dict:
     from spatialindex_ray.sources import webpages
 
     t0 = time.time()
-    pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
-    enc = ops.encode(pages.select_columns(["url"]), url_col="url")
+    pages = webpages.synth_webpages(n_pages, hot_frac=0.002, columns=["url"])
+    enc = ops.encode(pages, url_col="url")
 
     # url ids: derive an int id column once (the join shuffles integer ids)
     def add_id(tbl):
@@ -100,8 +100,8 @@ def bench_encode(n_pages: int) -> dict:
     import pyarrow as pa
 
     t0 = time.time()
-    pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
-    enc = ops.encode(pages.select_columns(["url"]), url_col="url")
+    pages = webpages.synth_webpages(n_pages, hot_frac=0.002, columns=["url"])
+    enc = ops.encode(pages, url_col="url")
 
     # consume the stream with a cheap aggregate so encode fully executes.
     # Per-batch int64 partial sums stay under 2^63 (<=50k rows x ~1.7e13);
@@ -130,8 +130,8 @@ def bench_cone(n_pages: int) -> dict:
     from spatialindex_ray.sources import webpages
 
     t0 = time.time()
-    pages = webpages.synth_webpages(n_pages, hot_frac=0.002)
-    enc = ops.encode(pages.select_columns(["url"]), url_col="url")
+    pages = webpages.synth_webpages(n_pages, hot_frac=0.002, columns=["url"])
+    enc = ops.encode(pages, url_col="url")
     plan = SpatialIndex().cone_plan(83.2, 12.5, 10.0, mode=0, level=7)
     n = ops.region_search(enc, plan).count()
     wall = time.time() - t0

@@ -46,16 +46,41 @@ def _urls_for(indices: np.ndarray, hot_frac: float) -> list[str]:
     return urls
 
 
-def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
+ALL_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def synth_batch(
+    indices: np.ndarray, hot_frac: float = 0.0, columns=None
+) -> pa.Table:
     """Generate webpage rows for the given global row indices.
 
     Per-row rules (byte-identical to round 1):
       d = sha1(url); length = 200 + (be16(d[16:18]) % 1801)
       html = tile(d)[:length]; text = html.hex()[:length // 2]
       lang = LANGS[i % 5]; warc_ts = 2025-01-01 + i seconds
+
+    ``columns`` prunes generation at the source (the synthetic analog of
+    parquet column pushdown): html+text are ~1.1 KB/row, so an encode-only
+    pipeline that materializes them just to project them away moves ~20x
+    more memory than it needs.
     """
+    cols_wanted = ALL_COLUMNS if columns is None else tuple(columns)
     n = len(indices)
     urls = _urls_for(indices, hot_frac)
+    if not ({"html", "text"} & set(cols_wanted)):
+        out = {}
+        for c in cols_wanted:
+            if c == "url":
+                out[c] = pa.array(urls, type=pa.string())
+            elif c == "warc_ts":
+                ts = EPOCH_2025 + np.asarray(indices, dtype=np.int64) * 1_000_000
+                out[c] = pa.array(ts, type=pa.timestamp("us"))
+            elif c == "lang":
+                langs = np.array(LANGS)[
+                    np.asarray(indices, dtype=np.int64) % len(LANGS)
+                ]
+                out[c] = pa.array(langs, type=pa.string())
+        return pa.table(out)
     enc = [u.encode() for u in urls]
     u_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(b) for b in enc], out=u_offsets[1:])
@@ -113,20 +138,26 @@ def synth_batch(indices: np.ndarray, hot_frac: float = 0.0) -> pa.Table:
     )
     langs = np.array(LANGS)[np.asarray(indices, dtype=np.int64) % len(LANGS)]
     ts = EPOCH_2025 + np.asarray(indices, dtype=np.int64) * 1_000_000
-    return pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-            "html": html_arr,
-            "text": text_arr,
-            "lang": pa.array(langs, type=pa.string()),
-        }
-    )
+    full = {
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+        "html": html_arr,
+        "text": text_arr,
+        "lang": pa.array(langs, type=pa.string()),
+    }
+    return pa.table({c: full[c] for c in cols_wanted})
 
 
-def synth_webpages(n_rows: int, *, hot_frac: float = 0.02, override_num_blocks=None):
+def synth_webpages(
+    n_rows: int,
+    *,
+    hot_frac: float = 0.02,
+    override_num_blocks=None,
+    columns=None,
+):
     """Dataset of n_rows synthetic pages; generation itself runs distributed
     (ray.data.range -> map_batches), so no driver-side materialization.
+    ``columns`` prunes generation at the source (see synth_batch).
 
     Block sizing: ~50k rows per block (bounded to [8, 1024] blocks) — small
     enough to pipeline/spill, large enough that per-task scheduling overhead
@@ -138,6 +169,6 @@ def synth_webpages(n_rows: int, *, hot_frac: float = 0.02, override_num_blocks=N
     ds = ray.data.range(n_rows, override_num_blocks=override_num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
-        return synth_batch(batch["id"].to_numpy(), hot_frac=hot_frac)
+        return synth_batch(batch["id"].to_numpy(), hot_frac=hot_frac, columns=columns)
 
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
