@@ -270,6 +270,7 @@ def cap_cover_ranges(center_xyz, radius_rad: float, level: int) -> np.ndarray:
         np.full(6, 1 << (MAX_LEVEL - 1), dtype=np.int64),
         0,
     )
+    emitted = []  # cells fully inside the cap, emitted at their own level
     for lev in range(0, level + 1):
         centers = cellid_to_center_xyz(ids)
         corners = cell_corners_xyz(ids)
@@ -277,8 +278,16 @@ def cap_cover_ranges(center_xyz, radius_rad: float, level: int) -> np.ndarray:
         circum = np.arccos(np.clip(cosang.min(axis=1), -1.0, 1.0))
         d = np.arccos(np.clip(centers @ c, -1.0, 1.0))
         keep = d <= radius_rad + circum
-        ids = ids[keep]
-        if lev == level or len(ids) == 0:
+        if lev == level:
+            emitted.append(ids[keep])
+            break
+        # fully-inside cells need no subdivision: their whole leaf range is
+        # in the cover regardless of level
+        inside = keep & (d + circum <= radius_rad)
+        if inside.any():
+            emitted.append(ids[inside])
+        ids = ids[keep & ~inside]
+        if len(ids) == 0:
             break
         # children: 4 per cell (parent center +- odd multiples of child lsb)
         child_lsb = _lsb(ids) >> np.uint64(2)
@@ -291,6 +300,9 @@ def cap_cover_ranges(center_xyz, radius_rad: float, level: int) -> np.ndarray:
             ],
             axis=1,
         ).ravel()
+    ids = (
+        np.concatenate(emitted) if emitted else np.empty(0, dtype=np.uint64)
+    )
     if len(ids) == 0:
         return np.empty((0, 2), dtype=np.uint64)
     lo, hi = cellid_range(np.sort(ids))
