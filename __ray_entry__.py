@@ -125,6 +125,19 @@ def _cone_s2_query(sf_dir):
     return ops.region_search(enc, plan).select_columns(["doc_id"])
 
 
+def _polygon_s2_query(sf_dir):
+    """Polygon search pre-filtered by the S2 bounding-cap cover; the exact
+    edge-normal predicate matches the shared polygon SQL oracle."""
+    import ray
+
+    si = SpatialIndex()
+    plan = si.polygon_plan_s2(POLY_RA, POLY_DEC, level=10)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None,
+                     s2_leaf=True)
+    return ops.region_search(enc, plan).select_columns(["doc_id"])
+
+
 def _polygon_query(sf_dir, mode):
     si = SpatialIndex()
     plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=mode, level=POLY_LEVEL)
@@ -558,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_search_hpx": lambda sf: _polygon_query(sf, 1),
         "padded_polygon_search": _padded_polygon_query,
         "cone_search_s2": _cone_s2_query,
+        "polygon_search_s2": _polygon_s2_query,
         "hex_tile_agg": _hex_tile_agg,
         "tile_assign_grid": _tile_counts,
         "radius_join": _radius_join,
@@ -593,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_search_hpx": _polygon_oracle(),
         "padded_polygon_search": _padded_polygon_oracle(),
         "cone_search_s2": _cone_oracle(0),
+        "polygon_search_s2": _polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),

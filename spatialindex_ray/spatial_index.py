@@ -192,6 +192,27 @@ class SpatialIndex:
             "region": cone,
         }
 
+    def polygon_plan_s2(self, ra, dec, level=10):
+        """S2-mode convex-polygon plan: leaf ranges from the cover of the
+        polygon's bounding cap (center = normalized vertex sum, radius = max
+        vertex separation) + the exact edge-normal predicate."""
+        from .kernels import s2 as s2k
+        from .kernels import vec as veck
+
+        poly = geom.ConvexPolygon(list(ra), list(dec))
+        cen = np.asarray(geom._normalize(poly.vsum))
+        rad = 0.0
+        for v in poly.verts:
+            rad = max(rad, float(veck.angsepu(cen, np.asarray(v))))
+        ranges = s2k.cap_cover_ranges(cen, rad * geom.RAD_PER_DEG, level)
+        return {
+            "kind": "polygon",
+            "mode": 2,
+            "level": level,
+            "ranges": ranges,
+            "region": poly,
+        }
+
     def padded_polygon_plan(self, ra, dec, pad_deg, level=7, compress=True):
         """Plan for a polygon GROWN by ``pad_deg`` degrees (htm_s2cpoly_pad,
         geometry.c:645-719) — the natural pre-filter for polygon-vs-point
