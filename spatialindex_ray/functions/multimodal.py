@@ -1,17 +1,121 @@
 """Multimodal column operators: image/audio/video handled as opaque binary
 columns with typed metadata.
 
-The decode kernels themselves are STUBS (no image/audio libraries in this
-environment — see DecodeImage.__init__), but all the Ray-side plumbing is
-real and tested: actor-pool map_batches signatures, small-batch sizing for
-large binary payloads, schema handling, and deterministic fake feature
-extraction so downstream stages (dedup, ANN over features) can run.
+PNG payloads are decoded FOR REAL by a pure stdlib+NumPy decoder below
+(zlib inflate + scanline unfiltering; 8-bit gray/RGB/RGBA, non-interlaced —
+the overwhelmingly common case), with a matching encoder for tests. Other
+formats (JPEG etc. — no libjpeg/PIL in this container) fall back to a
+clearly-documented deterministic fake, so all the Ray-side plumbing
+(actor-pool map_batches signatures, small-batch sizing for large binary
+payloads, schema handling, feature extraction) is real and tested either
+way.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pyarrow as pa
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def decode_png(raw: bytes):
+    """Minimal real PNG decoder: returns (height, width, channels,
+    (H, W, C) uint8 pixels). Supports bit depth 8, colortypes 0/2/4/6,
+    no interlace. Raises ValueError on anything else."""
+    if bytes(raw[:8]) != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    ctype = None
+    idat = []
+    n = len(raw)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", bytes(raw[pos : pos + 4]))
+        tag = bytes(raw[pos + 4 : pos + 8])
+        body = bytes(raw[pos + 8 : pos + 8 + length])
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    c = _PNG_CHANNELS[ctype]
+    stride = w * c
+    dec = zlib.decompress(b"".join(idat))
+    if len(dec) != h * (stride + 1):
+        raise ValueError("bad PNG data size")
+    rows = np.frombuffer(dec, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        for y in range(h):
+            cur = rows[y, 1:].copy()
+            f = filters[y]
+            prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            if f == 0:
+                out[y] = cur
+            elif f == 1:  # Sub: cumulative along x per channel offset
+                px = cur.reshape(w, c)
+                np.add.accumulate(px, axis=0, out=px)
+                out[y] = px.reshape(stride)
+            elif f == 2:  # Up
+                out[y] = cur + prev
+            elif f == 3:  # Average — sequential in x
+                for x in range(stride):
+                    left = int(out[y, x - c]) if x >= c else 0
+                    out[y, x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth — sequential in x
+                for x in range(stride):
+                    a = int(out[y, x - c]) if x >= c else 0
+                    b = int(prev[x])
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+                    out[y, x] = (int(cur[x]) + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+    return h, w, c, out.reshape(h, w, c)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 rows) for (H, W, C) uint8 arrays,
+    C in {1, 3, 4} — the test/reference dual of decode_png."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * c)], axis=1
+    )
+    body = zlib.compress(scan.tobytes(), 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
 
 
 def _binary_buffers(col):
@@ -26,9 +130,10 @@ def _binary_buffers(col):
 
 class DecodeImage:
     """Actor-pool stage: binary payload -> (width, height, channels) +
-    feature vector. Real decoders (PIL / libjpeg) are not available in this
-    container; the decode step is a deterministic fake that parses
-    pseudo-header bytes — swap `_decode` for a real implementation.
+    feature vector. PNG payloads decode for real (decode_png above); other
+    formats (no libjpeg/PIL in this container) use a deterministic fake
+    that parses pseudo-header bytes — swap the fallback for a real JPEG
+    implementation when the library exists.
 
     Usage: ds.map_batches(DecodeImage, concurrency=N, batch_size=256,
     num_cpus=1) — small batches because payloads are large; decoder state
@@ -38,23 +143,22 @@ class DecodeImage:
     FEATURE_DIM = 32
 
     def __init__(self, feature_dim: int = FEATURE_DIM):
-        try:
-            import PIL.Image  # noqa: F401
-
-            self._real = True
-        except ImportError:
-            self._real = False
         self.feature_dim = feature_dim
         # deterministic projection "model" loaded once per actor
         rng = np.random.RandomState(424242)
         self.proj = rng.normal(size=(256, feature_dim)).astype(np.float32)
 
     def _decode(self, payload_off, payload_data, i):
-        if self._real:  # pragma: no cover - not reachable in this container
-            raise NotImplementedError("real decoder wiring goes here")
         lo, hi = payload_off[i], payload_off[i + 1]
         raw = payload_data[lo:hi]
-        # deterministic fake: derive dims from the first bytes
+        if bytes(raw[:8]) == _PNG_MAGIC:
+            try:
+                h, w, c, px = decode_png(raw)
+                return w, h, c, px.reshape(-1)
+            except ValueError:
+                pass  # corrupt/unsupported variant -> fallback below
+        # deterministic fake for non-PNG payloads: derive dims from the
+        # first bytes, features from the raw byte histogram
         w = 64 + int(raw[0]) if len(raw) else 0
         h = 64 + int(raw[1]) if len(raw) > 1 else 0
         c = 3

@@ -185,3 +185,74 @@ def test_minhash_celebrity_bucket_cap():
     for a, b in zip(big_pairs["doc_id_l"], big_pairs["doc_id_r"]):
         parent[find(int(a))] = find(int(b))
     assert len({find(i) for i in range(k)}) == 1
+
+
+def test_png_roundtrip_and_decode_stage():
+    """Real PNG path: encode -> decode roundtrip exact for gray/RGB/RGBA;
+    all five scanline filter types unfilter correctly; the DecodeImage
+    actor stage reports true dimensions for PNG payloads."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(8)
+    for c in (1, 3, 4):
+        px = rng.randint(0, 256, size=(13, 17, c), dtype=np.uint8)
+        raw = multimodal.encode_png(px)
+        h, w, cc, out = multimodal.decode_png(raw)
+        assert (h, w, cc) == (13, 17, c)
+        assert (out == px).all()
+    # hand-filtered scanlines: build an image whose rows use filters 0..4
+    px = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    stride = 9 * 3
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(5):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = y % 5
+        left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+        up = prev.astype(np.int64)
+        ul = np.concatenate([np.zeros(3, dtype=np.int64), up[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - ((left + up) >> 1)
+        else:
+            p = left + up - ul
+            pred = np.where(
+                (abs(p - left) <= abs(p - up)) & (abs(p - left) <= abs(p - ul)),
+                left,
+                np.where(abs(p - up) <= abs(p - ul), up, ul),
+            )
+            enc = cur - pred
+        rows.append(np.concatenate([[f], enc & 0xFF]).astype(np.uint8))
+        prev = px[y].reshape(-1)
+    body = zlib.compress(np.concatenate(rows).tobytes())
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        multimodal._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+    h, w, cc, out = multimodal.decode_png(raw)
+    assert (out == px).all()
+    # actor stage reports true dims for PNG payloads
+    payloads = [multimodal.encode_png(rng.randint(0, 256, (6 + i, 7, 3), dtype=np.uint8)) for i in range(4)]
+    t = pa.table(
+        {"url": pa.array([f"u{i}" for i in range(4)]),
+         "payload": pa.array(payloads, type=pa.binary())}
+    )
+    out_t = multimodal.DecodeImage()(t)
+    assert out_t["height"].to_pylist() == [6, 7, 8, 9]
+    assert out_t["width"].to_pylist() == [7, 7, 7, 7]
+    assert out_t["channels"].to_pylist() == [3, 3, 3, 3]
