@@ -243,18 +243,25 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
 
 # ----------------------------------------------------------------- simhash
 def simhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
-    """64-bit SimHash over token hashes (unweighted): sign of per-bit vote."""
+    """64-bit SimHash over token hashes (unweighted): sign of per-bit vote.
+    Fully vectorized (round 2): one Arrow whitespace split, one batched
+    SHA-1 over the flat token array, per-bit segment-sum votes — values
+    identical to the per-row implementation."""
+    from .text import _token_segments
+
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    out = np.empty(len(ids), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(tbl[text_col].to_pylist()):
-        toks = t.split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = _token_hashes(toks)
-        votes = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
-        out[i] = np.uint64(((votes * 2 > len(toks)).astype(np.uint64) << bits).sum())
+    flat, offsets = _token_segments(tbl[text_col])
+    th = hashing.sha1_pairs_of_column(flat)[:, 0]  # == sha1(token)[:8]
+    ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    out = np.zeros(len(ids), dtype=np.uint64)
+    cs = np.empty(len(th) + 1, dtype=np.int64)
+    cs[0] = 0
+    for b in range(64):
+        v = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        np.cumsum(v, out=cs[1:])
+        votes = cs[offsets[1:]] - cs[offsets[:-1]]
+        out |= (votes * 2 > ntok).astype(np.uint64) << np.uint64(b)
+    out[ntok == 0] = 0
     return pa.table({id_col: pa.array(ids), "simhash": pa.array(out.view(np.int64))})
 
 

@@ -56,13 +56,21 @@ def token_stats_query(sf_dir: str):
 
 def _token_segments(text_col):
     """(flat tokens array, row offsets) from a string column — one Arrow
-    whitespace split, zero per-row Python."""
+    whitespace split, zero per-row Python. Empty tokens (Arrow emits them
+    for empty strings and leading/trailing whitespace; str.split() does
+    not) are dropped so semantics match Python's split."""
     toks = pc.utf8_split_whitespace(text_col.combine_chunks())
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    offsets = np.asarray(toks.offsets)
+    offsets = np.asarray(toks.offsets).astype(np.int64)
     flat = toks.flatten()
-    return flat, offsets.astype(np.int64)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    nonempty = lens > 0
+    if not nonempty.all():
+        cs = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        offsets = cs[offsets]
+        flat = flat.filter(pa.array(nonempty))
+    return flat, offsets
 
 
 def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
