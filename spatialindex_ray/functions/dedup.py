@@ -196,8 +196,13 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
     # Shuffle by a bounded shard key (hash of (band,bucket) mod n_shards),
     # not by raw bucket: per-group overhead is ~10 ms and bucket count is
     # O(docs x bands). Within a shard, one vectorized pandas self-merge on
-    # (band, bucket) emits candidates.
-    n_shards = 256
+    # (band, bucket) emits candidates. Shard count scales with the table
+    # (parquet metadata — no scan): ~1 shard / 50 docs, clamped [8, 256];
+    # at 10^12 docs the cap would instead scale with cluster cores.
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_shards = int(min(256, max(8, n_docs // 50)))
 
     def add_shard(tbl: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
