@@ -515,6 +515,48 @@ def _dedup_rows_salted(sf_dir):
     return out.select_columns(["url"])
 
 
+def _knn_indexed_query(sf_dir):
+    """North-star kNN path: per-cell neighbor-ring expansion over a built
+    sorted index (no full scan) — pipelines.build.knn_indexed. Uses a
+    ranged index built in /tmp from synthesized pages; exactness vs the
+    brute-force scan is asserted in tests/test_knn_indexed.py. Rows-only
+    check (HEALPix ring walks are not SQL-expressible)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spatialindex_ray import pipelines
+    from spatialindex_ray.sources import webpages
+
+    tmp = tempfile.mkdtemp(prefix="sptknn_")
+    try:
+        src = f"{tmp}/src"
+        webpages.synth_webpages(2000, hot_frac=0.0).write_parquet(src)
+        files = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        out_dir = f"{tmp}/index"
+        pipelines.build.build_index(files, out_dir, shard_size=8)
+        import ray
+
+        enc = ops.encode(ray.data.read_parquet(files), url_col="url")
+        counts = ops.cell_counts(enc, "hpx20", out_level=5).to_pandas()
+        col = [c for c in counts.columns if c.startswith("sum")][0]
+        cell_counts = dict(
+            zip(counts["cell"].astype(int), counts[col].astype(int))
+        )
+        out = pipelines.build.knn_indexed(
+            out_dir,
+            cell_counts,
+            [(0, 10.0, 10.0), (1, 200.0, -45.0), (2, 310.5, 72.0)],
+            k=5,
+            count_level=5,
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _index_build_query(sf_dir):
     """Build a sorted/partitioned index over synthesized pages in /tmp, then
     run a cone query over it via parquet range pruning (the htm_tree query
@@ -592,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": multimodal.image_features_query,
         "dedup_rows_salted": _dedup_rows_salted,
         "index_build_query": _index_build_query,
+        "knn_indexed": _knn_indexed_query,
         "ellipse_search_htm": _ellipse_query,
         "events_window_agg": _events_window_agg,
         "orders_customer_join": _orders_customer_join,

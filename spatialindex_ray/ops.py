@@ -713,14 +713,23 @@ def equi_join(
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
 
 
-def attach_columns(result_ds, source_ds, on: str, columns: list, n_shards: int = 64):
+def attach_columns(
+    result_ds,
+    source_ds,
+    on: str,
+    columns: list,
+    n_shards: int = 64,
+    broadcast: str | None = None,
+):
     """Re-attach wide columns (e.g. text/html) from the source table to a
     narrow result by key — the pattern that keeps payload bytes out of the
-    heavy shuffles (SURVEY §4.2)."""
+    heavy shuffles (SURVEY §4.2). Pass broadcast="left" when the RESULT side
+    is small (e.g. a query hit list): the source is then streamed through a
+    map-side join with no exchange at all."""
     src = source_ds.map_batches(
         lambda t: t.select([on] + columns), batch_format="pyarrow", batch_size=None
     )
-    return equi_join(result_ds, src, on, n_shards=n_shards)
+    return equi_join(result_ds, src, on, n_shards=n_shards, broadcast=broadcast)
 
 
 # --------------------------------------------------------------- aggregates
