@@ -367,37 +367,56 @@ def _sessionize_events(sf_dir):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
+    n_shards = 32
+
     def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
+                "shard": pa.array(uid % np.int64(n_shards)),
                 "user_id": tbl["user_id"],
                 "ts_us": tbl["ts"].cast(pa.int64()),
             }
         )
 
-    def sessions(df):
-        import pandas as pd
-
-        df = df.sort_values("ts_us", kind="mergesort")
-        ts = df["ts_us"].to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        new[1:] = (ts[1:] - ts[:-1] > SESSION_GAP_US).astype(np.int64)
-        sess = new.cumsum()
-        sizes = np.bincount(sess)[1:]
-        return pd.DataFrame(
+    def sessions_shard(tbl: pa.Table) -> pa.Table:
+        """All users of a shard sessionized in one vectorized pass:
+        lexsort by (user, ts), session breaks = user change or gap."""
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_sessions": pa.array([], type=pa.int64()),
+                    "longest_session_events": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        u = uid[order]
+        t = ts[order]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > SESSION_GAP_US
+        sess_id = np.cumsum(new_sess) - 1
+        sizes = np.bincount(sess_id)
+        user_of_sess = u[new_sess]
+        users, n_sessions = np.unique(user_of_sess, return_counts=True)
+        # longest session per user: max of sizes grouped by user_of_sess
+        longest = np.zeros(len(users), dtype=np.int64)
+        uidx = np.searchsorted(users, user_of_sess)
+        np.maximum.at(longest, uidx, sizes)
+        return pa.table(
             {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "n_sessions": [int(sess[-1])],
-                "longest_session_events": [int(sizes.max())],
+                "user_id": pa.array(users),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "longest_session_events": pa.array(longest),
             }
         )
 
-    out = (
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
-    )
-    return out
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, sessions_shard)
 
 
 SESSIONIZE_ORACLE = f"""
@@ -460,28 +479,54 @@ def _events_window_agg(sf_dir):
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
     )
 
-    def keyed(tbl: pa.Table) -> pa.Table:
+    def partial(tbl: pa.Table) -> pa.Table:
+        """Per-batch combiner: (window, etype) partial counts + DISTINCT
+        (window, etype, user) triples — shrinks both shuffles to near-final
+        size before any exchange."""
+        import pandas as pd
+
         ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        win = ts // WINDOW_US
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "window_id": pa.array(win),
-                "event_type": tbl["event_type"],
-                "user_id": tbl["user_id"],
+                "window_id": ts // WINDOW_US,
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
             }
         )
+        g = df.groupby(["window_id", "event_type", "user_id"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
 
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
-    counts = keyed_ds.groupby(["window_id", "event_type"]).count().to_pandas()
-    counts = counts.rename(columns={"count()": "n_events"})
-    distinct = (
-        keyed_ds.groupby(["window_id", "event_type", "user_id"])
-        .count()
-        .groupby(["window_id", "event_type"])
-        .count()
-        .to_pandas()
-        .rename(columns={"count()": "n_users"})
+    triples = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # shuffle 1: exact per-triple totals (distinct users materialized);
+    # then a per-batch combiner + tiny shuffle 2 for the final aggregate —
+    # nothing bigger than (windows x types) ever reaches the driver
+    per_triple = triples.groupby(["window_id", "event_type", "user_id"]).sum(
+        "partial_n"
     )
+
+    def partial2(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.to_pandas()
+        g = df.groupby(["window_id", "event_type"], as_index=False).agg(
+            n_events=("sum(partial_n)", "sum"), n_users=("user_id", "count")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (
+        per_triple.map_batches(partial2, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_id", "event_type"])
+        .sum(["n_events", "n_users"])
+        .to_pandas()
+    )
+    counts = final.rename(columns={"sum(n_events)": "n_events"})[
+        ["window_id", "event_type", "n_events"]
+    ]
+    distinct = final.rename(columns={"sum(n_users)": "n_users"})[
+        ["window_id", "event_type", "n_users"]
+    ]
     out = counts.merge(distinct, on=["window_id", "event_type"])
     out["n_events"] = out["n_events"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
