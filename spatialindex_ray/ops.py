@@ -215,6 +215,80 @@ def tile_assign(ds, tile_deg: float, **kw):
 
 
 # -------------------------------------------------------- hash exchange
+def hash_exchange_two_level(ds, key_col: str, n_shards: int, shard_fn, n_groups: int | None = None):
+    """Two-level hash exchange: M map tasks split into G group pieces
+    (contiguous shard ranges), G mid tasks gather their group and re-split
+    into S/G shards, reduce tasks consume exactly ONE piece each.
+
+    Scale shape vs the flat exchange: object count M*G + S instead of M*S,
+    and reduce fan-in 1 instead of M — the right topology once M*S outgrows
+    a few thousand pieces (e.g. 10^4 blocks x 10^3 shards on a cluster).
+    Each mid task materializes ~1/G of the data — size G so that fits a
+    worker. Single-node benches keep the flat exchange (lower latency)."""
+    import ray
+
+    if n_groups is None:
+        n_groups = max(1, int(math.isqrt(n_shards)))
+    n_groups = min(n_groups, n_shards)
+    # shard s belongs to group s * G // S (contiguous ranges)
+    bounds = [(g * n_shards) // n_groups for g in range(n_groups + 1)]
+
+    @ray.remote
+    def _split_groups(tbl: pa.Table, bnds):
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sk = keys[order]
+        cuts = np.searchsorted(sk, np.asarray(bnds))
+        return tuple(
+            sorted_tbl.slice(cuts[g], cuts[g + 1] - cuts[g])
+            for g in range(len(bnds) - 1)
+        )
+
+    @ray.remote
+    def _mid(g_lo, g_hi, *pieces):
+        nonempty = [p for p in pieces if len(p)]
+        if not nonempty:
+            empty = pieces[0]
+            return tuple(empty for _ in range(g_hi - g_lo))
+        tbl = pa.concat_tables(nonempty)
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sk = keys[order]
+        cuts = np.searchsorted(sk, np.arange(g_lo, g_hi + 1))
+        return tuple(
+            sorted_tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+            for i in range(g_hi - g_lo)
+        )
+
+    @ray.remote
+    def _reduce1(piece):
+        return shard_fn(piece)
+
+    block_refs = ds.to_arrow_refs()
+    grp_pieces = [
+        _split_groups.options(num_returns=n_groups).remote(r, bounds)
+        for r in block_refs
+    ]
+    if n_groups == 1:
+        grp_pieces = [[r] for r in grp_pieces]
+    out = []
+    for g in range(n_groups):
+        lo, hi = bounds[g], bounds[g + 1]
+        if hi == lo:
+            continue
+        shards = _mid.options(num_returns=max(hi - lo, 1)).remote(
+            lo, hi, *[grp_pieces[m][g] for m in range(len(grp_pieces))]
+        )
+        if hi - lo == 1:
+            shards = [shards]
+        out.extend(_reduce1.remote(s) for s in shards)
+    import ray as _r
+
+    return _r.data.from_arrow_refs(out)
+
+
 def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
     """Deterministic hash-partitioned exchange + per-shard apply, built on
     raw Ray tasks (the documented last-resort: Ray Data's sort-based

@@ -160,3 +160,38 @@ def test_equi_join_broadcast_matches_exchange(ray_session):
     a = run(broadcast="right")
     b = run()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_two_level_exchange_matches_flat(ray_session):
+    """hash_exchange_two_level == hash_exchange for an arbitrary shard
+    reducer (per-shard sorted key checksum)."""
+    import pyarrow as pa
+
+    import ray
+
+    rng = np.random.RandomState(11)
+    n = 40000
+    tbl = pa.table(
+        {
+            "shard": pa.array(rng.randint(0, 37, n).astype(np.int64)),
+            "val": pa.array(rng.randint(0, 1 << 40, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(9)
+
+    def reducer(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"shard": pa.array([], type=pa.int64()),
+                             "checksum": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        v = np.sort(t["val"].to_numpy(zero_copy_only=False))
+        return pa.table({"shard": pa.array([int(sh[0])]),
+                         "checksum": pa.array([int(v.sum() % (1 << 62))]),
+                         "n": pa.array([len(v)])})
+
+    flat = ops.hash_exchange(ds, "shard", 37, reducer).to_pandas()
+    two = ops.hash_exchange_two_level(ds, "shard", 37, reducer, n_groups=5).to_pandas()
+    flat = flat.sort_values("shard").reset_index(drop=True)
+    two = two.sort_values("shard").reset_index(drop=True)
+    pd.testing.assert_frame_equal(flat, two)
