@@ -107,16 +107,65 @@ def _shingle_hashes(text: str) -> np.ndarray:
 
 
 def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
-    """(N_PERM,) minhash signature per doc: min over shingles of
-    (a*h + b) mod 2^61-1 — vectorized (shingles x perms) per row."""
+    """(N_PERM,) minhash signature per doc: min over distinct shingles of
+    (a*h + b) mod 2^61-1. Fully vectorized across the batch (round 2):
+    one Arrow split + one batched SHA-1 over the flat token array, windowed
+    gram hashes, per-row dedupe by sort, then 64 segmented-min passes
+    (np.minimum.reduceat) — signatures identical to the per-row version."""
+    from .text import _token_segments
+
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    sigs = np.empty((len(ids), N_PERM), dtype=np.uint64)
+    n = len(ids)
+    flat, offsets = _token_segments(tbl[text_col])
+    th = hashing.sha1_pairs_of_column(flat)[:, 0]  # uint64 token hashes
+    ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
     M = np.uint64(_MERSENNE)
-    for i, t in enumerate(tbl[text_col].to_pylist()):
-        h = _shingle_hashes(t) % M
-        with np.errstate(over="ignore"):
-            vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % M
-        sigs[i] = vals.min(axis=0)
+
+    with np.errstate(over="ignore"):
+        # gram hashes for rows with >= SHINGLE_W tokens: windows that stay
+        # inside the row (window start t has t+2 < row end)
+        g_parts = []
+        g_rows = []
+        if len(th) >= SHINGLE_W:
+            win = th[:-2] * _G1 + th[1:-1] * _G2 + th[2:] * _G3
+            row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+            ok = row_of[:-2] == row_of[2:]
+            g_parts.append(win[ok])
+            g_rows.append(row_of[:-2][ok])
+        # rows with 1..SHINGLE_W-1 tokens: single gram = wrap-sum of h*G1
+        short = (ntok > 0) & (ntok < SHINGLE_W)
+        if short.any():
+            cs = np.empty(len(th) + 1, dtype=np.uint64)
+            cs[0] = np.uint64(0)
+            np.cumsum(th * _G1, out=cs[1:])
+            s_sum = cs[offsets[1:]] - cs[offsets[:-1]]
+            g_parts.append(s_sum[short])
+            g_rows.append(np.flatnonzero(short).astype(np.int64))
+        # empty rows: single sentinel gram 0
+        empty = ntok == 0
+        if empty.any():
+            g_parts.append(np.zeros(int(empty.sum()), dtype=np.uint64))
+            g_rows.append(np.flatnonzero(empty).astype(np.int64))
+        grams = np.concatenate(g_parts) if g_parts else np.empty(0, np.uint64)
+        rows = np.concatenate(g_rows) if g_rows else np.empty(0, np.int64)
+        # distinct grams per row
+        order = np.lexsort((grams, rows))
+        grams = grams[order]
+        rows = rows[order]
+        keep = np.ones(len(grams), dtype=bool)
+        keep[1:] = (grams[1:] != grams[:-1]) | (rows[1:] != rows[:-1])
+        grams = grams[keep] % M
+        rows = rows[keep]
+        starts = np.searchsorted(rows, np.arange(n))
+        sigs = np.empty((n, N_PERM), dtype=np.uint64)
+        shift61 = np.uint64(61)
+        for p in range(N_PERM):
+            vals = grams * _PERM_A[p] + _PERM_B[p]
+            # Mersenne reduction: x % (2^61-1) == (x & M) + (x >> 61), one
+            # conditional subtract — identical value, no integer division
+            vals = (vals & M) + (vals >> shift61)
+            vals -= np.where(vals >= M, M, np.uint64(0))
+            sigs[:, p] = np.minimum.reduceat(vals, starts)
     return pa.table(
         {
             id_col: pa.array(ids),
