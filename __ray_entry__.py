@@ -560,6 +560,44 @@ def _dedup_rows_salted(sf_dir):
     return out.select_columns(["url"])
 
 
+def _audio_features_query(sf_dir):
+    """End-to-end audio pipeline over REAL WAV payloads: synthesize a
+    deterministic PCM tone per doc (multimodal.encode_wav), decode +
+    feature-extract in the DecodeAudio actor pool. Rows-only check
+    (spectral features have no SQL dual)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_audio(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        t = np.arange(1600) / 8000.0  # 0.2 s at 8 kHz
+        for did in ids:
+            freq = 100.0 + float(did % 800)
+            payloads.append(
+                multimodal.encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate=8000)
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    decoded = ds.map_batches(
+        synth_audio, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        multimodal.DecodeAudio,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["doc_id", "sample_rate", "n_channels", "duration_s"])
+
+    return decoded.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
 def _knn_indexed_query(sf_dir):
     """North-star kNN path: per-cell neighbor-ring expansion over a built
     sorted index (no full scan) — pipelines.build.knn_indexed. Uses a
@@ -677,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": ann.topk_cosine_query,
         "ann_topk_ivf": ann.ivf_topk_query,
         "image_features": multimodal.image_features_query,
+        "audio_features": _audio_features_query,
         "dedup_rows_salted": _dedup_rows_salted,
         "index_build_query": _index_build_query,
         "knn_indexed": _knn_indexed_query,

@@ -192,6 +192,125 @@ class DecodeImage:
         return pa.table(cols)
 
 
+_WAV_FORMATS = {1: "pcm", 3: "float"}
+
+
+def decode_wav(raw: bytes):
+    """Minimal real WAV decoder: RIFF/WAVE with PCM (8/16/32-bit int) or
+    float32 samples. Returns (sample_rate, n_channels, (frames, channels)
+    float32 samples in [-1, 1]). Raises ValueError otherwise."""
+    raw = bytes(raw)
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        tag = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format not in _WAV_FORMATS or channels == 0:
+        raise ValueError("unsupported WAV format")
+    if audio_format == 3:
+        if bits != 32:
+            raise ValueError("unsupported float depth")
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError("unsupported PCM depth")
+    frames = len(x) // channels
+    return rate, channels, x[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """16-bit PCM WAV encoder for (frames,) or (frames, channels) float
+    samples in [-1, 1] — the test dual of decode_wav."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    frames, channels = x.shape
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload -> (sample_rate, n_channels,
+    duration_s) + spectral features. WAV payloads decode for real
+    (decode_wav); other codecs (no libsndfile/ffmpeg here) fall back to a
+    deterministic fake. Feature vector: [rms, zero-crossing rate] + N-band
+    log-magnitude spectrum of the mono mix (numpy rfft, loaded-once state).
+    """
+
+    N_BANDS = 16
+
+    def __init__(self, n_bands: int = N_BANDS):
+        self.n_bands = n_bands
+
+    def _features(self, mono: np.ndarray) -> np.ndarray:
+        out = np.zeros(2 + self.n_bands, dtype=np.float32)
+        if len(mono) == 0:
+            return out
+        out[0] = float(np.sqrt(np.mean(mono * mono)))
+        out[1] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        spec = np.abs(np.fft.rfft(mono[: 1 << 14]))
+        bands = np.array_split(spec, self.n_bands)
+        out[2:] = [np.log1p(float(b.mean())) if len(b) else 0.0 for b in bands]
+        return out
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        col = "audio" if "audio" in tbl.column_names else "payload"
+        off, data = _binary_buffers(tbl[col])
+        n = len(tbl)
+        rates = np.zeros(n, dtype=np.int32)
+        chans = np.zeros(n, dtype=np.int32)
+        durs = np.zeros(n, dtype=np.float64)
+        feats = np.zeros((n, 2 + self.n_bands), dtype=np.float32)
+        for i in range(n):
+            raw = data[off[i] : off[i + 1]]
+            try:
+                rate, ch, samples = decode_wav(raw)
+                rates[i], chans[i] = rate, ch
+                durs[i] = samples.shape[0] / rate if rate else 0.0
+                feats[i] = self._features(samples.mean(axis=1))
+            except ValueError:
+                # deterministic fallback for non-WAV payloads
+                rates[i] = 16000
+                chans[i] = 1
+                durs[i] = len(raw) / 32000.0
+                feats[i] = self._features(
+                    (raw[: 1 << 14].astype(np.float32) - 128.0) / 128.0
+                )
+        cols = {name: tbl[name] for name in tbl.column_names if name != col}
+        cols.update(
+            {
+                "sample_rate": pa.array(rates),
+                "n_channels": pa.array(chans),
+                "duration_s": pa.array(durs),
+                "audio_features": pa.array(
+                    list(feats), type=pa.list_(pa.float32(), 2 + self.n_bands)
+                ),
+            }
+        )
+        return pa.table(cols)
+
+
 class ResizeImage:
     """Actor-pool resize stage (stub decode; real layout). Emits a binary
     column of the 'resized' payload with deterministic target size."""

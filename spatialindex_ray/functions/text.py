@@ -25,23 +25,33 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead): word
+# pieces, numbers, punctuation runs, leading-space variants — the "BPE-ish"
+# token estimate a training-data pipeline budgets with.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def token_stats_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
-    """doc_id, n_tokens (RE2 '\\S+' run count — same regex engine as the
-    DuckDB oracle), n_chars (utf8 length)."""
+    """doc_id, n_tokens (RE2 '\\S+' run count), n_bpe_tokens (GPT-2-style
+    pre-tokenizer pattern), n_chars (utf8 length) — all through the same
+    RE2 engine DuckDB uses, so the oracle matches exactly."""
     n_tokens = pc.count_substring_regex(tbl[text_col], r"\S+")
+    n_bpe = pc.count_substring_regex(tbl[text_col], BPE_PATTERN)
     n_chars = pc.utf8_length(tbl[text_col])
     return pa.table(
         {
             id_col: tbl[id_col],
             "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
             "n_chars": pc.cast(n_chars, pa.int64()),
         }
     )
 
 
-TOKEN_STATS_ORACLE = r"""
+TOKEN_STATS_ORACLE = rf"""
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """

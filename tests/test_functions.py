@@ -256,3 +256,36 @@ def test_png_roundtrip_and_decode_stage():
     assert out_t["height"].to_pylist() == [6, 7, 8, 9]
     assert out_t["width"].to_pylist() == [7, 7, 7, 7]
     assert out_t["channels"].to_pylist() == [3, 3, 3, 3]
+
+
+def test_wav_roundtrip_and_audio_stage():
+    """Real WAV path: encode -> decode roundtrip (16-bit quantization),
+    stereo + mono; DecodeAudio reports true rate/channels/duration and
+    computes spectral features; non-WAV payloads take the fallback."""
+    rng = np.random.RandomState(9)
+    mono = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)).astype(np.float64)
+    raw = multimodal.encode_wav(mono, rate=8000)
+    rate, ch, samples = multimodal.decode_wav(raw)
+    assert (rate, ch) == (8000, 1)
+    assert samples.shape == (8000, 1)
+    assert np.abs(samples[:, 0] - mono).max() < 1e-3  # 16-bit quantization
+    stereo = rng.uniform(-0.5, 0.5, size=(1000, 2))
+    raw2 = multimodal.encode_wav(stereo, rate=44100)
+    rate2, ch2, s2 = multimodal.decode_wav(raw2)
+    assert (rate2, ch2) == (44100, 2) and s2.shape == (1000, 2)
+    t = pa.table(
+        {
+            "url": pa.array(["a", "b", "c"]),
+            "payload": pa.array(
+                [raw, raw2, b"not audio at all" * 10], type=pa.binary()
+            ),
+        }
+    )
+    out = multimodal.DecodeAudio()(t)
+    assert out["sample_rate"].to_pylist() == [8000, 44100, 16000]
+    assert out["n_channels"].to_pylist() == [1, 2, 1]
+    d = out["duration_s"].to_pylist()
+    assert abs(d[0] - 1.0) < 1e-6
+    f = out["audio_features"].to_pylist()
+    assert len(f[0]) == 2 + multimodal.DecodeAudio.N_BANDS
+    assert f[0][0] > 0.5  # sine RMS ~ 0.707
