@@ -336,6 +336,60 @@ def cmd_id_list(argv: list[str]) -> int:
     return 0
 
 
+def cmd_build_index(argv: list[str]) -> int:
+    """Distributed index build front-end (tree_gen analog):
+
+      cli build_index <out_dir> <input.parquet ...> [--ranged] [--id-col C | --url-col C]
+          [--partitions N | --shard-size N]
+
+    --ranged uses the globally range-partitioned build (disjoint per-file
+    cell ranges in the manifest); default is the per-shard sorted build.
+    Resume is automatic via the manifest (re-runs skip completed work)."""
+    ranged = "--ranged" in argv
+    argv = [a for a in argv if a != "--ranged"]
+    url_col: str | None = "url"
+    id_col: str | None = None
+    n_partitions = 64
+    shard_size = 4
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--id-col":
+            id_col = next(it, None)
+            url_col = None
+        elif a == "--url-col":
+            url_col = next(it, None)
+        elif a == "--partitions":
+            n_partitions = int(next(it, "64"))
+        elif a == "--shard-size":
+            shard_size = int(next(it, "4"))
+        else:
+            pos.append(a)
+    if len(pos) < 2:
+        return _tc_err("usage: build_index <out_dir> <input.parquet ...>")
+    out_dir, files = pos[0], pos[1:]
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    from .pipelines import build as buildp
+
+    if ranged:
+        m = buildp.build_index_ranged(
+            files, out_dir, url_col=url_col, id_col=id_col,
+            n_partitions=n_partitions,
+        )
+    else:
+        m = buildp.build_index(
+            files, out_dir, url_col=url_col, id_col=id_col, shard_size=shard_size
+        )
+    print(
+        f'[struct stat="OK", partitions={len(m.partitions())}, '
+        f"rows={m.total_rows()}, bytes={m.total_bytes()}]"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -352,6 +406,8 @@ def main(argv=None) -> int:
         return cmd_tree_count(rest)
     if cmd == "id_list":
         return cmd_id_list(rest)
+    if cmd == "build_index":
+        return cmd_build_index(rest)
     print(f"unknown subcommand: {cmd}", file=sys.stderr)
     return 2
 

@@ -618,21 +618,35 @@ def dedup_rows(
     n_salt. Keeps the first row per (cell, url) by warc_ts then url order.
     """
 
+    n_shards = 64
+
     def add_salt(tbl: pa.Table) -> pa.Table:
-        salt = (hash64_strings(tbl[url_col]) % np.uint64(n_salt)).astype(np.int64)
-        return tbl.append_column("_salt", pa.array(salt))
+        salt = hash64_strings(tbl[url_col]) % np.uint64(n_salt)
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            shard = ((cells * np.uint64(n_salt) + salt) % np.uint64(n_shards)).astype(
+                np.int64
+            )
+        return tbl.append_column("_shard", pa.array(shard))
 
-    def first_per_url(df):
-        sort_cols = [url_col] + (["warc_ts"] if "warc_ts" in df.columns else [])
+    def first_per_key(tbl: pa.Table) -> pa.Table:
+        """Vectorized first-(cell,url) selection for a whole shard: one
+        pandas lexsort by (cell, url, warc_ts), keep group heads."""
+        import pandas as pd
+
+        if len(tbl) == 0:
+            return tbl.drop(["_shard"])
+        df = tbl.to_pandas()
+        sort_cols = [cell_col, url_col] + (
+            ["warc_ts"] if "warc_ts" in df.columns else []
+        )
         df = df.sort_values(sort_cols, kind="mergesort")
-        out = df.groupby(url_col, as_index=False).first()
-        return out.drop(columns=["_salt"])
+        head = ~df.duplicated([cell_col, url_col], keep="first")
+        out = df[head].drop(columns=["_shard"])
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
-        .groupby([cell_col, "_salt"])
-        .map_groups(first_per_url, batch_format="pandas")
-    )
+    tagged = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
+    return hash_exchange(tagged, "_shard", n_shards, first_per_key)
 
 
 # ------------------------------------------------------------- equi-join

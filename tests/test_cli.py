@@ -103,3 +103,27 @@ def test_tree_count_exact_and_estimate(ray_session, tmp_path, capsys):
     )
     out = capsys.readouterr().out.strip()
     assert rc == 0 and out.startswith('[struct stat="OK", min=')
+
+
+def test_build_index_cli(ray_session, tmp_path, capsys):
+    import os
+
+    from spatialindex_ray import cli
+    from spatialindex_ray.sources import webpages
+
+    src = str(tmp_path / "src")
+    webpages.synth_webpages(1500, hot_frac=0.0).write_parquet(src)
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = str(tmp_path / "idx")
+    rc = cli.main(["build_index", out, *files, "--ranged", "--partitions", "8"])
+    line = capsys.readouterr().out.strip()
+    assert rc == 0 and 'stat="OK"' in line and "rows=1500" in line
+    # tree_count over the freshly built ranged index
+    rc = cli.main(["tree_count", out, "circle", "83.2", "12.5", "45.0", "-j"])
+    out_line = capsys.readouterr().out.strip()
+    assert rc == 0
+    import json as _json
+
+    assert _json.loads(out_line)["count"] >= 0
