@@ -218,8 +218,7 @@ def _hex_tile_agg(sf_dir):
 
 def _tile_counts(sf_dir):
     ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
-    tiled = ops.tile_assign(ds, TILE_DEG)
-    out = tiled.groupby("tile_id").count()
+    out = ops.tile_counts(ds, TILE_DEG)
 
     def rename(tbl: pa.Table) -> pa.Table:
         return tbl.rename_columns(["tile_id", "n_rows"])

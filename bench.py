@@ -78,7 +78,7 @@ def headline_spatial_join_tiles(n_pages: int) -> dict:
         n_shards=n_shards,
     ).count()
 
-    tiles = ops.tile_assign(enc_id, TILE_DEG).groupby("tile_id").count()
+    tiles = ops.tile_counts(enc_id, TILE_DEG)
     n_tiles = tiles.count()
     wall = time.time() - t0
     return {

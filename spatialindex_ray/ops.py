@@ -214,6 +214,24 @@ def tile_assign(ds, tile_deg: float, **kw):
     )
 
 
+def tile_counts(ds, tile_deg: float, lon_col="lon", lat_col="lat"):
+    """Per-tile row counts with partial pre-aggregation: each batch shrinks
+    to its distinct tiles before the (tiny) groupby-sum shuffle — the same
+    combiner shape as cell_counts."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tile_assign_batch(tbl, tile_deg, lon_col=lon_col, lat_col=lat_col)
+        tiles = t["tile_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(tiles, return_counts=True)
+        return pa.table({"tile_id": pa.array(uniq), "partial": pa.array(cnt)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tile_id")
+        .sum("partial")
+    )
+
+
 # -------------------------------------------------------- hash exchange
 def hash_exchange_two_level(ds, key_col: str, n_shards: int, shard_fn, n_groups: int | None = None):
     """Two-level hash exchange: M map tasks split into G group pieces
