@@ -138,9 +138,54 @@ def bench_cone(n_pages: int) -> dict:
     return {"wall_s": wall, "rows": n_pages, "rows_per_sec": n_pages / wall, "hits": n}
 
 
+def _parallel_health_probe(n_procs: int = 8, seconds: float = 1.0) -> int:
+    """Total sin-burn iterations across n_procs processes — the only probe
+    that detects this sandbox's host-level throttle phases (single-process
+    probes read healthy while parallel pipelines crawl)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        import numpy as _np
+        import time as _t
+
+        x = _np.random.rand(500_000)
+        _np.sin(x)
+        t0 = _t.time()
+        n = 0
+        while _t.time() - t0 < seconds:
+            _np.sin(x)
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(n_procs)]
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return tot
+
+
+def _wait_for_health(threshold: int, max_wait_s: float) -> int:
+    """Bounded wait for a non-throttled phase (documented in BASELINE.md:
+    the VM's deliverable CPU/memory bandwidth swings 10-100x minute to
+    minute). Returns the last probe value; proceeds regardless on timeout."""
+    t0 = time.time()
+    probe = _parallel_health_probe()
+    while probe < threshold and time.time() - t0 < max_wait_s:
+        time.sleep(15)
+        probe = _parallel_health_probe()
+    return probe
+
+
 def run_suite() -> dict:
     import ray
 
+    health = _wait_for_health(
+        threshold=int(os.environ.get("BENCH_HEALTH_THRESHOLD", "1800")),
+        max_wait_s=float(os.environ.get("BENCH_HEALTH_MAX_WAIT", "240")),
+    )
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -198,6 +243,7 @@ def run_suite() -> dict:
         "num_cpus": NUM_CPUS,
         "headline_rows_per_sec": round(extras["spatial_join_tiles"]["rows_per_sec"], 1),
         "encode_rows_per_sec": round(extras["encode_1m"]["rows_per_sec"], 1),
+        "health_probe_8proc_iters": health,
         "detail": {k: {kk: (round(vv, 3) if isinstance(vv, float) else vv)
                        for kk, vv in v.items()} for k, v in extras.items()},
     }
