@@ -327,6 +327,19 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+ANN_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings ORDER BY vec_id LIMIT {ann.N_QUERIES})
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+    CAST(row_number() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.emb) DESC,
+               e.vec_id) AS BIGINT) AS rank
+  FROM embeddings e CROSS JOIN q)
+WHERE rank <= {ann.ANN_K}
+"""
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -711,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash_query,
         "ngram_jaccard_dup": dedup.ngram_jaccard_query,
         "embedding_near_dup": dedup.embedding_near_dup_query,
+        "embedding_dup_exact": dedup.embedding_dup_exact_query,
         "ann_topk_cosine": ann.topk_cosine_query,
         "ann_topk_ivf": ann.ivf_topk_query,
         "image_features": multimodal.image_features_query,
@@ -741,14 +755,19 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "token_stats": textfn.TOKEN_STATS_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
+        "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
+        "ann_topk_cosine": ANN_TOPK_ORACLE,
         "quality_score": textfn.QUALITY_ORACLE,
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
-        # lang_id / doc_fingerprint / minhash / simhash / embedding_near_dup
-        # / ann_topk_* / cell_counts_htm4 / hex_tile_agg / image_features /
-        # dedup_rows_salted / index_build_query: not SQL-expressible
-        # (hashing / heuristics / cell ids) -> rows-only check; each is
-        # covered by property/brute-force tests instead (tests/).
+        # lang_id / doc_fingerprint / minhash / simhash / cell_counts_htm4 /
+        # hex_tile_agg / image_features / dedup_rows_salted /
+        # index_build_query: not SQL-expressible (hashing / heuristics /
+        # cell ids) -> rows-only check; each is covered by property/
+        # brute-force tests instead (tests/). embedding_near_dup and
+        # ann_topk_ivf are APPROXIMATE scale paths (IVF) — their exact duals
+        # embedding_dup_exact / ann_topk_cosine carry the SQL oracles; recall
+        # vs exact is asserted in tests/test_functions.py.
     }

@@ -551,3 +551,67 @@ def embedding_near_dup_query(
         .select_columns(["left_id", "right_id"])
     )
     return _typed_pairs(out)
+
+
+# ------------------------------------------- embedding near-dup, exact bounded
+EMB_EXACT_LIMIT = 400  # bounded prefix for oracle tractability (= ngram model)
+
+
+def embedding_dup_exact_query(
+    sf_dir: str, tau: float = EMB_TAU, limit: int = EMB_EXACT_LIMIT
+):
+    """EXACT cosine near-dup pairs over the bounded prefix ``vec_id < limit``
+    (bounded by spec for DuckDB-oracle tractability, mirroring
+    ngram_jaccard_dup; the unbounded scale path is the IVF-bucketed
+    ``embedding_near_dup_query``). The bounded normalized matrix is broadcast
+    once via ray.put; each batch of the subset does a single float64 matmul
+    against it and emits qualifying (left_id < right_id) pairs."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def bounded(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.less(tbl["vec_id"], pa.scalar(limit, pa.int64())))
+
+    sub = ds.map_batches(bounded, batch_format="pyarrow", batch_size=None)
+    # the subset is <= limit rows by spec — a bounded small side, not a
+    # whole-dataset materialization
+    rows = sub.take_all()
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    M = np.stack([np.asarray(rows[i]["embedding"]) for i in order]).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((all_ids, M))
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        ids_all, M_ = ray.get(ref)
+        ids_b = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids_b) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        V = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ M_.T  # (B, limit)
+        ii, jj = np.nonzero(S >= tau)
+        keep = ids_b[ii] < ids_all[jj]
+        return pa.table(
+            {
+                "left_id": pa.array(ids_b[ii][keep], type=pa.int64()),
+                "right_id": pa.array(ids_all[jj][keep], type=pa.int64()),
+            }
+        )
+
+    return _typed_pairs(sub.map_batches(pairs, batch_format="pyarrow", batch_size=None))
+
+
+EMB_EXACT_ORACLE = f"""
+WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id < {EMB_EXACT_LIMIT})
+SELECT a.vec_id AS left_id, b.vec_id AS right_id
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_TAU}
+"""

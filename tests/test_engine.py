@@ -145,6 +145,29 @@ def test_embedding_near_dup_recall(ray_session):
     assert recall >= 0.8, recall
 
 
+def test_embedding_dup_exact_matches_brute(ray_session):
+    """The bounded exact near-dup query (SQL-oracled) == in-process brute
+    force over the same vec_id < limit prefix."""
+    import pyarrow.parquet as pq
+
+    from spatialindex_ray.functions import dedup
+
+    got = dedup.embedding_dup_exact_query(SF).to_pandas()
+    got_set = set(map(tuple, got[["left_id", "right_id"]].to_numpy()))
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = ids < dedup.EMB_EXACT_LIMIT
+    ids = ids[m]
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[m]).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = X @ X.T
+    ii, jj = np.nonzero(S >= dedup.EMB_TAU)
+    keep = ids[ii] < ids[jj]
+    true_set = set(zip(ids[ii][keep].tolist(), ids[jj][keep].tolist()))
+    assert got_set == true_set
+    assert len(true_set) > 0  # the synth prefix contains real near-dup pairs
+
+
 def test_equi_join_broadcast_matches_exchange(ray_session):
     """Broadcast map-side hash join == two-sided exchange join."""
     import ray
