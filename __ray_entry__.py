@@ -758,15 +758,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
         "ann_topk_cosine": ANN_TOPK_ORACLE,
         "quality_score": textfn.QUALITY_ORACLE,
+        "lang_id": textfn.LANG_ID_ORACLE,
+        "doc_fingerprint": textfn.FINGERPRINT_ORACLE,
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
-        # lang_id / doc_fingerprint / minhash / simhash / cell_counts_htm4 /
-        # hex_tile_agg / image_features / dedup_rows_salted /
-        # index_build_query: not SQL-expressible (hashing / heuristics /
-        # cell ids) -> rows-only check; each is covered by property/
-        # brute-force tests instead (tests/). embedding_near_dup and
+        # minhash / simhash / cell_counts_htm4 / hex_tile_agg /
+        # image_features / dedup_rows_salted / index_build_query: not
+        # SQL-expressible (SHA-1 / codecs / cell ids) -> rows-only check;
+        # each is covered by property/brute-force tests instead (tests/).
+        # embedding_near_dup and
         # ann_topk_ivf are APPROXIMATE scale paths (IVF) — their exact duals
         # embedding_dup_exact / ann_topk_cosine carry the SQL oracles; recall
         # vs exact is asserted in tests/test_functions.py.

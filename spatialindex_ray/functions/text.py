@@ -127,6 +127,37 @@ def lang_id_query(sf_dir: str):
     return ds.map_batches(LangID, batch_format="pyarrow", batch_size=None, concurrency=2)
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB dual of LangID: per-language stopword votes over \\S+ tokens,
+    winner = max votes with lexicographically-largest language on ties,
+    'und' when all votes are zero."""
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # ties: lexicographically largest language wins -> test in reverse order
+    branches = "\n       ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in reversed(langs[1:])
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+v AS (SELECT doc_id, {", ".join(score_cols)} FROM t),
+vm AS (SELECT *, {g} AS m FROM v)
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'und'
+       {branches}
+       ELSE '{langs[0]}' END AS lang_pred
+FROM vm
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
 def quality_score_batch(tbl: pa.Table) -> pa.Table:
     """Heuristic quality scoring: mean token length, alpha ratio, repetition
     ratio (distinct/total tokens). Fully vectorized (round 2): one Arrow
@@ -216,3 +247,26 @@ def fingerprint_query(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=None)
+
+
+# DuckDB dual of fingerprint_batch: per-char HUGEINT Horner mod 2^64 via
+# list_reduce (init acc = 1 -> the leading B^L term), then two's-complement
+# fold to BIGINT to match the uint64->int64 view. Valid for ASCII text
+# (unicode(c) == byte value; the synth documents tables are ASCII — asserted
+# in tests/test_functions.py::test_fingerprint_oracle_ascii_assumption).
+FINGERPRINT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN CAST(1 AS HUGEINT)
+         ELSE list_reduce(
+           list_prepend(CAST(1 AS HUGEINT),
+             list_transform(string_split(text, ''),
+                            c -> CAST(unicode(c) AS HUGEINT))),
+           (a, b) -> (a * {int(_FP_BASE)} + b) % 18446744073709551616)
+    END AS hv
+  FROM documents)
+SELECT doc_id,
+  CAST(hv - CASE WHEN hv >= 9223372036854775808 THEN 18446744073709551616
+                 ELSE 0 END AS BIGINT) AS fingerprint
+FROM h
+"""

@@ -289,3 +289,13 @@ def test_wav_roundtrip_and_audio_stage():
     f = out["audio_features"].to_pylist()
     assert len(f[0]) == 2 + multimodal.DecodeAudio.N_BANDS
     assert f[0][0] > 0.5  # sine RMS ~ 0.707
+
+
+def test_fingerprint_oracle_ascii_assumption():
+    """FINGERPRINT_ORACLE maps chars via unicode(c), which equals the utf8
+    byte value only for ASCII — assert the driver tables satisfy that."""
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        assert all(s.isascii() for s in t["text"].to_pylist())
