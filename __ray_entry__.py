@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": _q1,
         "exact_dedup": dedup.exact_dedup_query,
         "token_stats": textfn.token_stats_query,
+        "top_terms": textfn.top_terms_query,
         "lang_id": textfn.lang_id_query,
         "quality_score": textfn.quality_score_query,
         "doc_fingerprint": textfn.fingerprint_query,
@@ -754,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_lineitem_agg": Q1_ORACLE,
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "token_stats": textfn.TOKEN_STATS_ORACLE,
+        "top_terms": textfn.TOP_TERMS_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
         "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
         "ann_topk_cosine": ANN_TOPK_ORACLE,

@@ -218,6 +218,48 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+TOP_TERMS_K = 20
+
+
+def top_terms_query(sf_dir: str, k: int = TOP_TERMS_K):
+    """Global top-k terms by total frequency across the corpus, ties broken
+    by term — the groupby + global-sort + limit path. Per-batch partial
+    counts (Arrow value_counts) shrink the shuffle to near-vocabulary size
+    before the keyed aggregate; only (term, count) ever moves."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat, _ = _token_segments(tbl["text"])
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("partial_n")
+    )
+    out = counts.sort(["sum(partial_n)", "term"], descending=[True, False]).limit(k)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["term", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+TOP_TERMS_ORACLE = rf"""
+WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+SELECT term, count(*) AS n FROM t GROUP BY term
+ORDER BY n DESC, term LIMIT {TOP_TERMS_K}
+"""
+
+
 def quality_score_query(sf_dir: str):
     import ray
 
