@@ -216,6 +216,54 @@ def _hex_tile_agg(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def _hex_smooth(sf_dir):
+    """1-ring hex neighborhood density smoothing at HEX_RES: per-cell counts,
+    then a distributed scatter-gather — each cell emits its total to itself
+    and its 6 CROSS-FACE-STITCHED neighbors (hexgrid.neighbors(stitch=True)),
+    groupby target, sum. No driver-side neighbor table; both shuffles carry
+    only (cell, count)."""
+    from spatialindex_ray.kernels import hexgrid
+
+    counts = _hex_tile_agg(sf_dir)
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        cells = tbl["hex_cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = tbl["n_rows"].to_numpy(zero_copy_only=False)
+        if len(cells) == 0:
+            return pa.table(
+                {
+                    "hex_cell": pa.array([], type=pa.int64()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        nb = hexgrid.neighbors(cells, stitch=True)
+        targets = np.concatenate([cells[:, None], nb], axis=1)  # (N, 7)
+        # stitching can fold two lattice neighbors of a clipped boundary cell
+        # into one real cell — dedupe per row so each source contributes once
+        srt = np.sort(targets, axis=1)
+        keep = np.ones(srt.shape, dtype=bool)
+        keep[:, 1:] = srt[:, 1:] != srt[:, :-1]
+        t = srt[keep]
+        w = np.repeat(n, keep.sum(axis=1))
+        return pa.table(
+            {
+                "hex_cell": pa.array(t.view(np.int64)),
+                "partial": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    out = (
+        counts.map_batches(scatter, batch_format="pyarrow", batch_size=None)
+        .groupby("hex_cell")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["hex_cell", "smooth_n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def _tile_counts(sf_dir):
     ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
     out = ops.tile_counts(ds, TILE_DEG)
@@ -710,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cone_search_s2": _cone_s2_query,
         "polygon_search_s2": _polygon_s2_query,
         "hex_tile_agg": _hex_tile_agg,
+        "hex_smooth": _hex_smooth,
         "tile_assign_grid": _tile_counts,
         "radius_join": _radius_join,
         "knn": _knn_query,

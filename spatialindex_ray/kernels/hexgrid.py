@@ -146,14 +146,45 @@ def cell_center_xyz(ids: np.ndarray) -> np.ndarray:
     return v / np.linalg.norm(v, axis=1, keepdims=True)
 
 
-def neighbors(ids: np.ndarray) -> np.ndarray:
-    """(N, 6) same-face axial neighbors (lattice adjacency; cross-face
-    neighbors of boundary cells are not stitched — document at call sites)."""
+_DELTAS = np.array(
+    [[1, 0], [0, 1], [-1, 1], [-1, 0], [0, -1], [1, -1]], dtype=np.int64
+)
+
+
+def neighbors(ids: np.ndarray, stitch: bool = False) -> np.ndarray:
+    """(N, 6) hex 1-ring neighbors.
+
+    ``stitch=False``: raw same-face lattice adjacency — neighbors of cells on
+    an icosahedron-face boundary may be PHANTOM ids (lattice positions beyond
+    the face edge that no point ever encodes to).
+
+    ``stitch=True`` (cross-face stitching): each lattice-neighbor center
+    direction is projected back to the sphere and re-encoded with
+    ``xyz_to_cell``, so a neighbor beyond the face edge resolves to the REAL
+    cell of the adjacent face that owns that direction. Every returned id is
+    reachable by encoding (it contains its probe direction). A clipped
+    boundary cell can map two lattice neighbors to the same stitched cell —
+    callers needing set semantics dedupe per row (see ops-level users)."""
     res, face, qi, ri = cell_to_parts(ids)
-    deltas = np.array(
-        [[1, 0], [0, 1], [-1, 1], [-1, 0], [0, -1], [1, -1]], dtype=np.int64
-    )
+    r0 = int(res[0]) if len(res) else 0
+    if len(res) and not (res == r0).all():
+        raise ValueError("neighbors requires a single resolution")
+    if not stitch:
+        out = np.empty((len(ids), 6), dtype=np.uint64)
+        for k, (dq, dr) in enumerate(_DELTAS):
+            out[:, k] = _pack(r0, face, qi + dq, ri + dr)
+        return out
+    B = _res_basis(r0)
+    c = _FACE_CENTERS[face]
+    e1 = _E1[face]
+    e2 = _E2[face]
     out = np.empty((len(ids), 6), dtype=np.uint64)
-    for k, (dq, dr) in enumerate(deltas):
-        out[:, k] = _pack(int(res[0]), face, qi + dq, ri + dr)
+    for k, (dq, dr) in enumerate(_DELTAS):
+        nq = qi + dq
+        nr = ri + dr
+        px = B[0, 0] * nq + B[0, 1] * nr
+        py = B[1, 0] * nq + B[1, 1] * nr
+        v = c + px[:, None] * e1 + py[:, None] * e2
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        out[:, k] = xyz_to_cell(v, r0)
     return out
