@@ -419,6 +419,106 @@ GROUP BY c_nationkey
 """
 
 
+RECENT_CUTOFF = "2000-06-01"
+
+
+def _recent_orders(sf_dir):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def recent(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cutoff = pa.scalar(np.datetime64(RECENT_CUTOFF, "us"), tbl["o_orderdate"].type)
+        return tbl.filter(pc.greater_equal(tbl["o_orderdate"], cutoff))
+
+    return ds.map_batches(recent, batch_format="pyarrow", batch_size=None)
+
+
+def _customer_semi_anti(sf_dir, how):
+    """Semi/anti equi-join: customers with (semi) / without (anti) an order
+    since RECENT_CUTOFF. Broadcast plan ships only the right side's distinct
+    keys (ops._filter_join); equivalence with the exchange plan is asserted
+    in tests/test_engine.py."""
+    import ray
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    out = ops.equi_join(
+        cust,
+        _recent_orders(sf_dir),
+        on="c_custkey",
+        right_on="o_custkey",
+        how=how,
+        broadcast="right",
+    )
+    return out.select_columns(["c_custkey"])
+
+
+def _customer_semi_anti_oracle(how):
+    ex = "EXISTS" if how == "semi" else "NOT EXISTS"
+    return f"""
+SELECT c_custkey FROM customer c
+WHERE {ex} (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{RECENT_CUTOFF}')
+"""
+
+
+def _events_orders_asof(sf_dir):
+    """As-of join: each event is matched to the LATEST order by the same
+    user at or before the event time (ties on order date broken by max
+    o_orderkey). ops.asof_join — hash exchange on the key + one vectorized
+    pandas.merge_asof per shard."""
+    import ray
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    out = ops.asof_join(
+        events,
+        orders,
+        by="user_id",
+        on="ts",
+        right_by="o_custkey",
+        right_on="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.select(["event_id", "o_orderkey"])
+        # inner semantics: drop left rows with no as-of match, fix the
+        # float upcast pandas uses for NaN-able int columns
+        t = t.filter(pc.is_valid(t["o_orderkey"]))
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_ORDERS_ASOF_ORACLE = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey,
+    row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, o_orderkey FROM j WHERE rn = 1
+"""
+
+
 def _sessionize_events(sf_dir):
     """Gap-based sessionization (30-min inactivity) per user: returns
     (user_id, n_sessions, longest_session_events) — a streaming-analytics
@@ -785,6 +885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ellipse_search_htm": _ellipse_query,
         "events_window_agg": _events_window_agg,
         "orders_customer_join": _orders_customer_join,
+        "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
+        "customer_recent_anti": lambda sf: _customer_semi_anti(sf, "anti"),
+        "events_orders_asof": _events_orders_asof,
         "sessionize_events": _sessionize_events,
     }
 
@@ -814,6 +917,9 @@ def oracle_sql() -> dict[str, str]:
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
+        "customer_recent_semi": _customer_semi_anti_oracle("semi"),
+        "customer_recent_anti": _customer_semi_anti_oracle("anti"),
+        "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
         # minhash / simhash / cell_counts_htm4 / hex_tile_agg /
         # image_features / dedup_rows_salted / index_build_query: not

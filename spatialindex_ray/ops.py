@@ -768,6 +768,11 @@ def equi_join(
     right_on = right_on or on
     n_shards = min(n_shards, 512)
 
+    if how in ("semi", "anti"):
+        return _filter_join(
+            left_ds, right_ds, on, right_on, how, n_shards, broadcast
+        )
+
     if broadcast in ("left", "right"):
         import ray
 
@@ -816,6 +821,130 @@ def equi_join(
 
     left = left_ds.map_batches(tag(on), batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(tag(right_on), batch_format="pyarrow", batch_size=None)
+    return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
+
+
+def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
+    """Semi/anti equi-join: keep left rows with (semi) / without (anti) a key
+    match on the right. Only the right side's DISTINCT KEYS matter, so the
+    broadcast plan first reduces the right side to its per-batch distinct
+    keys and ships that one small array (``ray.put``) — never the full right
+    table. The exchange plan shuffles (key-tagged) both sides and masks per
+    shard. Null keys never match (SQL EXISTS semantics over non-null keys)."""
+    import pyarrow.compute as pc
+
+    if broadcast == "left":
+        raise ValueError("semi/anti joins filter the LEFT side; use broadcast='right' or None")
+
+    if broadcast == "right":
+        import ray
+
+        def batch_keys(tbl: pa.Table) -> pa.Table:
+            return pa.table({right_on: tbl[right_on].unique()})
+
+        key_parts = ray.get(
+            right_ds.map_batches(
+                batch_keys, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        keys = pa.concat_tables(key_parts)[right_on].combine_chunks().unique()
+        ref = ray.put(keys)
+
+        def filter_batch(tbl: pa.Table) -> pa.Table:
+            ks = ray.get(ref)  # zero-copy Arrow array from the object store
+            mask = pc.is_in(tbl[on], value_set=ks)
+            if how == "anti":
+                mask = pc.invert(mask)
+            return tbl.filter(pc.fill_null(mask, False))
+
+        return left_ds.map_batches(filter_batch, batch_format="pyarrow", batch_size=None)
+
+    def tag(key_name):
+        def f(tbl: pa.Table) -> pa.Table:
+            knum = tbl[key_name].to_numpy(zero_copy_only=False)
+            if knum.dtype.kind in "iu":
+                shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
+            else:
+                shard = (hash64_strings(tbl[key_name]) % np.uint64(n_shards)).astype(np.int64)
+            return tbl.append_column("_shard", pa.array(shard))
+
+        return f
+
+    def filter_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        left = ta.drop(["_shard"])
+        mask = pc.is_in(left[on], value_set=tb[right_on].combine_chunks().unique())
+        if how == "anti":
+            mask = pc.invert(mask)
+        return left.filter(pc.fill_null(mask, False))
+
+    left = left_ds.map_batches(tag(on), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(tag(right_on), batch_format="pyarrow", batch_size=None)
+    return hash_exchange2(left, right, "_shard", "_shard", n_shards, filter_shard)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    by: str,
+    on: str,
+    right_by: str | None = None,
+    right_on: str | None = None,
+    n_shards: int = 64,
+    direction: str = "backward",
+    tiebreak: str | None = None,
+):
+    """Distributed as-of join: for each left row, attach the single right row
+    of the same ``by`` key whose ``on`` time is the latest <= the left time
+    (``direction='backward'``; 'forward' = earliest >=). An operator the
+    reference lacks but streaming/event pipelines need constantly.
+
+    Plan: both sides hash-exchange on the ``by`` key only (narrow columns),
+    then one vectorized ``pandas.merge_asof`` per shard. Among equal right
+    timestamps the row sorting LAST wins — pass ``tiebreak`` (a right column
+    name) to make that deterministic: right rows are pre-sorted by
+    (time, tiebreak), so the max-tiebreak row is chosen.
+
+    Partitioning assumption: one key's rows fit in one shard's memory (same
+    bound as every keyed groupby here); skewed keys would need the salting
+    pattern from dedup_rows."""
+    right_by = right_by or by
+    right_on = right_on or on
+    n_shards = min(n_shards, 512)
+
+    def tag(key_name):
+        def f(tbl: pa.Table) -> pa.Table:
+            knum = tbl[key_name].to_numpy(zero_copy_only=False)
+            if knum.dtype.kind in "iu":
+                shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
+            else:
+                shard = (hash64_strings(tbl[key_name]) % np.uint64(n_shards)).astype(np.int64)
+            return tbl.append_column("_shard", pa.array(shard))
+
+        return f
+
+    def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ldf = ta.drop(["_shard"]).to_pandas()
+        rdf = tb.drop(["_shard"]).to_pandas()
+        rsort = [right_on, tiebreak] if tiebreak else [right_on]
+        ldf = ldf.sort_values(on, kind="mergesort")
+        rdf = rdf.sort_values(rsort, kind="mergesort")
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=on,
+            right_on=right_on,
+            left_by=by,
+            right_by=right_by,
+            direction=direction,
+            suffixes=("", "_r"),
+        )
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    left = left_ds.map_batches(tag(by), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(tag(right_by), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
 
 

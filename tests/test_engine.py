@@ -218,3 +218,47 @@ def test_two_level_exchange_matches_flat(ray_session):
     flat = flat.sort_values("shard").reset_index(drop=True)
     two = two.sort_values("shard").reset_index(drop=True)
     pd.testing.assert_frame_equal(flat, two)
+
+
+def test_filter_join_plans_agree(ray_session):
+    """Semi/anti joins: broadcast (distinct-key ship) == hash-exchange plan."""
+    import ray
+
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+
+    def keys(df):
+        # Ray's to_pandas() drops the schema when every block is empty
+        return sorted(df["c_custkey"]) if "c_custkey" in df.columns else []
+
+    for how in ("semi", "anti"):
+        a = ops.equi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                          how=how, broadcast="right").to_pandas()
+        b = ops.equi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                          how=how).to_pandas()
+        assert keys(a) == keys(b)
+    # semi + anti partition the left side
+    n_semi = len(ops.equi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                               how="semi", broadcast="right").to_pandas())
+    n_anti = len(ops.equi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                               how="anti", broadcast="right").to_pandas())
+    assert n_semi + n_anti == cust.count()
+
+
+def test_asof_join_forward_direction(ray_session):
+    """asof_join(direction='forward'): earliest right time >= left time."""
+    import pandas as pd
+    import ray
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2, 3], "t": [10, 25, 5, 7], "lid": [0, 1, 2, 3]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2], "t2": [12, 20, 99], "rid": [100, 101, 102]}))
+    out = ops.asof_join(left, right, by="k", on="t", right_on="t2",
+                        tiebreak="rid", direction="forward",
+                        n_shards=4).to_pandas()
+    got = dict(zip(out["lid"], out["rid"]))
+    assert got[0] == 100        # t=10 -> earliest t2>=10 is 12
+    assert np.isnan(got[1])     # t=25 -> no t2 >= 25 for k=1
+    assert got[2] == 102
+    assert np.isnan(got[3])     # k=3 has no right rows
