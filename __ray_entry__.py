@@ -508,6 +508,53 @@ def _events_orders_asof(sf_dir):
     return out.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+EVENT_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def _events_quantiles(sf_dir):
+    """Exact per-event-type value quantiles (DuckDB quantile_disc dual) via
+    the compressed-distribution plan (ops.group_quantiles): the shuffle
+    carries (type, value, count), never raw rows."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = ops.group_quantiles(ds, "event_type", "value", EVENT_QS)
+
+    def order_cols(tbl: pa.Table) -> pa.Table:
+        cols = ["event_type", "n_events"] + [f"q{int(q * 100)}" for q in EVENT_QS]
+        return tbl.select(cols)
+
+    return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_QUANTILES_ORACLE = f"""
+SELECT event_type, count(*) AS n_events,
+  {", ".join(f"quantile_disc(value, {q}) AS q{int(q * 100)}" for q in EVENT_QS)}
+FROM events GROUP BY event_type
+"""
+
+
+def _events_user_hll(sf_dir):
+    """Approximate distinct users per event type via a mergeable HyperLogLog
+    sketch (ops.hll_distinct) — the sketch-aggregate pattern for cardinality
+    at 100 TB where exact distinct is a full shuffle. Rows-only check
+    (approximate by nature); accuracy vs exact is asserted in
+    tests/test_engine.py::test_hll_distinct_accuracy."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = ops.hll_distinct(ds, "event_type", "user_id")
+
+    def order_cols(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["event_type", "approx_distinct"])
+
+    return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
+
+
 EVENTS_ORDERS_ASOF_ORACLE = """
 WITH j AS (
   SELECT e.event_id, o.o_orderkey,
@@ -888,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
         "customer_recent_anti": lambda sf: _customer_semi_anti(sf, "anti"),
         "events_orders_asof": _events_orders_asof,
+        "events_quantiles": _events_quantiles,
+        "events_user_hll": _events_user_hll,
         "sessionize_events": _sessionize_events,
     }
 
@@ -920,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
         "customer_recent_anti": _customer_semi_anti_oracle("anti"),
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
+        "events_quantiles": EVENTS_QUANTILES_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
         # minhash / simhash / cell_counts_htm4 / hex_tile_agg /
         # image_features / dedup_rows_salted / index_build_query: not

@@ -968,6 +968,133 @@ def attach_columns(
 
 
 # --------------------------------------------------------------- aggregates
+def group_quantiles(ds, key_col: str, val_col: str, qs: tuple):
+    """EXACT per-group quantiles (discrete: the element at 1-based rank
+    ceil(q*n), DuckDB ``quantile_disc`` convention), computed scalably:
+
+    1. per-batch (key, value) partial counts — compresses the stream to the
+       value-distribution size (quantized metrics grow sublinearly),
+    2. one groupby-sum shuffle of (key, value, count),
+    3. per-key weighted selection over the tiny compressed distribution
+       (sorted cumsum + searchsorted).
+
+    No full sort, no per-group row materialization — the only all-to-all
+    carries the compressed distribution. For continuous never-repeating
+    values this degrades to the raw size; cap with pre-rounding if needed."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                key_col: tbl[key_col].to_numpy(zero_copy_only=False),
+                val_col: tbl[val_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([key_col, val_col], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, val_col])
+        .sum("partial_n")
+    )
+
+    def quant(df):
+        import pandas as pd
+
+        df = df.sort_values(val_col, kind="mergesort")
+        n_col = [c for c in df.columns if c.startswith("sum")][0]
+        cnt = df[n_col].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        vals = df[val_col].to_numpy()
+        out = {key_col: [df[key_col].iloc[0]], "n_events": [total]}
+        for q in qs:
+            rank = int(np.ceil(np.float64(q) * np.float64(total)))  # 1-based
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out[f"q{int(q * 100)}"] = [vals[idx]]
+        return pd.DataFrame(out)
+
+    return dist.groupby(key_col).map_groups(quant, batch_format="pandas")
+
+
+_HLL_B = 12  # 4096 registers -> ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 avalanche (public-domain constants) — turns
+    structured int64 keys into uniform uint64 hashes for sketching."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_distinct(ds, group_col: str, key_col: str, b: int = _HLL_B):
+    """Approximate per-group COUNT(DISTINCT key) via a HyperLogLog sketch —
+    the mergeable-sketch pattern: per-batch partial registers, one
+    groupby-max shuffle of (group, register, rho) bounded by
+    groups x 2^b rows (never by row count), final estimate per group.
+    Standard error ~ 1.04/sqrt(2^b). Flajolet small-range (linear counting)
+    correction included; accuracy vs exact asserted in tests."""
+    m = 1 << b
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        h = _splitmix64(keys.astype(np.int64))
+        reg = (h >> np.uint64(64 - b)).astype(np.int64)
+        rest = (h << np.uint64(b)) | np.uint64((1 << b) - 1)  # sentinel low bits
+        # rho = leading zeros of the remaining 64-b bits + 1
+        lz = np.zeros(len(h), dtype=np.int64)
+        cur = rest
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            lz += np.where(mask, shift, 0)
+            cur = np.where(mask, cur << np.uint64(shift), cur)
+        rho = np.minimum(lz, 64 - b) + 1
+        df = pd.DataFrame(
+            {
+                group_col: tbl[group_col].to_numpy(zero_copy_only=False),
+                "reg": reg,
+                "rho": rho,
+            }
+        )
+        g = df.groupby([group_col, "reg"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, "reg"])
+        .max("rho")
+    )
+
+    def estimate(df):
+        import pandas as pd
+
+        rho_col = [c for c in df.columns if c.startswith("max")][0]
+        rho = np.zeros(m, dtype=np.float64)
+        rho[df["reg"].to_numpy(dtype=np.int64)] = df[rho_col].to_numpy(
+            dtype=np.float64
+        )
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-rho))
+        zeros = m - len(df)
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)  # linear-counting correction
+        return pd.DataFrame(
+            {group_col: [df[group_col].iloc[0]], "approx_distinct": [int(round(e))]}
+        )
+
+    return regs.groupby(group_col).map_groups(estimate, batch_format="pandas")
+
+
 def cell_counts(ds, cell_col: str, out_level: int, data_level: int = 20):
     """Per-cell point counts at out_level (tree-node counts analog,
     SURVEY §2.7 A1): derive the coarse cell by shift inside map_batches

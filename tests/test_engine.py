@@ -262,3 +262,21 @@ def test_asof_join_forward_direction(ray_session):
     assert np.isnan(got[1])     # t=25 -> no t2 >= 25 for k=1
     assert got[2] == 102
     assert np.isnan(got[3])     # k=3 has no right rows
+
+
+def test_hll_distinct_accuracy(ray_session):
+    """HLL sketch estimates per-group distinct counts within a few percent
+    (b=12 -> ~1.6% sigma; small counts hit the linear-counting regime)."""
+    import duckdb
+    import __ray_entry__ as entry
+
+    got = entry.queries()["events_user_hll"](SF).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY event_type"
+    ).df()
+    merged = got.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    rel = np.abs(merged["approx_distinct"] - merged["n"]) / merged["n"]
+    assert (rel <= 0.05).all(), merged
