@@ -419,6 +419,70 @@ GROUP BY c_nationkey
 """
 
 
+def _revenue_by_region(sf_dir):
+    """Multi-way join rollup: orders -> customer -> nation -> region, then
+    per-region order count + total price. The three dimension tables chain
+    through broadcast map-side hash joins (zero exchanges); revenue sums in
+    exact integer cents so the float-sum order never matters."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    j = ops.equi_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                      broadcast="right")
+    j = ops.equi_join(j, nation, on="c_nationkey", right_on="n_nationkey",
+                      broadcast="right")
+    j = ops.equi_join(j, region, on="n_regionkey", right_on="r_regionkey",
+                      broadcast="right")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"r_name": tbl["r_name"].to_numpy(zero_copy_only=False), "cents": cents}
+        )
+        g = df.groupby("r_name", as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("r_name")
+        .sum(["revenue_cents", "n_orders"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["r_name", "revenue_cents", "n_orders"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+REVENUE_BY_REGION_ORACLE = """
+SELECT r_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 RECENT_CUTOFF = "2000-06-01"
 
 
@@ -932,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ellipse_search_htm": _ellipse_query,
         "events_window_agg": _events_window_agg,
         "orders_customer_join": _orders_customer_join,
+        "revenue_by_region": _revenue_by_region,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
         "customer_recent_anti": lambda sf: _customer_semi_anti(sf, "anti"),
         "events_orders_asof": _events_orders_asof,
@@ -966,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
+        "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
         "customer_recent_anti": _customer_semi_anti_oracle("anti"),
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
