@@ -990,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ivf_topk_query,
         "image_features": multimodal.image_features_query,
         "audio_features": _audio_features_query,
+        "video_frames": multimodal.video_frames_query,
         "dedup_rows_salted": _dedup_rows_salted,
         "index_build_query": _index_build_query,
         "knn_indexed": _knn_indexed_query,
@@ -1036,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_recent_anti": _customer_semi_anti_oracle("anti"),
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
         "events_quantiles": EVENTS_QUANTILES_ORACLE,
+        "video_frames": multimodal.VIDEO_FRAMES_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
         # minhash / simhash / cell_counts_htm4 / hex_tile_agg /
         # image_features / dedup_rows_salted / index_build_query: not

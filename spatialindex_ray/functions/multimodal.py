@@ -394,3 +394,55 @@ def image_features_query(sf_dir: str):
         )
 
     return decoded.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+VIDEO_FRAME_BYTES = 64
+VIDEO_EVERY = 10
+
+
+def video_frames_query(sf_dir: str):
+    """Video frame-sampling pipeline: deterministic synthetic frame-stream
+    payloads (length 256 + doc_id % 1000 bytes) through the SampleFrames
+    actor pool; returns (doc_id, n_frames). The sampling arithmetic
+    n_frames = ceil((len // frame_bytes) / every) is SQL-expressible, so the
+    distributed plumbing gets a real oracle even though the 'codec' is a
+    documented stub (no video libs in this environment)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lengths = (256 + ids % 1000).astype(np.int64)
+        # one flat deterministic buffer, sliced per row (no per-row RNG)
+        total = int(lengths.sum())
+        flat = (np.arange(total, dtype=np.int64) % 251).astype(np.uint8)
+        offs = np.concatenate([[0], np.cumsum(lengths)])
+        payloads = [flat[offs[i]:offs[i + 1]].tobytes() for i in range(len(ids))]
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    sampled = ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"frame_bytes": VIDEO_FRAME_BYTES, "every": VIDEO_EVERY},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": tbl["doc_id"], "n_frames": tbl["n_frames"].cast(pa.int64())}
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+VIDEO_FRAMES_ORACLE = f"""
+SELECT doc_id,
+  CAST(ceil(((256 + doc_id % 1000) // {VIDEO_FRAME_BYTES}) / {VIDEO_EVERY}.0)
+       AS BIGINT) AS n_frames
+FROM documents
+"""

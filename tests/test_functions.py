@@ -299,3 +299,29 @@ def test_fingerprint_oracle_ascii_assumption():
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         t = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
         assert all(s.isascii() for s in t["text"].to_pylist())
+
+
+def test_sample_frames_counts():
+    """SampleFrames picks every k-th frame_bytes slice: count formula
+    ceil((len // frame_bytes) / every) — the video_frames oracle's math."""
+    import math
+
+    import pyarrow as pa
+
+    from spatialindex_ray.functions import multimodal
+
+    stage = multimodal.SampleFrames(frame_bytes=64, every=10)
+    lengths = [0, 63, 64, 640, 641, 1255]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(lengths)), type=pa.int64()),
+            "payload": pa.array([bytes(n) for n in lengths], type=pa.binary()),
+        }
+    )
+    out = stage(tbl)
+    got = out["n_frames"].to_pylist()
+    exp = [math.ceil((n // 64) / 10.0) for n in lengths]
+    assert got == exp
+    # every sampled frame slice is exactly frame_bytes long
+    for row in out["frames"].to_pylist():
+        assert all(len(f) == 64 for f in row)
