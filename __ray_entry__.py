@@ -177,6 +177,42 @@ def _padded_polygon_oracle():
     return _xyz_sql() + f"SELECT doc_id FROM n WHERE {terms}"
 
 
+# §2.10 region-constructor queries: box / ngon / line polygons built by the
+# exact constructor ports, then the shared polygon cover + predicate path.
+BOX_ARGS = dict(ra=60.0, dec=-10.0, width=30.0, height=20.0, angle=25.0)
+NGON_ARGS = dict(ra=200.0, dec=40.0, r=15.0, n=7)
+LINE_ARGS = dict(ra1=10.0, dec1=-5.0, ra2=40.0, dec2=20.0, r=3.0)
+
+
+def _constructed_poly(kind):
+    from spatialindex_ray import geom
+
+    if kind == "box":
+        return geom.polygon_box(**BOX_ARGS)
+    if kind == "ngon":
+        return geom.polygon_ngon(**NGON_ARGS)
+    return geom.polygon_line(**LINE_ARGS)
+
+
+def _constructed_poly_query(sf_dir, kind):
+    poly = _constructed_poly(kind)
+    si = SpatialIndex()
+    plan = si.polygon_plan(poly.ra, poly.dec, mode=0, level=POLY_LEVEL)
+    ds = _docs_encoded(sf_dir)
+    return ops.region_search(ds, plan).select_columns(["doc_id"])
+
+
+def _constructed_poly_oracle(kind):
+    from spatialindex_ray import geom
+
+    poly = _constructed_poly(kind)
+    _, normals = geom.polygon_normals(poly.ra, poly.dec)
+    terms = " AND ".join(
+        f"x*{_d(nm[0])} + y*{_d(nm[1])} + z*{_d(nm[2])} >= 0.0" for nm in normals
+    )
+    return _xyz_sql() + f"SELECT doc_id FROM n WHERE {terms}"
+
+
 HEX_RES = 4
 
 
@@ -966,6 +1002,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_search_htm": lambda sf: _polygon_query(sf, 0),
         "polygon_search_hpx": lambda sf: _polygon_query(sf, 1),
         "padded_polygon_search": _padded_polygon_query,
+        "box_search": lambda sf: _constructed_poly_query(sf, "box"),
+        "ngon_search": lambda sf: _constructed_poly_query(sf, "ngon"),
+        "line_search": lambda sf: _constructed_poly_query(sf, "line"),
         "cone_search_s2": _cone_s2_query,
         "polygon_search_s2": _polygon_s2_query,
         "hex_tile_agg": _hex_tile_agg,
@@ -1014,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         "polygon_search_htm": _polygon_oracle(),
         "polygon_search_hpx": _polygon_oracle(),
         "padded_polygon_search": _padded_polygon_oracle(),
+        "box_search": _constructed_poly_oracle("box"),
+        "ngon_search": _constructed_poly_oracle("ngon"),
+        "line_search": _constructed_poly_oracle("line"),
         "cone_search_s2": _cone_oracle(0),
         "polygon_search_s2": _polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
