@@ -138,6 +138,28 @@ def _polygon_s2_query(sf_dir):
     return ops.region_search(enc, plan).select_columns(["doc_id"])
 
 
+def _cone_anti_query(sf_dir):
+    """Anti region search: documents OUTSIDE the cone (region_search
+    negate=True — complement of the semi-join mask, no shuffle)."""
+    si = SpatialIndex()
+    cfg = CONE_HTM
+    plan = si.cone_plan(cfg["ra"], cfg["dec"], cfg["radius"], mode=0, level=cfg["level"])
+    ds = _docs_encoded(sf_dir)
+    return ops.region_search(ds, plan, negate=True).select_columns(["doc_id"])
+
+
+def _cone_anti_oracle():
+    from spatialindex_ray import geom
+
+    cfg = CONE_HTM
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c = cone.center
+    return (
+        _xyz_sql()
+        + f"SELECT doc_id FROM n WHERE NOT (x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)})"
+    )
+
+
 def _polygon_query(sf_dir, mode):
     si = SpatialIndex()
     plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=mode, level=POLY_LEVEL)
@@ -184,6 +206,12 @@ NGON_ARGS = dict(ra=200.0, dec=40.0, r=15.0, n=7)
 LINE_ARGS = dict(ra1=10.0, dec1=-5.0, ra2=40.0, dec2=20.0, r=3.0)
 
 
+HULL_PTS = [
+    (95.0, 22.0), (108.0, 25.0), (112.0, 33.0), (104.0, 41.0),
+    (96.0, 39.0), (91.0, 31.0), (100.0, 30.0), (103.0, 34.0),
+]
+
+
 def _constructed_poly(kind):
     from spatialindex_ray import geom
 
@@ -191,6 +219,8 @@ def _constructed_poly(kind):
         return geom.polygon_box(**BOX_ARGS)
     if kind == "ngon":
         return geom.polygon_ngon(**NGON_ARGS)
+    if kind == "hull":
+        return geom.polygon_hull([p[0] for p in HULL_PTS], [p[1] for p in HULL_PTS])
     return geom.polygon_line(**LINE_ARGS)
 
 
@@ -1005,6 +1035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "box_search": lambda sf: _constructed_poly_query(sf, "box"),
         "ngon_search": lambda sf: _constructed_poly_query(sf, "ngon"),
         "line_search": lambda sf: _constructed_poly_query(sf, "line"),
+        "hull_search": lambda sf: _constructed_poly_query(sf, "hull"),
+        "cone_search_anti": _cone_anti_query,
         "cone_search_s2": _cone_s2_query,
         "polygon_search_s2": _polygon_s2_query,
         "hex_tile_agg": _hex_tile_agg,
@@ -1056,6 +1088,8 @@ def oracle_sql() -> dict[str, str]:
         "box_search": _constructed_poly_oracle("box"),
         "ngon_search": _constructed_poly_oracle("ngon"),
         "line_search": _constructed_poly_oracle("line"),
+        "hull_search": _constructed_poly_oracle("hull"),
+        "cone_search_anti": _cone_anti_oracle(),
         "cone_search_s2": _cone_oracle(0),
         "polygon_search_s2": _polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
