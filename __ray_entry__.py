@@ -881,6 +881,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+SLIDE_US = 900_000_000  # 15 min slide
+SLIDE_K = WINDOW_US // SLIDE_US  # 1-hour window = 4 slides
+
+
+def _events_sliding_window(sf_dir):
+    """SLIDING 1-hour window (15-min slide) per-event-type counts: each event
+    scatters to the K=4 overlapping windows containing it (vectorized
+    np.repeat inside map_batches, partial counts), then one groupby-sum of
+    (window, type, n) — the same scatter-gather shape as hex_smooth, sized
+    K x near-final rows through the shuffle. window_id = index of the
+    window's LAST slide slot."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        slot = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // SLIDE_US
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        wins = (slot[:, None] + np.arange(SLIDE_K, dtype=np.int64)[None, :]).ravel()
+        df = pd.DataFrame({"window_id": wins, "event_type": np.repeat(et, SLIDE_K)})
+        g = df.groupby(["window_id", "event_type"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(scatter, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_id", "event_type"])
+        .sum("partial_n")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["window_id", "event_type", "n_events"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_SLIDING_ORACLE = f"""
+WITH x AS (SELECT epoch_us(ts) // {SLIDE_US} AS slot, event_type FROM events),
+e AS (SELECT slot + t.i AS window_id, event_type
+      FROM x, unnest(range({SLIDE_K})) AS t(i))
+SELECT window_id, event_type, count(*) AS n_events
+FROM e GROUP BY window_id, event_type
+"""
+
+
 def _dedup_rows_salted(sf_dir):
     """Row dedup by (cell, url) with hot-cell salting over synthesized pages
     that include dense URL clusters; result: one row per distinct url.
@@ -1067,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": _knn_indexed_query,
         "ellipse_search_htm": _ellipse_query,
         "events_window_agg": _events_window_agg,
+        "events_sliding_window": _events_sliding_window,
         "orders_customer_join": _orders_customer_join,
         "revenue_by_region": _revenue_by_region,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
@@ -1107,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textfn.FINGERPRINT_ORACLE,
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
+        "events_sliding_window": EVENTS_SLIDING_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
