@@ -390,6 +390,96 @@ FROM n QUALIFY rank <= {KNN_K})"""
     return _xyz_sql() + " UNION ALL ".join(parts)
 
 
+def _htm_encode_sql_fragment(level):
+    """CTE-chain SQL dual of kernels.htm.v3_id at `level` over CTE n(doc_id,x,y,z).
+    Appends to _xyz_sql(); final CTE is lvl{level} with (doc_id, id)."""
+    from spatialindex_ray.kernels.htm import ROOT_TRI_VERTS
+
+    def f(v):
+        return repr(float(v))
+
+    rows = []
+    for r in range(8):
+        vs = ROOT_TRI_VERTS[r]
+        vals = ", ".join(f(vs[i][j]) for i in range(3) for j in range(3))
+        rows.append(f"({r}, {vals})")
+    abc = "ax, ay, az, bx, by, bz, cx, cy, cz"
+    sql = f""",
+rootsel AS (
+  SELECT doc_id, x, y, z,
+    CASE WHEN z < 0.0 THEN
+      CASE WHEN y > 0.0 THEN (CASE WHEN x > 0.0 THEN 0 ELSE 1 END)
+           WHEN y = 0.0 THEN (CASE WHEN x >= 0.0 THEN 0 ELSE 2 END)
+           ELSE (CASE WHEN x < 0.0 THEN 2 ELSE 3 END) END
+    ELSE
+      CASE WHEN y > 0.0 THEN (CASE WHEN x > 0.0 THEN 7 ELSE 6 END)
+           WHEN y = 0.0 THEN (CASE WHEN x >= 0.0 THEN 7 ELSE 5 END)
+           ELSE (CASE WHEN x < 0.0 THEN 5 ELSE 4 END) END
+    END AS root
+  FROM n),
+rootv(root, {abc}) AS (VALUES {", ".join(rows)}),
+lvl0 AS (
+  SELECT doc_id, x, y, z, CAST(root + 8 AS BIGINT) AS id, {abc}
+  FROM rootsel JOIN rootv USING (root))"""
+    for k in range(1, level + 1):
+        p = f"lvl{k-1}"
+        sql += f""",
+l{k}s AS (SELECT *,
+    cx + ax AS s1x, cy + ay AS s1y, cz + az AS s1z,
+    ax + bx AS s2x, ay + by AS s2y, az + bz AS s2z,
+    bx + cx AS s0x, by + cy AS s0y, bz + cz AS s0z
+  FROM {p}),
+l{k}m AS (SELECT doc_id, x, y, z, id, {abc},
+    s1x / sqrt(s1x*s1x + s1y*s1y + s1z*s1z) AS m1x,
+    s1y / sqrt(s1x*s1x + s1y*s1y + s1z*s1z) AS m1y,
+    s1z / sqrt(s1x*s1x + s1y*s1y + s1z*s1z) AS m1z,
+    s2x / sqrt(s2x*s2x + s2y*s2y + s2z*s2z) AS m2x,
+    s2y / sqrt(s2x*s2x + s2y*s2y + s2z*s2z) AS m2y,
+    s2z / sqrt(s2x*s2x + s2y*s2y + s2z*s2z) AS m2z,
+    s0x / sqrt(s0x*s0x + s0y*s0y + s0z*s0z) AS m0x,
+    s0y / sqrt(s0x*s0x + s0y*s0y + s0z*s0z) AS m0y,
+    s0z / sqrt(s0x*s0x + s0y*s0y + s0z*s0z) AS m0z
+  FROM l{k}s),
+l{k}e AS (SELECT *,
+    m1x + m2x AS e0x1, m1x - m2x AS e0x2, m1y + m2y AS e0y1, m1y - m2y AS e0y2,
+    m1z + m2z AS e0z1, m1z - m2z AS e0z2,
+    m2x + m0x AS e1x1, m2x - m0x AS e1x2, m2y + m0y AS e1y1, m2y - m0y AS e1y2,
+    m2z + m0z AS e1z1, m2z - m0z AS e1z2,
+    m0x + m1x AS e2x1, m0x - m1x AS e2x2, m0y + m1y AS e2y1, m0y - m1y AS e2y2,
+    m0z + m1z AS e2z1, m0z - m1z AS e2z2
+  FROM l{k}m),
+l{k}d AS (SELECT *,
+    (e0y1*e0z2 - e0z1*e0y2)*x + (e0z1*e0x2 - e0x1*e0z2)*y + (e0x1*e0y2 - e0y1*e0x2)*z >= 0.0 AS c0,
+    (e1y1*e1z2 - e1z1*e1y2)*x + (e1z1*e1x2 - e1x1*e1z2)*y + (e1x1*e1y2 - e1y1*e1x2)*z >= 0.0 AS c1,
+    (e2y1*e2z2 - e2z1*e2y2)*x + (e2z1*e2x2 - e2x1*e2z2)*y + (e2x1*e2y2 - e2y1*e2x2)*z >= 0.0 AS c2
+  FROM l{k}e),
+lvl{k} AS (SELECT doc_id, x, y, z,
+    id * 4 + CASE WHEN c0 THEN 0 WHEN c1 THEN 1 WHEN c2 THEN 2 ELSE 3 END AS id,
+    CASE WHEN c0 THEN ax WHEN c1 THEN bx WHEN c2 THEN cx ELSE m0x END AS ax,
+    CASE WHEN c0 THEN ay WHEN c1 THEN by WHEN c2 THEN cy ELSE m0y END AS ay,
+    CASE WHEN c0 THEN az WHEN c1 THEN bz WHEN c2 THEN cz ELSE m0z END AS az,
+    CASE WHEN c0 THEN m2x WHEN c1 THEN m0x ELSE m1x END AS bx,
+    CASE WHEN c0 THEN m2y WHEN c1 THEN m0y ELSE m1y END AS by,
+    CASE WHEN c0 THEN m2z WHEN c1 THEN m0z ELSE m1z END AS bz,
+    CASE WHEN c0 THEN m1x WHEN c1 THEN m2x WHEN c2 THEN m0x ELSE m2x END AS cx,
+    CASE WHEN c0 THEN m1y WHEN c1 THEN m2y WHEN c2 THEN m0y ELSE m2y END AS cy,
+    CASE WHEN c0 THEN m1z WHEN c1 THEN m2z WHEN c2 THEN m0z ELSE m2z END AS cz
+  FROM l{k}d)"""
+    return sql
+
+
+# DuckDB dual of the full encode -> shift -> count pipeline: the SQL walks
+# the HTM tree itself (4 levels of midpoint-normalize / rcross / dot CTEs,
+# bit-exact vs kernels.htm.v3_id), so the oracle verifies the ENCODER, not
+# just the aggregation. htm4 == htm20 >> 32 (prefix-stable ids; property
+# tested in tests/test_kernels.py::test_coarse_level_by_shift).
+CELL_COUNTS_ORACLE = (
+    _xyz_sql()
+    + _htm_encode_sql_fragment(4)
+    + "\nSELECT id AS cell, count(*) AS n_rows FROM lvl4 GROUP BY id"
+)
+
+
 def _cell_counts(sf_dir):
     ds = _docs_encoded(sf_dir, hpx_level=None)
     out = ops.cell_counts(ds, "htm20", out_level=4)
@@ -1144,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "cone_search_s2": _cone_oracle(0),
         "polygon_search_s2": _polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
+        "cell_counts_htm4": CELL_COUNTS_ORACLE,
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),
         "q1_lineitem_agg": Q1_ORACLE,
