@@ -468,6 +468,65 @@ lvl{k} AS (SELECT doc_id, x, y, z,
     return sql
 
 
+_HPX_ORDER = 5
+
+
+def _hpx_encode_sql_fragment(order):
+    """CTE SQL dual of kernels.healpix.sky2hpx at `order` over CTE
+    n(doc_id, lon, lat): nested id via regime classification + bit
+    interleave, bit-exact float op order. Appends to _xyz_sql()."""
+    from spatialindex_ray.kernels.healpix import PI, HALFPI, TWOTHIRD
+
+    def d(x):
+        return f"{float(x):.17e}"
+
+    nside = 1 << order
+    dtr = PI / 180.0
+    # interleave: sum_k ((ix >> k) & 1) << 2k  |  ((iy >> k) & 1) << 2k+1
+    ix_terms = " + ".join(f"(((ix >> {k}) & 1) << {2 * k})" for k in range(order))
+    iy_terms = " + ".join(f"(((iy >> {k}) & 1) << {2 * k + 1})" for k in range(order))
+    return f""",
+h1 AS (
+  SELECT doc_id,
+    cos((90.0 - lat) * {d(dtr)}) AS z,
+    (lon * {d(dtr)}) / {d(HALFPI)} AS tt
+  FROM n),
+h2 AS (
+  SELECT doc_id, z, tt, abs(z) AS zabs,
+    CAST(trunc({nside}.0 * (0.5 + tt) - {nside}.0 * (z * 0.75)) AS BIGINT) AS jp_e,
+    CAST(trunc({nside}.0 * (0.5 + tt) + {nside}.0 * (z * 0.75)) AS BIGINT) AS jm_e,
+    least(CAST(trunc(tt) AS BIGINT), 3) AS ntt
+  FROM h1),
+h3 AS (
+  SELECT doc_id, z, tt, zabs, jp_e, jm_e, ntt,
+    jp_e // {nside} AS ifp, jm_e // {nside} AS ifm,
+    tt - ntt AS tp,
+    {nside}.0 * sqrt(3.0 * (1.0 - zabs)) AS tmp
+  FROM h2),
+h4 AS (
+  SELECT doc_id, z, zabs, ntt, ifp, ifm,
+    jm_e & {nside - 1} AS ix_e,
+    {nside - 1} - (jp_e & {nside - 1}) AS iy_e,
+    least(CAST(trunc(tp * tmp) AS BIGINT), {nside - 1}) AS jp_p,
+    least(CAST(trunc((1.0 - tp) * tmp) AS BIGINT), {nside - 1}) AS jm_p
+  FROM h3),
+h5 AS (
+  SELECT doc_id,
+    CASE WHEN zabs <= {d(TWOTHIRD)} THEN
+      CASE WHEN ifp = ifm THEN (CASE WHEN ifp = 4 THEN 4 ELSE ifp + 4 END)
+           WHEN ifp < ifm THEN ifp ELSE ifm + 8 END
+    ELSE CASE WHEN z >= 0.0 THEN ntt ELSE ntt + 8 END END AS face,
+    CASE WHEN zabs <= {d(TWOTHIRD)} THEN ix_e
+    ELSE CASE WHEN z >= 0.0 THEN {nside - 1} - jm_p ELSE jp_p END END AS ix,
+    CASE WHEN zabs <= {d(TWOTHIRD)} THEN iy_e
+    ELSE CASE WHEN z >= 0.0 THEN {nside - 1} - jp_p ELSE jm_p END END AS iy
+  FROM h4),
+hpx AS (
+  SELECT doc_id,
+    (face << {2 * order}) | ({ix_terms}) | ({iy_terms}) AS id
+  FROM h5)"""
+
+
 # DuckDB dual of the full encode -> shift -> count pipeline: the SQL walks
 # the HTM tree itself (4 levels of midpoint-normalize / rcross / dot CTEs,
 # bit-exact vs kernels.htm.v3_id), so the oracle verifies the ENCODER, not
@@ -488,6 +547,28 @@ def _cell_counts(sf_dir):
         return tbl.rename_columns(["cell", "n_rows"])
 
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _cell_counts_hpx(sf_dir):
+    """Per-cell counts at HEALPix order _HPX_ORDER, derived by shift from
+    the order-20 encode (prefix-stable nested ids). The SQL oracle walks the
+    HEALPix encoder itself (_hpx_encode_sql_fragment) — regime
+    classification, truncation casts and bit interleave, bit-exact vs
+    kernels.healpix.sky2hpx."""
+    ds = _docs_encoded(sf_dir, htm_level=None)
+    out = ops.cell_counts(ds, "hpx20", out_level=_HPX_ORDER)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["cell", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+CELL_COUNTS_HPX_ORACLE = (
+    _xyz_sql()
+    + _hpx_encode_sql_fragment(_HPX_ORDER)
+    + "\nSELECT id AS cell, count(*) AS n_rows FROM hpx GROUP BY id"
+)
 
 
 def _q1(sf_dir):
@@ -1185,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": _radius_join,
         "knn": _knn_query,
         "cell_counts_htm4": _cell_counts,
+        "cell_counts_hpx5": _cell_counts_hpx,
         "q1_lineitem_agg": _q1,
         "exact_dedup": dedup.exact_dedup_query,
         "token_stats": textfn.token_stats_query,
@@ -1235,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_search_s2": _polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
         "cell_counts_htm4": CELL_COUNTS_ORACLE,
+        "cell_counts_hpx5": CELL_COUNTS_HPX_ORACLE,
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),
         "q1_lineitem_agg": Q1_ORACLE,
