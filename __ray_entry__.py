@@ -468,6 +468,79 @@ lvl{k} AS (SELECT doc_id, x, y, z,
     return sql
 
 
+_hex_encode_sql_fragment_res = 4
+
+
+def _hex_encode_sql_fragment(res):
+    """CTE SQL dual of kernels.hexgrid.xyz_to_cell at `res` over CTE
+    n(doc_id, x, y, z): 20-face argmax (first-max tie rule = CASE order),
+    gnomonic projection, axial hex rounding, id packing."""
+    from spatialindex_ray.kernels import hexgrid as hg
+
+    def d(v):
+        return f"{float(v):.17e}"
+
+    rows = []
+    for f in range(20):
+        c = hg._FACE_CENTERS[f]; e1 = hg._E1[f]; e2 = hg._E2[f]
+        vals = ", ".join(d(v) for v in (*c, *e1, *e2))
+        rows.append(f"({f}, {vals})")
+    B = hg._res_basis(res)
+    Binv = np.linalg.inv(B)
+    dots = ", ".join(
+        f"x*{d(hg._FACE_CENTERS[f][0])} + y*{d(hg._FACE_CENTERS[f][1])} + z*{d(hg._FACE_CENTERS[f][2])} AS d{f}"
+        for f in range(20)
+    )
+    m = "greatest(" + ", ".join(f"d{f}" for f in range(20)) + ")"
+    face_case = "CASE " + " ".join(f"WHEN d{f} = m THEN {f}" for f in range(19)) + " ELSE 19 END"
+    OFF = int(hg._OFF); MASK = (1 << 27) - 1
+    return f""",
+g1 AS (SELECT doc_id, x, y, z, {dots} FROM n),
+g2 AS (SELECT doc_id, x, y, z, {m} AS m, * EXCLUDE (doc_id, x, y, z) FROM g1),
+g3 AS (SELECT doc_id, x, y, z, {face_case} AS face FROM g2),
+g4 AS (SELECT doc_id, face,
+    (x*fcx + y*fcy + z*fcz) AS dot,
+    (x*e1x + y*e1y + z*e1z) AS p1,
+    (x*e2x + y*e2y + z*e2z) AS p2
+  FROM g3 JOIN facev USING (face)),
+g5 AS (SELECT doc_id, face,
+    {d(Binv[0,0])} * (p1/dot) + {d(Binv[0,1])} * (p2/dot) AS q,
+    {d(Binv[1,0])} * (p1/dot) + {d(Binv[1,1])} * (p2/dot) AS r
+  FROM g4),
+g6 AS (SELECT doc_id, face, q, r, -q - r AS s,
+    round(q) AS rq0, round(r) AS rr0, round(-q - r) AS rs0
+  FROM g5),
+g7 AS (SELECT doc_id, face, q, r, s, rq0, rr0, rs0,
+    abs(rq0 - q) AS dq, abs(rr0 - r) AS dr, abs(rs0 - s) AS ds
+  FROM g6),
+g8 AS (SELECT doc_id, face,
+    CASE WHEN dq > dr AND dq > ds THEN -rr0 - rs0 ELSE rq0 END AS rq1,
+    rr0, rs0, dq, dr, ds
+  FROM g7),
+g9 AS (SELECT doc_id, face,
+    CAST(rq1 AS BIGINT) AS qi,
+    CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq1 - rs0 ELSE rr0 END AS BIGINT) AS ri
+  FROM g8),
+hexc AS (SELECT doc_id,
+    (CAST({res} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
+    | (((qi + {OFF}) & {MASK}) << 27) | ((ri + {OFF}) & {MASK}) AS hex_cell
+  FROM g9)"""
+
+
+def _hex_facev_cte():
+    from spatialindex_ray.kernels import hexgrid as hg
+
+    def d(v):
+        return f"{float(v):.17e}"
+
+    rows = []
+    for f in range(20):
+        c = hg._FACE_CENTERS[f]; e1 = hg._E1[f]; e2 = hg._E2[f]
+        vals = ", ".join(d(v) for v in (*c, *e1, *e2))
+        rows.append(f"({f}, {vals})")
+    return ",\nfacev(face, fcx, fcy, fcz, e1x, e1y, e1z, e2x, e2y, e2z) AS (VALUES " + ", ".join(rows) + ")"
+
+
 _HPX_ORDER = 5
 
 
@@ -562,6 +635,19 @@ def _cell_counts_hpx(sf_dir):
         return tbl.rename_columns(["cell", "n_rows"])
 
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+# DuckDB dual of the aperture-7 hex encoder (kernels.hexgrid.xyz_to_cell):
+# 20-face argmax (CASE order = numpy first-max), gnomonic projection, axial
+# hex rounding, id packing. Caveat: SQL round() is half-away-from-zero vs
+# numpy's half-to-even — indistinguishable off the measure-zero .5 boundary;
+# validated hash-exact on the fixed driver tables at sf0.001/sf0.01.
+HEX_TILE_ORACLE = (
+    _xyz_sql()
+    + _hex_facev_cte()
+    + _hex_encode_sql_fragment(HEX_RES)
+    + "\nSELECT hex_cell, count(*) AS n_rows FROM hexc GROUP BY hex_cell"
+)
 
 
 CELL_COUNTS_HPX_ORACLE = (
@@ -1318,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_grid": _tile_oracle(),
         "cell_counts_htm4": CELL_COUNTS_ORACLE,
         "cell_counts_hpx5": CELL_COUNTS_HPX_ORACLE,
+        "hex_tile_agg": HEX_TILE_ORACLE,
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),
         "q1_lineitem_agg": Q1_ORACLE,
