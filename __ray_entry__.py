@@ -471,10 +471,12 @@ lvl{k} AS (SELECT doc_id, x, y, z,
 _hex_encode_sql_fragment_res = 4
 
 
-def _hex_encode_sql_fragment(res):
+def _hex_encode_sql_fragment(res, src="n", key="doc_id", prefix="g", out="hexc"):
     """CTE SQL dual of kernels.hexgrid.xyz_to_cell at `res` over CTE
-    n(doc_id, x, y, z): 20-face argmax (first-max tie rule = CASE order),
-    gnomonic projection, axial hex rounding, id packing."""
+    ``src``(``key``, x, y, z): 20-face argmax (first-max tie rule = CASE
+    order), gnomonic projection, axial hex rounding, id packing. CTE names
+    take ``prefix`` so the fragment can be instantiated twice in one query
+    (hex_smooth re-encodes neighbor probe directions)."""
     from spatialindex_ray.kernels import hexgrid as hg
 
     def d(v):
@@ -495,36 +497,36 @@ def _hex_encode_sql_fragment(res):
     face_case = "CASE " + " ".join(f"WHEN d{f} = m THEN {f}" for f in range(19)) + " ELSE 19 END"
     OFF = int(hg._OFF); MASK = (1 << 27) - 1
     return f""",
-g1 AS (SELECT doc_id, x, y, z, {dots} FROM n),
-g2 AS (SELECT doc_id, x, y, z, {m} AS m, * EXCLUDE (doc_id, x, y, z) FROM g1),
-g3 AS (SELECT doc_id, x, y, z, {face_case} AS face FROM g2),
-g4 AS (SELECT doc_id, face,
+{prefix}1 AS (SELECT {key}, x, y, z, {dots} FROM {src}),
+{prefix}2 AS (SELECT {key}, x, y, z, {m} AS m, * EXCLUDE ({key}, x, y, z) FROM {prefix}1),
+{prefix}3 AS (SELECT {key}, x, y, z, {face_case} AS face FROM {prefix}2),
+{prefix}4 AS (SELECT {key}, face,
     (x*fcx + y*fcy + z*fcz) AS dot,
     (x*e1x + y*e1y + z*e1z) AS p1,
     (x*e2x + y*e2y + z*e2z) AS p2
-  FROM g3 JOIN facev USING (face)),
-g5 AS (SELECT doc_id, face,
+  FROM {prefix}3 JOIN facev USING (face)),
+{prefix}5 AS (SELECT {key}, face,
     {d(Binv[0,0])} * (p1/dot) + {d(Binv[0,1])} * (p2/dot) AS q,
     {d(Binv[1,0])} * (p1/dot) + {d(Binv[1,1])} * (p2/dot) AS r
-  FROM g4),
-g6 AS (SELECT doc_id, face, q, r, -q - r AS s,
+  FROM {prefix}4),
+{prefix}6 AS (SELECT {key}, face, q, r, -q - r AS s,
     round(q) AS rq0, round(r) AS rr0, round(-q - r) AS rs0
-  FROM g5),
-g7 AS (SELECT doc_id, face, q, r, s, rq0, rr0, rs0,
+  FROM {prefix}5),
+{prefix}7 AS (SELECT {key}, face, q, r, s, rq0, rr0, rs0,
     abs(rq0 - q) AS dq, abs(rr0 - r) AS dr, abs(rs0 - s) AS ds
-  FROM g6),
-g8 AS (SELECT doc_id, face,
+  FROM {prefix}6),
+{prefix}8 AS (SELECT {key}, face,
     CASE WHEN dq > dr AND dq > ds THEN -rr0 - rs0 ELSE rq0 END AS rq1,
     rr0, rs0, dq, dr, ds
-  FROM g7),
-g9 AS (SELECT doc_id, face,
+  FROM {prefix}7),
+{prefix}9 AS (SELECT {key}, face,
     CAST(rq1 AS BIGINT) AS qi,
     CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq1 - rs0 ELSE rr0 END AS BIGINT) AS ri
-  FROM g8),
-hexc AS (SELECT doc_id,
+  FROM {prefix}8),
+{out} AS (SELECT {key},
     (CAST({res} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
     | (((qi + {OFF}) & {MASK}) << 27) | ((ri + {OFF}) & {MASK}) AS hex_cell
-  FROM g9)"""
+  FROM {prefix}9)"""
 
 
 def _hex_facev_cte():
@@ -539,6 +541,63 @@ def _hex_facev_cte():
         vals = ", ".join(d(v) for v in (*c, *e1, *e2))
         rows.append(f"({f}, {vals})")
     return ",\nfacev(face, fcx, fcy, fcz, e1x, e1y, e1z, e2x, e2y, e2z) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _hex_smooth_oracle():
+    """DuckDB dual of the hex_smooth scatter-gather INCLUDING the cross-face
+    stitching: per-cell counts from the encoder dual, then each cell's 6
+    lattice-neighbor probe directions are rebuilt from (face, qi, ri),
+    normalized, and RE-ENCODED through a second instance of the encoder
+    fragment — exactly hexgrid.neighbors(stitch=True). DISTINCT (src, tgt)
+    pairs reproduce the per-row dedupe; the weighted join is the gather."""
+    from spatialindex_ray.kernels import hexgrid as hg
+
+    def d(v):
+        return f"{float(v):.17e}"
+
+    B = hg._res_basis(HEX_RES)
+    OFF = int(hg._OFF)
+    MASK = (1 << 27) - 1
+    return (
+        _xyz_sql()
+        + _hex_facev_cte()
+        + _hex_encode_sql_fragment(HEX_RES)
+        + f""",
+counts AS (SELECT hex_cell, count(*) AS n FROM hexc GROUP BY hex_cell),
+parts AS (SELECT hex_cell,
+    CAST((hex_cell >> 54) & 31 AS BIGINT) AS face,
+    ((hex_cell >> 27) & {MASK}) - {OFF} AS qi,
+    (hex_cell & {MASK}) - {OFF} AS ri
+  FROM counts),
+deltas(dq, dr) AS (VALUES (1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)),
+nraw AS (SELECT p.hex_cell AS src_cell,
+    fcx + ({d(B[0, 0])} * (qi + dq) + {d(B[0, 1])} * (ri + dr)) * e1x
+        + ({d(B[1, 0])} * (qi + dq) + {d(B[1, 1])} * (ri + dr)) * e2x AS vx,
+    fcy + ({d(B[0, 0])} * (qi + dq) + {d(B[0, 1])} * (ri + dr)) * e1y
+        + ({d(B[1, 0])} * (qi + dq) + {d(B[1, 1])} * (ri + dr)) * e2y AS vy,
+    fcz + ({d(B[0, 0])} * (qi + dq) + {d(B[0, 1])} * (ri + dr)) * e1z
+        + ({d(B[1, 0])} * (qi + dq) + {d(B[1, 1])} * (ri + dr)) * e2z AS vz
+  FROM parts p JOIN facev USING (face) CROSS JOIN deltas),
+nctr AS (SELECT src_cell,
+    vx / sqrt(vx*vx + vy*vy + vz*vz) AS x,
+    vy / sqrt(vx*vx + vy*vy + vz*vz) AS y,
+    vz / sqrt(vx*vx + vy*vy + vz*vz) AS z
+  FROM nraw)"""
+        + _hex_encode_sql_fragment(
+            HEX_RES, src="nctr", key="src_cell", prefix="h", out="hexc2"
+        )
+        + """,
+pairs AS (
+  SELECT DISTINCT src_cell, tgt FROM (
+    SELECT hex_cell AS src_cell, hex_cell AS tgt FROM counts
+    UNION ALL
+    SELECT src_cell, hex_cell AS tgt FROM hexc2)),
+smooth AS (
+  SELECT p.tgt AS hex_cell, CAST(sum(c.n) AS BIGINT) AS smooth_n
+  FROM pairs p JOIN counts c ON p.src_cell = c.hex_cell
+  GROUP BY p.tgt)
+SELECT hex_cell, smooth_n FROM smooth"""
+    )
 
 
 _HPX_ORDER = 5
@@ -1405,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_htm4": CELL_COUNTS_ORACLE,
         "cell_counts_hpx5": CELL_COUNTS_HPX_ORACLE,
         "hex_tile_agg": HEX_TILE_ORACLE,
+        "hex_smooth": _hex_smooth_oracle(),
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),
         "q1_lineitem_agg": Q1_ORACLE,
