@@ -233,6 +233,25 @@ def run_suite() -> dict:
             pass
         results[name] = round(time.time() - t0, 3)
 
+    # extended (round-2 third-wave) operators — timed separately, NOT part
+    # of the headline suite total so BASELINE comparability is preserved
+    extended: dict[str, float] = {}
+    for name in [
+        "events_quantiles", "events_sliding_window", "events_user_hll",
+        "events_orders_asof", "revenue_by_region", "top_terms",
+        "customer_recent_anti", "cell_counts_hpx5", "hex_smooth",
+    ]:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res = res.to_pandas()
+        except Exception:
+            pass
+        extended[name] = round(time.time() - t0, 3)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "spatial-join + tile-assignment suite wall time",
@@ -244,6 +263,7 @@ def run_suite() -> dict:
         "headline_rows_per_sec": round(extras["spatial_join_tiles"]["rows_per_sec"], 1),
         "encode_rows_per_sec": round(extras["encode_1m"]["rows_per_sec"], 1),
         "health_probe_8proc_iters": health,
+        "extended": extended,
         "detail": {k: {kk: (round(vv, 3) if isinstance(vv, float) else vv)
                        for kk, vv in v.items()} for k, v in extras.items()},
     }
