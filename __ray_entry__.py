@@ -543,6 +543,69 @@ def _hex_facev_cte():
     return ",\nfacev(face, fcx, fcy, fcz, e1x, e1y, e1z, e2x, e2y, e2z) AS (VALUES " + ", ".join(rows) + ")"
 
 
+_S2_COUNT_LEVEL = 6
+
+
+def _s2_lut_cte():
+    from spatialindex_ray.kernels import s2
+    rows = ", ".join(f"({k}, {int(v)})" for k, v in enumerate(s2._lookup_pos))
+    return f",\ns2lut(lkey, lval) AS (VALUES {rows})"
+
+def _s2_encode_sql_fragment(level):
+    """CTE SQL dual of kernels.s2.cellid_from_xyz at `level` over CTE
+    n(doc_id, x, y, z): cube-face selection, quadratic st projection,
+    8 join-based Hilbert lookup iterations (HUGEINT id assembly), level
+    truncation, two's-complement fold to BIGINT."""
+    MAXL = 30
+    uv_cases_u = """CASE face
+      WHEN 0 THEN y / x WHEN 1 THEN (-x) / y WHEN 2 THEN (-x) / z
+      WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE (-y) / z END"""
+    uv_cases_v = """CASE face
+      WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN (-y) / z
+      WHEN 3 THEN y / x WHEN 4 THEN (-x) / y ELSE (-x) / z END"""
+    sql = f""",
+sf AS (SELECT doc_id, x, y, z,
+    CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+         ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS face0
+  FROM n),
+sg AS (SELECT doc_id, x, y, z,
+    CASE WHEN (CASE face0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0.0
+         THEN face0 + 3 ELSE face0 END AS face
+  FROM sf),
+su AS (SELECT doc_id, face, {uv_cases_u} AS u, {uv_cases_v} AS v FROM sg),
+sst AS (SELECT doc_id, face,
+    CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * abs(u))
+         ELSE 1.0 - 0.5 * sqrt(1.0 + 3.0 * abs(u)) END AS s,
+    CASE WHEN v >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * abs(v))
+         ELSE 1.0 - 0.5 * sqrt(1.0 + 3.0 * abs(v)) END AS t
+  FROM su),
+sij AS (SELECT doc_id, face,
+    least(greatest(CAST(floor(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
+    least(greatest(CAST(floor(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j
+  FROM sst),
+it8 AS (SELECT doc_id, face, i, j,
+    CAST(face AS HUGEINT) * {1 << 60} AS acc,
+    face & 1 AS bits
+  FROM sij)"""
+    for k in range(7, -1, -1):
+        prev = "it8" if k == 7 else f"it{k + 1}"
+        sql += f""",
+it{k} AS (SELECT doc_id, face, i, j,
+    acc + CAST(lval // 4 AS HUGEINT) * {"1" if k == 0 else str(1 << (8 * k))} AS acc,
+    lval % 4 AS bits
+  FROM {prev} JOIN s2lut ON lkey = ((((i >> {4 * k}) & 15) * 16 + ((j >> {4 * k}) & 15)) * 4) + bits)"""
+    lsb = 1 << (2 * (MAXL - level))
+    sql += f""",
+sleaf AS (SELECT doc_id, acc * 2 + 1 AS leaf FROM it0),
+strunc AS (SELECT doc_id,
+    (((leaf // {lsb}) // 2) * 2) * {lsb} + {lsb} AS idu
+  FROM sleaf),
+s2c AS (SELECT doc_id,
+    CAST(idu - CASE WHEN idu >= {1 << 63} THEN {1 << 64} ELSE 0 END AS BIGINT) AS s2_cell
+  FROM strunc)"""
+    return sql
+
+
 def _hex_smooth_oracle():
     """DuckDB dual of the hex_smooth scatter-gather INCLUDING the cross-face
     stitching: per-cell counts from the encoder dual, then each cell's 6
@@ -679,6 +742,47 @@ def _cell_counts(sf_dir):
         return tbl.rename_columns(["cell", "n_rows"])
 
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _cell_counts_s2(sf_dir):
+    """Per-cell counts at S2 level _S2_COUNT_LEVEL (canonical uint64 ids
+    viewed as int64). The oracle walks the S2 encoder in DuckDB: cube-face
+    CASE, quadratic st projection, 8 join-based Hilbert lookup-table
+    iterations with HUGEINT id assembly — bit-exact vs
+    kernels.s2.cellid_from_xyz."""
+    import ray
+
+    from spatialindex_ray.kernels import s2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        xyz = np.column_stack(
+            [tbl[c].to_numpy(zero_copy_only=False) for c in ("x", "y", "z")]
+        )
+        cells = s2.cellid_from_xyz(xyz, _S2_COUNT_LEVEL).view(np.int64)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table({"s2_cell": pa.array(uniq), "partial": pa.array(cnt)})
+
+    out = (
+        enc.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("s2_cell")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["s2_cell", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+CELL_COUNTS_S2_ORACLE = (
+    _xyz_sql()
+    + _s2_lut_cte()
+    + _s2_encode_sql_fragment(_S2_COUNT_LEVEL)
+    + "\nSELECT s2_cell, count(*) AS n_rows FROM s2c GROUP BY s2_cell"
+)
 
 
 def _cell_counts_hpx(sf_dir):
@@ -1412,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _knn_query,
         "cell_counts_htm4": _cell_counts,
         "cell_counts_hpx5": _cell_counts_hpx,
+        "cell_counts_s2": _cell_counts_s2,
         "q1_lineitem_agg": _q1,
         "exact_dedup": dedup.exact_dedup_query,
         "token_stats": textfn.token_stats_query,
@@ -1465,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_hpx5": CELL_COUNTS_HPX_ORACLE,
         "hex_tile_agg": HEX_TILE_ORACLE,
         "hex_smooth": _hex_smooth_oracle(),
+        "cell_counts_s2": CELL_COUNTS_S2_ORACLE,
         "radius_join": _radius_join_oracle(),
         "knn": _knn_oracle(),
         "q1_lineitem_agg": Q1_ORACLE,
