@@ -1405,6 +1405,19 @@ def _audio_features_query(sf_dir):
     return decoded.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+# The audio pipeline's metadata outputs are fully determined by the synth
+# parameters (0.2 s mono at 8 kHz) — but they PASS THROUGH a real WAV
+# encode -> actor-pool decode, so the oracle verifies the codec roundtrip
+# and distributed plumbing end-to-end.
+AUDIO_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       1600.0 / 8000.0 AS duration_s
+FROM documents
+"""
+
+
 def _knn_indexed_query(sf_dir):
     """North-star kNN path: per-cell neighbor-ring expansion over a built
     sorted index (no full scan) — pipelines.build.knn_indexed. Uses a
@@ -1593,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
         "events_quantiles": EVENTS_QUANTILES_ORACLE,
         "video_frames": multimodal.VIDEO_FRAMES_ORACLE,
+        "audio_features": AUDIO_FEATURES_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
         # minhash / simhash / cell_counts_htm4 / hex_tile_agg /
         # image_features / dedup_rows_salted / index_build_query: not
