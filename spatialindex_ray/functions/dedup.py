@@ -117,7 +117,7 @@ def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     n = len(ids)
     flat, offsets = _token_segments(tbl[text_col])
-    th = hashing.sha1_pairs_of_column(flat)[:, 0]  # uint64 token hashes
+    th = hashing.sha1_first64_of_tokens(flat)  # uint64 token hashes (per-vocab SHA-1)
     ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
     M = np.uint64(_MERSENNE)
 
@@ -305,7 +305,7 @@ def simhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
 
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     flat, offsets = _token_segments(tbl[text_col])
-    th = hashing.sha1_pairs_of_column(flat)[:, 0]  # == sha1(token)[:8]
+    th = hashing.sha1_first64_of_tokens(flat)  # == sha1(token)[:8], per-vocab
     ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
     out = np.zeros(len(ids), dtype=np.uint64)
     cs = np.empty(len(th) + 1, dtype=np.int64)

@@ -176,7 +176,7 @@ def quality_score_batch(tbl: pa.Table) -> pa.Table:
     alpha = _segment_sum(alpha_flags.astype(np.int64), offsets) / safe
     # distinct tokens per row: 64-bit token hash, sort within rows, count
     # boundaries (collisions astronomically unlikely per ~1e3-token rows)
-    th = hashing.poly_hash64_of_column(flat)
+    th = hashing.poly_hash64_of_tokens(flat)
     row_of = np.repeat(np.arange(n, dtype=np.int64), (offsets[1:] - offsets[:-1]))
     order = np.lexsort((th, row_of))
     sh, sr = th[order], row_of[order]

@@ -269,3 +269,37 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         + _POPCNT16[((x >> _U64(32)) & m).astype(np.int64)]
         + _POPCNT16[((x >> _U64(48)) & m).astype(np.int64)]
     )
+
+
+def sha1_first64_of_tokens(col) -> np.ndarray:
+    """First-8-bytes-of-SHA-1 per element, computed once per DISTINCT value
+    (Arrow dictionary encode) and gathered back — bit-identical to hashing
+    every element, but token arrays from natural-language splits repeat
+    heavily, so the SHA-1 kernel sees the vocabulary, not the stream. Also
+    shrinks the big per-call temporaries that this sandbox's page-fault
+    stalls amplify."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    uh = sha1_pairs_of_column(d.dictionary)[:, 0]
+    if len(uh) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return uh[np.asarray(d.indices)]
+
+
+def poly_hash64_of_tokens(col, base: np.uint64 = _POLY_BASE) -> np.ndarray:
+    """poly_hash64 per element via dictionary encode + gather (see
+    sha1_first64_of_tokens for why) — bit-identical, vocabulary-sized work."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    uh = poly_hash64_of_column(d.dictionary, base)
+    if len(uh) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return uh[np.asarray(d.indices)]
