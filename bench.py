@@ -200,8 +200,11 @@ def run_suite() -> dict:
 
     # warm the worker pool (imports + first-task costs + first big NumPy
     # allocations per worker — this sandbox intermittently stalls fresh page
-    # faults 10-100x) so measurements reflect steady-state throughput
-    bench_encode(200_000)
+    # faults 10-100x) so measurements reflect steady-state throughput.
+    # Full-size warmup: the stall scales with allocation size, so a small
+    # warmup leaves the first full-size run exposed (BENCH observed a 34 s
+    # encode_1m immediately after a 200k warmup in a throttled phase).
+    bench_encode(N_PAGES_ENCODE)
 
     r = bench_encode(N_PAGES_ENCODE)
     results["encode_1m"] = round(r["wall_s"], 3)
