@@ -144,7 +144,8 @@ def _cone_anti_query(sf_dir):
     si = SpatialIndex()
     cfg = CONE_HTM
     plan = si.cone_plan(cfg["ra"], cfg["dec"], cfg["radius"], mode=0, level=cfg["level"])
-    ds = _docs_encoded(sf_dir)
+    # anti path filters on x/y/z only — skip the level-20 cell encodes
+    ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
     return ops.region_search(ds, plan, negate=True).select_columns(["doc_id"])
 
 
@@ -482,11 +483,6 @@ def _hex_encode_sql_fragment(res, src="n", key="doc_id", prefix="g", out="hexc")
     def d(v):
         return f"{float(v):.17e}"
 
-    rows = []
-    for f in range(20):
-        c = hg._FACE_CENTERS[f]; e1 = hg._E1[f]; e2 = hg._E2[f]
-        vals = ", ".join(d(v) for v in (*c, *e1, *e2))
-        rows.append(f"({f}, {vals})")
     B = hg._res_basis(res)
     Binv = np.linalg.inv(B)
     dots = ", ".join(

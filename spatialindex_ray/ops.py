@@ -799,18 +799,6 @@ def equi_join(
 
         return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
-    def tag(key_name):
-        def f(tbl: pa.Table) -> pa.Table:
-            key = tbl[key_name]
-            knum = key.to_numpy(zero_copy_only=False)
-            if knum.dtype.kind in "iu":
-                shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
-            else:
-                shard = (hash64_strings(key) % np.uint64(n_shards)).astype(np.int64)
-            return tbl.append_column("_shard", pa.array(shard))
-
-        return f
-
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
         ldf = ta.drop(["_shard"]).to_pandas()
         rdf = tb.drop(["_shard"]).to_pandas()
@@ -819,9 +807,26 @@ def equi_join(
         )
         return pa.Table.from_pandas(merged, preserve_index=False)
 
-    left = left_ds.map_batches(tag(on), batch_format="pyarrow", batch_size=None)
-    right = right_ds.map_batches(tag(right_on), batch_format="pyarrow", batch_size=None)
+    left = left_ds.map_batches(_shard_tagger(on, n_shards), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(_shard_tagger(right_on, n_shards), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
+
+
+def _shard_tagger(key_name: str, n_shards: int):
+    """map_batches fn appending a bounded ``_shard`` key: int keys by
+    modulo (sign-safe), string keys by hash64. Shared by every keyed
+    exchange plan (equi/semi/anti/as-of) so the hashing rule can never
+    diverge between them."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        knum = tbl[key_name].to_numpy(zero_copy_only=False)
+        if knum.dtype.kind in "iu":
+            shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
+        else:
+            shard = (hash64_strings(tbl[key_name]) % np.uint64(n_shards)).astype(np.int64)
+        return tbl.append_column("_shard", pa.array(shard))
+
+    return f
 
 
 def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
@@ -859,17 +864,6 @@ def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
 
         return left_ds.map_batches(filter_batch, batch_format="pyarrow", batch_size=None)
 
-    def tag(key_name):
-        def f(tbl: pa.Table) -> pa.Table:
-            knum = tbl[key_name].to_numpy(zero_copy_only=False)
-            if knum.dtype.kind in "iu":
-                shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
-            else:
-                shard = (hash64_strings(tbl[key_name]) % np.uint64(n_shards)).astype(np.int64)
-            return tbl.append_column("_shard", pa.array(shard))
-
-        return f
-
     def filter_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
         left = ta.drop(["_shard"])
         mask = pc.is_in(left[on], value_set=tb[right_on].combine_chunks().unique())
@@ -877,8 +871,8 @@ def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
             mask = pc.invert(mask)
         return left.filter(pc.fill_null(mask, False))
 
-    left = left_ds.map_batches(tag(on), batch_format="pyarrow", batch_size=None)
-    right = right_ds.map_batches(tag(right_on), batch_format="pyarrow", batch_size=None)
+    left = left_ds.map_batches(_shard_tagger(on, n_shards), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(_shard_tagger(right_on, n_shards), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, filter_shard)
 
 
@@ -901,9 +895,10 @@ def asof_join(
 
     Plan: both sides hash-exchange on the ``by`` key only (narrow columns),
     then one vectorized ``pandas.merge_asof`` per shard. Among equal right
-    timestamps the row sorting LAST wins — pass ``tiebreak`` (a right column
-    name) to make that deterministic: right rows are pre-sorted by
-    (time, tiebreak), so the max-tiebreak row is chosen.
+    timestamps merge_asof keeps the LAST row for ``backward`` and the FIRST
+    for ``forward`` — pass ``tiebreak`` (a right column name) to make the
+    winner deterministic: the right side is pre-sorted so the MAX-tiebreak
+    row is chosen for both directions.
 
     Partitioning assumption: one key's rows fit in one shard's memory (same
     bound as every keyed groupby here); skewed keys would need the salting
@@ -912,25 +907,20 @@ def asof_join(
     right_on = right_on or on
     n_shards = min(n_shards, 512)
 
-    def tag(key_name):
-        def f(tbl: pa.Table) -> pa.Table:
-            knum = tbl[key_name].to_numpy(zero_copy_only=False)
-            if knum.dtype.kind in "iu":
-                shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
-            else:
-                shard = (hash64_strings(tbl[key_name]) % np.uint64(n_shards)).astype(np.int64)
-            return tbl.append_column("_shard", pa.array(shard))
-
-        return f
-
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
         import pandas as pd
 
         ldf = ta.drop(["_shard"]).to_pandas()
         rdf = tb.drop(["_shard"]).to_pandas()
-        rsort = [right_on, tiebreak] if tiebreak else [right_on]
         ldf = ldf.sort_values(on, kind="mergesort")
-        rdf = rdf.sort_values(rsort, kind="mergesort")
+        if tiebreak:
+            # merge_asof keeps the last equal-time row (backward) / first
+            # (forward); sort the tiebreak so that row is the max either way
+            asc = [True, direction != "forward"]
+            rdf = rdf.sort_values([right_on, tiebreak], ascending=asc,
+                                  kind="mergesort")
+        else:
+            rdf = rdf.sort_values(right_on, kind="mergesort")
         merged = pd.merge_asof(
             ldf,
             rdf,
@@ -943,8 +933,8 @@ def asof_join(
         )
         return pa.Table.from_pandas(merged, preserve_index=False)
 
-    left = left_ds.map_batches(tag(by), batch_format="pyarrow", batch_size=None)
-    right = right_ds.map_batches(tag(right_by), batch_format="pyarrow", batch_size=None)
+    left = left_ds.map_batches(_shard_tagger(by, n_shards), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(_shard_tagger(right_by, n_shards), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
 
 
@@ -1006,8 +996,7 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: tuple):
         import pandas as pd
 
         df = df.sort_values(val_col, kind="mergesort")
-        n_col = [c for c in df.columns if c.startswith("sum")][0]
-        cnt = df[n_col].to_numpy(dtype=np.int64)
+        cnt = df["sum(partial_n)"].to_numpy(dtype=np.int64)
         cum = np.cumsum(cnt)
         total = int(cum[-1])
         vals = df[val_col].to_numpy()
@@ -1048,7 +1037,11 @@ def hll_distinct(ds, group_col: str, key_col: str, b: int = _HLL_B):
         import pandas as pd
 
         keys = tbl[key_col].to_numpy(zero_copy_only=False)
-        h = _splitmix64(keys.astype(np.int64))
+        if keys.dtype.kind in "iu":
+            h = _splitmix64(keys.astype(np.int64))
+        else:
+            # string keys: 64-bit content hash feeds the avalanche directly
+            h = _splitmix64(hash64_strings(tbl[key_col]).view(np.int64))
         reg = (h >> np.uint64(64 - b)).astype(np.int64)
         rest = (h << np.uint64(b)) | np.uint64((1 << b) - 1)  # sentinel low bits
         # rho = leading zeros of the remaining 64-b bits + 1
@@ -1078,9 +1071,8 @@ def hll_distinct(ds, group_col: str, key_col: str, b: int = _HLL_B):
     def estimate(df):
         import pandas as pd
 
-        rho_col = [c for c in df.columns if c.startswith("max")][0]
         rho = np.zeros(m, dtype=np.float64)
-        rho[df["reg"].to_numpy(dtype=np.int64)] = df[rho_col].to_numpy(
+        rho[df["reg"].to_numpy(dtype=np.int64)] = df["max(rho)"].to_numpy(
             dtype=np.float64
         )
         alpha = 0.7213 / (1.0 + 1.079 / m)

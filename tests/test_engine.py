@@ -14,10 +14,16 @@ from spatialindex_ray.kernels import healpix
 SF = "/root/testdata/sf0.001"
 
 
+_ORACLE_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "lineitem"]:
+    for t in _ORACLE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -29,13 +35,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["cone_search_htm", "polygon_search_hpx", "padded_polygon_search",
-     "cone_search_s2",
-     "radius_join", "knn",
-     "tile_assign_grid", "exact_dedup", "token_stats", "q1_lineitem_agg"],
-)
+def _oracled_names():
+    import __ray_entry__ as entry
+
+    return sorted(entry.oracle_sql().keys())
+
+
+# EVERY SQL-oracled query runs against its oracle in CI (the list is derived
+# from oracle_sql() so a new entry is covered the moment it is wired).
+@pytest.mark.parametrize("name", _oracled_names())
 def test_query_vs_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as entry
 
@@ -280,3 +288,24 @@ def test_hll_distinct_accuracy(ray_session):
     assert len(merged) == len(exact)
     rel = np.abs(merged["approx_distinct"] - merged["n"]) / merged["n"]
     assert (rel <= 0.05).all(), merged
+
+
+def test_asof_join_equal_time_tiebreak(ray_session):
+    """Among equal right timestamps the MAX-tiebreak row wins in BOTH
+    directions (the merge_asof first/last asymmetry is compensated by the
+    per-direction sort)."""
+    import pandas as pd
+    import ray
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 1], "t": [10, 15], "lid": [0, 1]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 1, 1], "t2": [12, 12, 9, 9], "rid": [100, 101, 50, 51]}))
+    fwd = ops.asof_join(left, right, by="k", on="t", right_on="t2",
+                        tiebreak="rid", direction="forward", n_shards=2).to_pandas()
+    got_f = dict(zip(fwd["lid"], fwd["rid"]))
+    assert got_f[0] == 101  # t=10 -> earliest t2>=10 is 12; max rid among ties
+    bwd = ops.asof_join(left, right, by="k", on="t", right_on="t2",
+                        tiebreak="rid", direction="backward", n_shards=2).to_pandas()
+    got_b = dict(zip(bwd["lid"], bwd["rid"]))
+    assert got_b[0] == 51   # t=10 -> latest t2<=10 is 9; max rid among ties
+    assert got_b[1] == 101  # t=15 -> latest t2<=15 is 12; max rid among ties
