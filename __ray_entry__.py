@@ -1297,6 +1297,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+PACK_TOKENS = 512  # token budget per training chunk
+
+
+def _doc_pack(sf_dir):
+    """Training-data sequence packing: assign documents (in doc_id order) to
+    fixed-token-budget chunks, chunk_id = floor(tokens_before / budget) —
+    a distributed two-pass prefix scan (ops.prefix_sum), the engine's
+    parallel-scan primitive. Token counts use the \\S+ rule shared with
+    token_stats so the SQL window-function dual is exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_tokens(tbl: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(tbl["text"], r"\S+"), pa.int64())
+        return pa.table({"doc_id": tbl["doc_id"], "ntok": n})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=None)
+    scanned = ops.prefix_sum(counted, "doc_id", "ntok", n_shards=16,
+                             lo=0, hi=max(n_docs, 1))
+
+    def chunkify(tbl: pa.Table) -> pa.Table:
+        pre = tbl["prefix"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "ntok": tbl["ntok"],
+                "chunk_id": pa.array(pre // np.int64(PACK_TOKENS)),
+            }
+        )
+
+    return scanned.map_batches(chunkify, batch_format="pyarrow", batch_size=None)
+
+
+DOC_PACK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, ntok,
+    COALESCE(sum(ntok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t)
+SELECT doc_id, ntok, CAST(pre // {PACK_TOKENS} AS BIGINT) AS chunk_id FROM c
+"""
+
+
 SLIDE_US = 900_000_000  # 15 min slide
 SLIDE_K = WINDOW_US // SLIDE_US  # 1-hour window = 4 slides
 
@@ -1530,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup_query,
         "token_stats": textfn.token_stats_query,
         "top_terms": textfn.top_terms_query,
+        "doc_pack": _doc_pack,
         "lang_id": textfn.lang_id_query,
         "quality_score": textfn.quality_score_query,
         "doc_fingerprint": textfn.fingerprint_query,
@@ -1586,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "token_stats": textfn.TOKEN_STATS_ORACLE,
         "top_terms": textfn.TOP_TERMS_ORACLE,
+        "doc_pack": DOC_PACK_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
         "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
         "ann_topk_cosine": ANN_TOPK_ORACLE,

@@ -1010,6 +1010,79 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: tuple):
     return dist.groupby(key_col).map_groups(quant, batch_format="pandas")
 
 
+def prefix_sum(ds, order_col: str, value_col: str, n_shards: int = 64,
+               lo: int | None = None, hi: int | None = None):
+    """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``order_col``
+    order — the classic two-pass scan:
+
+    1. range-partition rows into contiguous ``order_col`` shards
+       ([lo, hi) from parquet-style bounds or a cheap min/max aggregate),
+    2. pass 1: per-shard totals (tiny driver-side prefix over n_shards
+       numbers),
+    3. pass 2: per-shard vectorized cumsum + broadcast base offset.
+
+    Appends a ``prefix`` column (sum of all values strictly before the row).
+    The only all-to-all is the range exchange; everything else is O(rows)
+    local work. Scale assumption: order_col roughly uniform over [lo, hi)
+    (same contract as build_index_ranged's sampled boundaries)."""
+    import ray
+
+    if lo is None or hi is None:
+        mm = ds.aggregate(
+            ray.data.aggregate.Min(order_col), ray.data.aggregate.Max(order_col)
+        )
+        lo = int(mm[f"min({order_col})"])
+        hi = int(mm[f"max({order_col})"]) + 1
+    span = max(hi - lo, 1)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        keys = tbl[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = np.clip((keys - lo) * n_shards // span, 0, n_shards - 1)
+        return tbl.append_column("_shard", pa.array(shard))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    # pass 1: per-shard value totals (pre-aggregated inside map_batches)
+    def totals(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "_shard": tbl["_shard"].to_numpy(zero_copy_only=False),
+                "v": tbl[value_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("_shard", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(g.rename(columns={"v": "t"}), preserve_index=False)
+
+    tot = (
+        tagged.map_batches(totals, batch_format="pyarrow", batch_size=None)
+        .groupby("_shard")
+        .sum("t")
+        .to_pandas()
+    )
+    base = np.zeros(n_shards, dtype=np.int64)
+    for _, row in tot.iterrows():
+        base[int(row["_shard"])] = int(row["sum(t)"])
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])  # exclusive shard bases
+
+    # pass 2: in-shard sort + cumsum + base offset
+    def scan_shard(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.drop(["_shard"]).append_column("prefix", pa.array([], pa.int64()))
+        sh = int(tbl["_shard"][0].as_py())
+        keys = tbl[order_col].to_numpy(zero_copy_only=False)
+        vals = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        cs = np.zeros(len(vals), dtype=np.int64)
+        cs[1:] = np.cumsum(vals[order])[:-1]
+        prefix = np.empty(len(vals), dtype=np.int64)
+        prefix[order] = cs + base[sh]
+        return tbl.drop(["_shard"]).append_column("prefix", pa.array(prefix))
+
+    return hash_exchange(tagged, "_shard", n_shards, scan_shard)
+
+
 _HLL_B = 12  # 4096 registers -> ~1.6% standard error
 
 
