@@ -1297,6 +1297,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+VAL_FRACTION_NUM, VAL_FRACTION_DEN = 1, 10  # deterministic 10% holdout
+_VAL_THRESHOLD = (1 << 64) * VAL_FRACTION_NUM // VAL_FRACTION_DEN
+
+
+def _sql_modmul64(a_expr: str, c: int) -> str:
+    """(a * c) mod 2^64 in HUGEINT-safe 32-bit pieces (a in [0, 2^64))."""
+    return (
+        f"(( (({a_expr}) % 4294967296) * {c} "
+        f"+ (((({a_expr}) // 4294967296) * {c}) % 4294967296) * 4294967296 )"
+        f" % 18446744073709551616)"
+    )
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    """xor of two [0, 2^64) HUGEINTs via 32-bit halves (xor() is BIGINT-only)."""
+    return (
+        f"( CAST(xor(CAST(({a}) // 4294967296 AS BIGINT),"
+        f" CAST(({b}) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296"
+        f" + CAST(xor(CAST(({a}) % 4294967296 AS BIGINT),"
+        f" CAST(({b}) % 4294967296 AS BIGINT)) AS HUGEINT) )"
+    )
+
+
+def _sql_splitmix64(x_expr: str) -> str:
+    """SQL dual of ops._splitmix64 (same public-domain constants), exact in
+    HUGEINT arithmetic — right shifts become // 2^s on nonnegative values."""
+    z0 = f"((({x_expr}) + 11400714819323198485) % 18446744073709551616)"
+    z1 = _sql_modmul64(_sql_xor64(z0, f"({z0}) // 1073741824"), 0xBF58476D1CE4E5B9)
+    z2 = _sql_modmul64(_sql_xor64(z1, f"({z1}) // 134217728"), 0x94D049BB133111EB)
+    return _sql_xor64(z2, f"({z2}) // 2147483648")
+
+
+def _doc_split(sf_dir):
+    """Deterministic reproducible train/val split: splitmix64(doc_id) against
+    a 10% threshold — the content-independent holdout assignment every
+    training pipeline needs (stable under re-runs, resharding, and resume;
+    no RNG state). Pure map stage, no shuffle."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        h = ops._splitmix64(ids.astype(np.int64))
+        split = np.where(h < np.uint64(_VAL_THRESHOLD), "val", "train")
+        return pa.table({"doc_id": tbl["doc_id"], "split": pa.array(split)})
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+DOC_SPLIT_ORACLE = f"""
+SELECT doc_id,
+  CASE WHEN {_sql_splitmix64("CAST(doc_id AS HUGEINT)")} < {_VAL_THRESHOLD}
+       THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 PACK_TOKENS = 512  # token budget per training chunk
 
 
@@ -1583,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": textfn.token_stats_query,
         "top_terms": textfn.top_terms_query,
         "doc_pack": _doc_pack,
+        "doc_split": _doc_split,
         "lang_id": textfn.lang_id_query,
         "quality_score": textfn.quality_score_query,
         "doc_fingerprint": textfn.fingerprint_query,
@@ -1640,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": textfn.TOKEN_STATS_ORACLE,
         "top_terms": textfn.TOP_TERMS_ORACLE,
         "doc_pack": DOC_PACK_ORACLE,
+        "doc_split": DOC_SPLIT_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
         "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
         "ann_topk_cosine": ANN_TOPK_ORACLE,
