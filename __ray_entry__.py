@@ -1355,6 +1355,51 @@ FROM documents
 """
 
 
+SHUFFLE_SEED = 0x5EED0A7A
+
+
+def _doc_shuffle(sf_dir):
+    """Seeded deterministic global shuffle (epoch shuffling without RNG
+    state): rank every document by splitmix64(doc_id XOR seed). The global
+    rank comes from the same two-pass prefix scan as doc_pack — order key is
+    the 63-bit hash, value is 1, prefix = position. Reproducible across
+    re-runs, resharding and resume; changing the seed gives an independent
+    permutation."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def key(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._splitmix64(ids ^ np.int64(SHUFFLE_SEED))
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "hkey": pa.array((h >> np.uint64(1)).view(np.int64)),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    scanned = ops.prefix_sum(keyed, "hkey", "one", n_shards=16, lo=0, hi=1 << 63)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": tbl["doc_id"], "pos": tbl["prefix"]})
+
+    return scanned.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+DOC_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+    {_sql_splitmix64("CAST(xor(doc_id, " + str(SHUFFLE_SEED) + ") AS HUGEINT)")} // 2 AS hkey
+  FROM documents)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
 PACK_TOKENS = 512  # token budget per training chunk
 
 
@@ -1642,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": textfn.top_terms_query,
         "doc_pack": _doc_pack,
         "doc_split": _doc_split,
+        "doc_shuffle": _doc_shuffle,
         "lang_id": textfn.lang_id_query,
         "quality_score": textfn.quality_score_query,
         "doc_fingerprint": textfn.fingerprint_query,
@@ -1700,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textfn.TOP_TERMS_ORACLE,
         "doc_pack": DOC_PACK_ORACLE,
         "doc_split": DOC_SPLIT_ORACLE,
+        "doc_shuffle": DOC_SHUFFLE_ORACLE,
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
         "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
         "ann_topk_cosine": ANN_TOPK_ORACLE,

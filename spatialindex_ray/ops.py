@@ -1035,9 +1035,12 @@ def prefix_sum(ds, order_col: str, value_col: str, n_shards: int = 64,
         hi = int(mm[f"max({order_col})"]) + 1
     span = max(hi - lo, 1)
 
+    width = (span + n_shards - 1) // n_shards  # divide-first: no int64
+    # overflow however large the key span (hash-ordered scans span 2^63)
+
     def tag(tbl: pa.Table) -> pa.Table:
         keys = tbl[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        shard = np.clip((keys - lo) * n_shards // span, 0, n_shards - 1)
+        shard = np.clip((keys - lo) // width, 0, n_shards - 1)
         return tbl.append_column("_shard", pa.array(shard))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
