@@ -1355,6 +1355,53 @@ FROM documents
 """
 
 
+MIX_RATES = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.5}
+MIX_DEFAULT_RATE = 1.0
+
+
+def _lang_mix(sf_dir):
+    """Deterministic data-mixture rebalancing: per-language keep rates
+    applied via the same content-independent splitmix64(doc_id) coin as
+    doc_split (stable under re-runs/resume, no RNG state). The standard
+    training-mix downsampling op — e.g. dilute English, keep low-resource
+    languages whole. Pure map stage, no shuffle."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    rates = dict(MIX_RATES)
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        langs = tbl["lang"].to_numpy(zero_copy_only=False)
+        h = ops._splitmix64(ids.astype(np.int64))
+        thresh = np.array(
+            [int((1 << 64) * rates.get(l, MIX_DEFAULT_RATE)) - 1 for l in langs],
+            dtype=np.uint64,
+        )  # -1 keeps rate 1.0 inside uint64; h == 2^64-1 still kept
+        mask = h <= thresh
+        return pa.table(
+            {"doc_id": pa.array(ids[mask]), "lang": pa.array(langs[mask])}
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def _lang_mix_oracle():
+    branches = " ".join(
+        f"WHEN lang = '{l}' THEN {int((1 << 64) * r) - 1}"
+        for l, r in MIX_RATES.items()
+    )
+    return f"""
+WITH h AS (SELECT doc_id, lang,
+    {_sql_splitmix64("CAST(doc_id AS HUGEINT)")} AS hv
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE hv <= CASE {branches} ELSE {int((1 << 64) * MIX_DEFAULT_RATE) - 1} END
+"""
+
+
 SHUFFLE_SEED = 0x5EED0A7A
 
 
@@ -1688,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack": _doc_pack,
         "doc_split": _doc_split,
         "doc_shuffle": _doc_shuffle,
+        "lang_mix": _lang_mix,
         "lang_id": textfn.lang_id_query,
         "quality_score": textfn.quality_score_query,
         "doc_fingerprint": textfn.fingerprint_query,
@@ -1747,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack": DOC_PACK_ORACLE,
         "doc_split": DOC_SPLIT_ORACLE,
         "doc_shuffle": DOC_SHUFFLE_ORACLE,
+        "lang_mix": _lang_mix_oracle(),
         "ngram_jaccard_dup": dedup.NGRAM_JACCARD_ORACLE,
         "embedding_dup_exact": dedup.EMB_EXACT_ORACLE,
         "ann_topk_cosine": ANN_TOPK_ORACLE,
