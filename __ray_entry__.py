@@ -161,6 +161,44 @@ def _cone_anti_oracle():
     )
 
 
+def _region_union_query(sf_dir):
+    """Set operation over region searches: documents in the cone OR the
+    polygon — ds.union of the two semi-join streams, then exact distinct
+    (groupby on doc_id). The overlap dedupes; only ids shuffle."""
+    si = SpatialIndex()
+    cfg = CONE_HTM
+    cone_plan = si.cone_plan(cfg["ra"], cfg["dec"], cfg["radius"], mode=0,
+                             level=cfg["level"])
+    poly_plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=0, level=POLY_LEVEL)
+    ds = _docs_encoded(sf_dir)
+    a = ops.region_search(ds, cone_plan).select_columns(["doc_id"])
+    b = ops.region_search(ds, poly_plan).select_columns(["doc_id"])
+    u = a.union(b).groupby("doc_id").count()
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["doc_id"])
+
+    return u.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def _region_union_oracle():
+    from spatialindex_ray import geom
+
+    cfg = CONE_HTM
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c = cone.center
+    _, normals = geom.polygon_normals(POLY_RA, POLY_DEC)
+    poly = " AND ".join(
+        f"x*{_d(nm[0])} + y*{_d(nm[1])} + z*{_d(nm[2])} >= 0.0" for nm in normals
+    )
+    return (
+        _xyz_sql()
+        + f"""SELECT doc_id FROM n
+WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)}
+   OR ({poly})"""
+    )
+
+
 def _polygon_query(sf_dir, mode):
     si = SpatialIndex()
     plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=mode, level=POLY_LEVEL)
@@ -1718,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_search": lambda sf: _constructed_poly_query(sf, "line"),
         "hull_search": lambda sf: _constructed_poly_query(sf, "hull"),
         "cone_search_anti": _cone_anti_query,
+        "region_union": _region_union_query,
         "cone_search_s2": _cone_s2_query,
         "polygon_search_s2": _polygon_s2_query,
         "hex_tile_agg": _hex_tile_agg,
@@ -1778,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "line_search": _constructed_poly_oracle("line"),
         "hull_search": _constructed_poly_oracle("hull"),
         "cone_search_anti": _cone_anti_oracle(),
+        "region_union": _region_union_oracle(),
         "cone_search_s2": _cone_oracle(0),
         "polygon_search_s2": _polygon_oracle(),
         "tile_assign_grid": _tile_oracle(),
