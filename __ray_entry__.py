@@ -1771,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup_query,
         "token_stats": textfn.token_stats_query,
         "top_terms": textfn.top_terms_query,
+        "top_terms_by_lang": textfn.top_terms_by_lang_query,
         "doc_pack": _doc_pack,
         "doc_split": _doc_split,
         "doc_shuffle": _doc_shuffle,
@@ -1832,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "token_stats": textfn.TOKEN_STATS_ORACLE,
         "top_terms": textfn.TOP_TERMS_ORACLE,
+        "top_terms_by_lang": textfn.TOP_TERMS_BY_LANG_ORACLE,
         "doc_pack": DOC_PACK_ORACLE,
         "doc_split": DOC_SPLIT_ORACLE,
         "doc_shuffle": DOC_SHUFFLE_ORACLE,

@@ -253,6 +253,61 @@ def top_terms_query(sf_dir: str, k: int = TOP_TERMS_K):
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+TOP_TERMS_PER_GROUP = 5
+
+
+def top_terms_by_lang_query(sf_dir: str, k: int = TOP_TERMS_PER_GROUP):
+    """Per-group top-k (the window-rank pattern): the k most frequent terms
+    within each language, ties by term. Partial (lang, term) counts shrink
+    the shuffle to near-vocabulary size; the rank itself runs per group in
+    map_groups over the tiny aggregated distribution."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = _token_segments(tbl["text"])
+        langs = tbl["lang"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(
+            np.arange(len(langs)), (offsets[1:] - offsets[:-1])
+        )
+        df = pd.DataFrame({"lang": langs[row_of], "term": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "term"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "term"])
+        .sum("partial_n")
+    )
+
+    def topk(df):
+        df = df.rename(columns={"sum(partial_n)": "n"})
+        df = df.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["n"] = df["n"].astype("int64")
+        return df[["lang", "term", "n", "rank"]]
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+TOP_TERMS_BY_LANG_ORACLE = rf"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term)
+SELECT lang, term, n,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rank
+FROM c QUALIFY rank <= {TOP_TERMS_PER_GROUP}
+"""
+
+
 TOP_TERMS_ORACLE = rf"""
 WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
 SELECT term, count(*) AS n FROM t GROUP BY term
