@@ -1537,6 +1537,78 @@ SELECT doc_id, ntok, CAST(pre // {PACK_TOKENS} AS BIGINT) AS chunk_id FROM c
 """
 
 
+ROLL_WINDOW = 3  # current row + 2 preceding
+
+
+def _events_rolling_sum(sf_dir):
+    """Ordered window-frame aggregate: per user, events sorted by
+    (ts, event_id), rolling sum of integer-cents value over the current +
+    2 preceding rows (SQL ROWS BETWEEN 2 PRECEDING AND CURRENT ROW dual).
+    One hash exchange on user_id; per shard every user is processed in a
+    single vectorized pass (lexsort + cumsum differences with per-user
+    segment clamps) — the sessionizer's shape applied to window frames."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_id": tbl["event_id"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def roll_shard(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "roll_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, e, c = uid[order], eid[order], cents[order]
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        cs = np.concatenate([[0], np.cumsum(c)])
+        lo = np.maximum(idx - (ROLL_WINDOW - 1), seg_start)
+        roll = cs[idx + 1] - cs[lo]
+        return pa.table(
+            {"event_id": pa.array(e), "roll_cents": pa.array(roll)}
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, roll_shard)
+
+
+EVENTS_ROLLING_ORACLE = f"""
+SELECT event_id,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+  AS roll_cents
+FROM events
+"""
+
+
 SLIDE_US = 900_000_000  # 15 min slide
 SLIDE_K = WINDOW_US // SLIDE_US  # 1-hour window = 4 slides
 
@@ -1795,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ellipse_search_htm": _ellipse_query,
         "events_window_agg": _events_window_agg,
         "events_sliding_window": _events_sliding_window,
+        "events_rolling_sum": _events_rolling_sum,
         "orders_customer_join": _orders_customer_join,
         "revenue_by_region": _revenue_by_region,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
@@ -1847,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "ellipse_search_htm": _ellipse_oracle(),
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "events_sliding_window": EVENTS_SLIDING_ORACLE,
+        "events_rolling_sum": EVENTS_ROLLING_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
