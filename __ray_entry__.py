@@ -1537,6 +1537,55 @@ SELECT doc_id, ntok, CAST(pre // {PACK_TOKENS} AS BIGINT) AS chunk_id FROM c
 """
 
 
+def _props_extract(sf_dir):
+    """Semi-structured extraction: pull the integer field out of the JSON
+    ``props`` column with one vectorized Arrow RE2 extraction (the same
+    regex engine DuckDB uses, so the oracle is exact), then a per-type
+    sum/count rollup — the common clean-a-JSON-column-then-aggregate
+    pipeline, no per-row Python."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = pc.extract_regex(tbl["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {"event_type": tbl["event_type"].to_numpy(zero_copy_only=False), "k": k}
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .sum(["sum_k", "n"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["event_type", "sum_k", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+PROPS_EXTRACT_ORACLE = r"""
+SELECT event_type,
+  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 ROLL_WINDOW = 3  # current row + 2 preceding
 
 
@@ -1868,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _events_window_agg,
         "events_sliding_window": _events_sliding_window,
         "events_rolling_sum": _events_rolling_sum,
+        "props_extract": _props_extract,
         "orders_customer_join": _orders_customer_join,
         "revenue_by_region": _revenue_by_region,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
@@ -1921,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_agg": EVENTS_WINDOW_ORACLE,
         "events_sliding_window": EVENTS_SLIDING_ORACLE,
         "events_rolling_sum": EVENTS_ROLLING_ORACLE,
+        "props_extract": PROPS_EXTRACT_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
