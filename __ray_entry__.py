@@ -1003,6 +1003,101 @@ GROUP BY r_name
 """
 
 
+def _revenue_rollup(sf_dir):
+    """Hierarchical ROLLUP aggregate: order counts + integer-cents revenue at
+    (region, nation), per-region subtotal, and grand total — the finest
+    level aggregates distributed (broadcast join chain + partial combiners),
+    then the subtotal/total levels derive from that TINY result inside one
+    final map stage (never from the raw stream). NULL rollup markers are
+    rendered as 'ALL' so the hash compare is null-free."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    j = ops.equi_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                      broadcast="right")
+    j = ops.equi_join(j, nation, on="c_nationkey", right_on="n_nationkey",
+                      broadcast="right")
+    j = ops.equi_join(j, region, on="n_regionkey", right_on="r_regionkey",
+                      broadcast="right")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "r_name": tbl["r_name"].to_numpy(zero_copy_only=False),
+                "n_name": tbl["n_name"].to_numpy(zero_copy_only=False),
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["r_name", "n_name"])
+        .sum(["revenue_cents", "n_orders"])
+    )
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.to_pandas().rename(
+            columns={"sum(revenue_cents)": "revenue_cents", "sum(n_orders)": "n_orders"}
+        )
+        sub = df.groupby("r_name", as_index=False)[["revenue_cents", "n_orders"]].sum()
+        sub["n_name"] = "ALL"
+        tot = pd.DataFrame(
+            {
+                "r_name": ["ALL"],
+                "n_name": ["ALL"],
+                "revenue_cents": [df["revenue_cents"].sum()],
+                "n_orders": [df["n_orders"].sum()],
+            }
+        )
+        out = pd.concat([df, sub, tot], ignore_index=True)
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["r_name", "n_name", "revenue_cents", "n_orders"]],
+            preserve_index=False,
+        )
+
+    # the finest level is (regions x nations) — a single tiny block; do all
+    # rollup levels in one stage
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )
+
+
+REVENUE_ROLLUP_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 RECENT_CUTOFF = "2000-06-01"
 
 
@@ -1920,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _props_extract,
         "orders_customer_join": _orders_customer_join,
         "revenue_by_region": _revenue_by_region,
+        "revenue_rollup": _revenue_rollup,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
         "customer_recent_anti": lambda sf: _customer_semi_anti(sf, "anti"),
         "events_orders_asof": _events_orders_asof,
@@ -1974,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": PROPS_EXTRACT_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
+        "revenue_rollup": REVENUE_ROLLUP_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
         "customer_recent_anti": _customer_semi_anti_oracle("anti"),
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
