@@ -1632,6 +1632,115 @@ SELECT doc_id, ntok, CAST(pre // {PACK_TOKENS} AS BIGINT) AS chunk_id FROM c
 """
 
 
+_M32 = 4294967296
+
+def _sql_rotl32(x, s):
+    return f"((({x}) * {1 << s}) % {_M32} + (({x}) // {1 << (32 - s)}))"
+
+def _sha1_sql_fragment(msg_expr, key="doc_id"):
+    """CTE chain computing SHA-1 (single 64-byte block, ASCII message
+    <= 55 bytes) of ``msg_expr`` in pure BIGINT arithmetic: message words,
+    64 schedule-expansion CTE columns, 80 round CTEs. Final CTE ``shaout``
+    has (key, h64) = first 8 digest bytes as a two's-complement BIGINT."""
+    # message words w0..w15
+    word_exprs = []
+    for w in range(16):
+        bytes_ = []
+        for b in range(4):
+            pos = 4 * w + b  # 0-based byte position
+            if pos < 56:
+                bytes_.append(
+                    f"CAST(CASE WHEN {pos} < ln THEN unicode(ch[{pos + 1}]) "
+                    f"WHEN {pos} = ln THEN 128 ELSE 0 END AS BIGINT)"
+                )
+            else:
+                bytes_.append("0")
+        expr = " + ".join(
+            f"{be} * {1 << (8 * (3 - i))}" if i < 3 else be
+            for i, be in enumerate(bytes_)
+        )
+        if w == 15:
+            expr = "CAST(ln AS BIGINT) * 8"  # bit length fits the last word (msg <= 55B)
+        word_exprs.append(f"({expr}) AS w{w}")
+    sql = f""",
+shamsg AS (SELECT {key}, {msg_expr} AS msg FROM n),
+shach AS (SELECT {key}, string_split(msg, '') AS ch, length(msg) AS ln FROM shamsg),
+shaw0 AS (SELECT {key}, {", ".join(word_exprs)} FROM shach)"""
+    prev = "shaw0"
+    for i in range(16, 80):
+        t = f"xor(xor(xor(w{i-3}, w{i-8}), w{i-14}), w{i-16})"
+        sql += f""",
+shaw{i} AS (SELECT *, ({_sql_rotl32(t, 1)}) % {_M32} AS w{i} FROM {prev})"""
+        prev = f"shaw{i}"
+    # rounds
+    a, b, c, d, e = ("CAST(1732584193 AS BIGINT)", "CAST(4023233417 AS BIGINT)", "CAST(2562383102 AS BIGINT)", "CAST(271733878 AS BIGINT)", "CAST(3285377520 AS BIGINT)")
+    for i in range(80):
+        if i < 20:
+            f_ = f"((({b}) & ({c})) | (({_M32 - 1} - ({b})) & ({d})))"
+            k = 0x5A827999
+        elif i < 40:
+            f_ = f"xor(xor(({b}), ({c})), ({d}))"
+            k = 0x6ED9EBA1
+        elif i < 60:
+            f_ = f"((({b}) & ({c})) | (({b}) & ({d})) | (({c}) & ({d})))"
+            k = 0x8F1BBCDC
+        else:
+            f_ = f"xor(xor(({b}), ({c})), ({d}))"
+            k = 0xCA62C1D6
+        sql += f""",
+shar{i} AS (SELECT *,
+  (({_sql_rotl32(a, 5)}) % {_M32} + {f_} + ({e}) + {k} + w{i}) % {_M32} AS a{i},
+  ({_sql_rotl32(b, 30)}) % {_M32} AS c{i}
+ FROM {prev})"""
+        prev = f"shar{i}"
+        a, b, c, d, e = f"a{i}", a, f"c{i}", c, d
+    sql += f""",
+shaout AS (SELECT {key},
+  CAST((1732584193 + ({a})) % {_M32} AS HUGEINT) * 4294967296 + ((4023233417 + ({b})) % {_M32}) AS hu
+ FROM {prev}),
+shaout2 AS (SELECT {key},
+  CAST(hu - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h64
+ FROM shaout)"""
+    return sql
+
+
+def _source_hash(sf_dir):
+    """Content hashing through the engine's batched lane-parallel SHA-1
+    kernel (kernels/hashing.py — the primitive under exact_dedup, MinHash
+    and url-position encoding): h64 = first 8 digest bytes of
+    'source:doc_id' per row. The oracle is a COMPLETE INDEPENDENT SHA-1
+    implemented in SQL (message schedule + 80 rounds in BIGINT arithmetic,
+    _sha1_sql_fragment), so the kernel is verified end-to-end by the
+    correctness gate, not just against hashlib in unit tests."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def hash_batch(tbl: pa.Table) -> pa.Table:
+        from spatialindex_ray.kernels import hashing
+
+        msg = pc.binary_join_element_wise(
+            tbl["source"].cast(pa.string()),
+            pc.cast(tbl["doc_id"], pa.string()),
+            ":",
+        )
+        h = hashing.sha1_pairs_of_column(msg)[:, 0].view(np.int64)
+        return pa.table({"doc_id": tbl["doc_id"], "h64": pa.array(h)})
+
+    return ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=None)
+
+
+SOURCE_HASH_ORACLE = (
+    "WITH n AS (SELECT doc_id, source FROM documents)"
+    + _sha1_sql_fragment("source || ':' || CAST(doc_id AS VARCHAR)")
+    + "\nSELECT doc_id, h64 FROM shaout2"
+)
+
+
 def _props_extract(sf_dir):
     """Semi-structured extraction: pull the integer field out of the JSON
     ``props`` column with one vectorized Arrow RE2 extraction (the same
@@ -2013,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _events_sliding_window,
         "events_rolling_sum": _events_rolling_sum,
         "props_extract": _props_extract,
+        "source_hash": _source_hash,
         "orders_customer_join": _orders_customer_join,
         "revenue_by_region": _revenue_by_region,
         "revenue_rollup": _revenue_rollup,
@@ -2068,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": EVENTS_SLIDING_ORACLE,
         "events_rolling_sum": EVENTS_ROLLING_ORACLE,
         "props_extract": PROPS_EXTRACT_ORACLE,
+        "source_hash": SOURCE_HASH_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "revenue_rollup": REVENUE_ROLLUP_ORACLE,
