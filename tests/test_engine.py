@@ -309,3 +309,36 @@ def test_asof_join_equal_time_tiebreak(ray_session):
     got_b = dict(zip(bwd["lid"], bwd["rid"]))
     assert got_b[0] == 51   # t=10 -> latest t2<=10 is 9; max rid among ties
     assert got_b[1] == 101  # t=15 -> latest t2<=15 is 12; max rid among ties
+
+
+def test_prefix_sum_clustered_keys(ray_session):
+    """prefix_sum stays correct when every key lands in one range shard
+    (skewed/clustered order keys) and with huge key spans (no overflow)."""
+    import pandas as pd
+    import ray
+
+    n = 5000
+    keys = np.arange(n, dtype=np.int64) + (1 << 50)  # clustered far from 0
+    vals = (np.arange(n, dtype=np.int64) % 7) + 1
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys, "v": vals}))
+    out = ops.prefix_sum(ds, "k", "v", n_shards=8, lo=0, hi=1 << 62).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    expect = np.concatenate([[0], np.cumsum(vals)[:-1]])
+    assert (out["prefix"].to_numpy() == expect).all()
+
+
+def test_group_quantiles_sum_prefixed_value_col(ray_session):
+    """A value column whose name starts with 'sum' must not be mistaken for
+    the internal count aggregate (regression for the startswith bug)."""
+    import pandas as pd
+    import ray
+
+    df = pd.DataFrame(
+        {"g": [1] * 10 + [2] * 10, "sum_latency": list(range(10)) * 2}
+    )
+    ds = ray.data.from_pandas(df)
+    out = ops.group_quantiles(ds, "g", "sum_latency", (0.5,)).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    # rank ceil(0.5*10)=5 -> 5th smallest of 0..9 = 4
+    assert (out["q50"].to_numpy() == np.array([4, 4])).all()
+    assert (out["n_events"].to_numpy() == np.array([10, 10])).all()
