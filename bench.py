@@ -184,7 +184,7 @@ def run_suite() -> dict:
 
     health = _wait_for_health(
         threshold=int(os.environ.get("BENCH_HEALTH_THRESHOLD", "1800")),
-        max_wait_s=float(os.environ.get("BENCH_HEALTH_MAX_WAIT", "240")),
+        max_wait_s=float(os.environ.get("BENCH_HEALTH_MAX_WAIT", "420")),
     )
     if not ray.is_initialized():
         ray.init(
