@@ -754,6 +754,8 @@ def equi_join(
     how: str = "inner",
     n_shards: int = 64,
     broadcast: str | None = None,
+    hot_keys=None,
+    n_salt: int = 8,
 ):
     """General distributed equi-join. Two plans:
 
@@ -764,9 +766,24 @@ def equi_join(
       (dimension tables, manifests, query sets).
     - default: two-sided hash exchange (bounded shard key + one vectorized
       pandas merge per shard). Used e.g. to re-attach wide payload columns
-      (text/html) to join results by id after a narrow-column shuffle."""
+      (text/html) to join results by id after a narrow-column shuffle.
+
+    Skew (``hot_keys``): a celebrity key routes ALL its rows to one shard in
+    a plain hash exchange. Pass the (small) list of hot key values — e.g.
+    from the top of a sampled frequency count — and the exchange salts them:
+    hot LEFT rows spread over ``n_salt`` sub-shards (any assignment is
+    result-identical, so a cheap cyclic one is used) while hot RIGHT rows
+    REPLICATE to all ``n_salt`` sub-shards. Shard space is partitioned as
+    (bucket * n_salt + salt) so salted copies can never collide into one
+    shard and duplicate the join output. Inner/left joins only (semi/anti
+    never need it: their right side reduces to distinct keys)."""
     right_on = right_on or on
     n_shards = min(n_shards, 512)
+    if hot_keys is not None and how in ("inner", "left"):
+        return _salted_join(
+            left_ds, right_ds, on, right_on, how, n_shards,
+            list(hot_keys), n_salt,
+        )
 
     if how in ("semi", "anti"):
         return _filter_join(
@@ -874,6 +891,70 @@ def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
     left = left_ds.map_batches(_shard_tagger(on, n_shards), batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(_shard_tagger(right_on, n_shards), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, filter_shard)
+
+
+def _salted_join(left_ds, right_ds, on, right_on, how, n_shards, hot_keys, n_salt):
+    """Skew-aware exchange join (see equi_join docstring). Shard space is
+    ``bucket * n_salt + salt``; cold keys derive both bucket and salt from one
+    avalanche hash (both sides agree, so cold traffic is an ordinary hash
+    exchange at the same total fan-out), hot LEFT rows take a cyclic salt and
+    hot RIGHT rows are replicated across all salts of their bucket."""
+    import pyarrow.compute as pc
+
+    n_salt = max(2, int(n_salt))
+    n_buckets = max(1, n_shards // n_salt)
+    total = n_buckets * n_salt
+    hot_list = list(hot_keys)
+
+    def _parts(col):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        knum = arr.to_numpy(zero_copy_only=False)
+        if knum.dtype.kind in "iu":
+            h = _splitmix64(knum.astype(np.int64))
+        else:
+            h = _splitmix64(hash64_strings(arr).astype(np.int64))
+        bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+        salt = ((h >> np.uint64(32)) % np.uint64(n_salt)).astype(np.int64)
+        hot_mask = pc.fill_null(
+            pc.is_in(arr, value_set=pa.array(hot_list).cast(arr.type)), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        return bucket, salt, hot_mask
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        bucket, salt, hot = _parts(tbl[on])
+        idx = np.flatnonzero(hot)
+        if idx.size:
+            salt[idx] = np.arange(idx.size, dtype=np.int64) % n_salt
+        return tbl.append_column("_shard", pa.array(bucket * n_salt + salt))
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        bucket, salt, hot = _parts(tbl[right_on])
+        shard = bucket * n_salt + salt
+        idx = np.flatnonzero(hot)
+        if idx.size == 0:
+            return tbl.append_column("_shard", pa.array(shard))
+        cold = np.flatnonzero(~hot)
+        take_idx = np.concatenate([cold, np.repeat(idx, n_salt)])
+        rep_shard = (
+            np.repeat(bucket[idx], n_salt) * n_salt
+            + np.tile(np.arange(n_salt, dtype=np.int64), idx.size)
+        )
+        out = tbl.take(pa.array(take_idx))
+        return out.append_column(
+            "_shard", pa.array(np.concatenate([shard[cold], rep_shard]))
+        )
+
+    def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ldf = ta.drop(["_shard"]).to_pandas()
+        rdf = tb.drop(["_shard"]).to_pandas()
+        merged = ldf.merge(
+            rdf, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
+        )
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    left = left_ds.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    return hash_exchange2(left, right, "_shard", "_shard", total, join_shard)
 
 
 def asof_join(

@@ -193,6 +193,54 @@ def test_equi_join_broadcast_matches_exchange(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_salted_join_matches_plain(ray_session):
+    """hot_keys salting: skewed inner/left joins == unsalted exchange plan
+    (hot left rows spread over salt sub-shards, hot right rows replicated;
+    disjoint shard spaces so no duplicate output rows)."""
+    import pyarrow as pa
+
+    import ray
+
+    rng = np.random.RandomState(7)
+    # celebrity skew: key 5 holds ~60% of left rows and has 3 right matches
+    lkeys = np.where(rng.rand(5000) < 0.6, 5, rng.randint(0, 40, 5000)).astype(np.int64)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lkeys), "lv": pa.array(np.arange(5000, dtype=np.int64)),
+    })).repartition(6)
+    rkeys = np.concatenate([np.arange(0, 40), [5, 5]]).astype(np.int64)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(rkeys), "rv": pa.array(rkeys * 10),
+    })).repartition(3)
+
+    for how in ("inner", "left"):
+        a = ops.equi_join(left, right, on="k", right_on="rk", how=how,
+                          n_shards=16).to_pandas()
+        b = ops.equi_join(left, right, on="k", right_on="rk", how=how,
+                          n_shards=16, hot_keys=[5], n_salt=4).to_pandas()
+        cols = ["k", "lv", "rv"]
+        a = a[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        b = b[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    # string keys route through hash64 and still agree
+    sl = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.where(rng.rand(800) < 0.5, "hot", "c" +
+                               pd.Series(rng.randint(0, 9, 800)).astype(str)).tolist()),
+        "lv": pa.array(np.arange(800, dtype=np.int64)),
+    }))
+    sr = ray.data.from_arrow(pa.table({
+        "rk": pa.array(["hot"] + [f"c{i}" for i in range(9)]),
+        "rv": pa.array(np.arange(10, dtype=np.int64)),
+    }))
+    a = ops.equi_join(sl, sr, on="k", right_on="rk", how="inner").to_pandas()
+    b = ops.equi_join(sl, sr, on="k", right_on="rk", how="inner",
+                      hot_keys=["hot"], n_salt=4).to_pandas()
+    cols = ["k", "lv", "rv"]
+    a = a[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_two_level_exchange_matches_flat(ray_session):
     """hash_exchange_two_level == hash_exchange for an arbitrary shard
     reducer (per-shard sorted key checksum)."""
