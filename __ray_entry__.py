@@ -939,6 +939,73 @@ GROUP BY c_nationkey
 """
 
 
+def _events_type_join_salted(sf_dir):
+    """Skew-handled exchange join: attach the per-type mean back onto every
+    event and count above-average events per type. ``event_type`` has ~5
+    distinct values over the whole fact table — the worst hash-exchange skew
+    shape (every key is a celebrity; a plain exchange uses <=5 of its shards)
+    — so the join runs through equi_join(hot_keys=...) which spreads each hot
+    type over n_salt sub-shards and replicates its (single) right row.
+    A 5-row side would normally take the broadcast plan; this query pins the
+    salted exchange plan to oracle-gate it — at 100-TB scale the same pattern
+    appears with right sides too large to broadcast."""
+    import ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "s": tbl["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(s=("s", "sum"), n=("s", "size"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    g = parts.groupby("event_type").agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+    g["av"] = g["s"] / g["n"]
+    right = ray.data.from_arrow(
+        pa.Table.from_pandas(g[["event_type", "av"]], preserve_index=False)
+    )
+    joined = ops.equi_join(
+        ev, right, on="event_type", n_shards=32,
+        hot_keys=g["event_type"].tolist(), n_salt=8,
+    )
+
+    def above(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = (
+            tbl["value"].to_numpy(zero_copy_only=False)
+            > tbl["av"].to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {"event_type": tbl["event_type"].to_numpy(zero_copy_only=False)[m]}
+        )
+        g2 = df.groupby("event_type", sort=False).size().reset_index(name="pn")
+        return pa.Table.from_pandas(g2, preserve_index=False)
+
+    out = joined.map_batches(above, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = out.groupby("event_type")["pn"].sum().reset_index(name="n_above")
+    out["n_above"] = out["n_above"].astype("int64")
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["event_type", "n_above"]], preserve_index=False)
+
+
+EVENTS_TYPE_SALTED_ORACLE = """
+WITH t AS (SELECT event_type, avg(value) AS av FROM events GROUP BY event_type)
+SELECT e.event_type AS event_type, CAST(count(*) AS BIGINT) AS n_above
+FROM events e JOIN t ON e.event_type = t.event_type
+WHERE e.value > t.av
+GROUP BY e.event_type
+ORDER BY event_type
+"""
+
+
 def _revenue_by_region(sf_dir):
     """Multi-way join rollup: orders -> customer -> nation -> region, then
     per-region order count + total price. The three dimension tables chain
@@ -2124,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _props_extract,
         "source_hash": _source_hash,
         "orders_customer_join": _orders_customer_join,
+        "events_type_join_salted": _events_type_join_salted,
         "revenue_by_region": _revenue_by_region,
         "revenue_rollup": _revenue_rollup,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
@@ -2180,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": PROPS_EXTRACT_ORACLE,
         "source_hash": SOURCE_HASH_ORACLE,
         "orders_customer_join": ORDERS_JOIN_ORACLE,
+        "events_type_join_salted": EVENTS_TYPE_SALTED_ORACLE,
         "revenue_by_region": REVENUE_BY_REGION_ORACLE,
         "revenue_rollup": REVENUE_ROLLUP_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
