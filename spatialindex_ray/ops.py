@@ -773,12 +773,18 @@ def equi_join(
     from the top of a sampled frequency count — and the exchange salts them:
     hot LEFT rows spread over ``n_salt`` sub-shards (any assignment is
     result-identical, so a cheap cyclic one is used) while hot RIGHT rows
-    REPLICATE to all ``n_salt`` sub-shards. Shard space is partitioned as
+    REPLICATE to all ``n_salt`` sub-shards. ``hot_keys="auto"`` detects them
+    with a sampled frequency pass over the left key column
+    (``detect_hot_keys``). Shard space is partitioned as
     (bucket * n_salt + salt) so salted copies can never collide into one
     shard and duplicate the join output. Inner/left joins only (semi/anti
     never need it: their right side reduces to distinct keys)."""
     right_on = right_on or on
     n_shards = min(n_shards, 512)
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        # one extra (cheap, key-column-only) pass over the left side; falls
+        # back to the plain exchange when no key clears the threshold
+        hot_keys = detect_hot_keys(left_ds, on) or None
     if hot_keys is not None and how in ("inner", "left"):
         return _salted_join(
             left_ds, right_ds, on, right_on, how, n_shards,
@@ -891,6 +897,51 @@ def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
     left = left_ds.map_batches(_shard_tagger(on, n_shards), batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(_shard_tagger(right_on, n_shards), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, filter_shard)
+
+
+def detect_hot_keys(ds, col: str, *, frac_threshold: float = 0.05, max_keys: int = 64):
+    """Sampled hot-key detection for skew salting: per-batch value counts
+    (locally pre-filtered to keys above half the global threshold — a
+    combiner, so only candidate keys travel) + a tiny driver combine; keys
+    holding >= ``frac_threshold`` of all rows are returned, heaviest first.
+    Approximate by design: a key that clears the global threshold while
+    sitting below half of it in some batches can be undercounted — celebrity
+    keys (the ones that break an exchange) are hot almost everywhere, which
+    is exactly when this detector is reliable."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(tbl) == 0:
+            return pa.table(
+                {col: tbl[col], "_n": pa.array([], type=pa.int64()),
+                 "_is_key": pa.array([], type=pa.bool_())}
+            )
+        k = pd.Series(tbl[col].to_numpy(zero_copy_only=False))
+        vc = k.value_counts()
+        vc = vc[vc >= max(1.0, frac_threshold * len(k) / 2.0)]
+        keys = vc.index.to_numpy()
+        # one sentinel row per batch (_is_key=False) carries the batch length
+        # so the driver can recover the exact global row total
+        return pa.table(
+            {
+                col: pa.array(np.concatenate([keys, k.iloc[:1].to_numpy()])),
+                "_n": pa.array(
+                    np.concatenate([vc.to_numpy(), [len(k)]]).astype(np.int64)
+                ),
+                "_is_key": pa.array([True] * len(keys) + [False]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if parts.empty:
+        return []
+    total = int(parts.loc[~parts["_is_key"], "_n"].sum())
+    if total == 0:
+        return []
+    counts = parts[parts["_is_key"]].groupby(col)["_n"].sum()
+    hot = counts[counts >= frac_threshold * total].sort_values(ascending=False)
+    return hot.index.tolist()[:max_keys]
 
 
 def _salted_join(left_ds, right_ds, on, right_on, how, n_shards, hot_keys, n_salt):

@@ -240,6 +240,17 @@ def test_salted_join_matches_plain(ray_session):
     b = b[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
 
+    # hot_keys="auto": the detector finds the celebrity key (heaviest first)
+    # and the salted plan still matches; a high threshold isolates it and a
+    # uniform side detects nothing (fallback to the plain plan)
+    assert ops.detect_hot_keys(sl, "k")[0] == "hot"
+    assert ops.detect_hot_keys(sl, "k", frac_threshold=0.2) == ["hot"]
+    c = ops.equi_join(sl, sr, on="k", right_on="rk", how="inner",
+                      hot_keys="auto", n_salt=4).to_pandas()
+    c = c[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
+    assert ops.detect_hot_keys(sr, "rk", frac_threshold=0.5) == []
+
 
 def test_two_level_exchange_matches_flat(ray_session):
     """hash_exchange_two_level == hash_exchange for an arbitrary shard
