@@ -157,12 +157,19 @@ def build_index_ranged(
 
     Resumability: boundaries are computed once and persisted in the manifest
     (resume reuses them — partition layout is stable); completed range
-    partitions skip their sort + write on re-run.
+    partitions skip their sort + write on re-run, and a fully-completed
+    build (manifest marks ``complete`` for the same input fingerprint)
+    returns without re-running the encode + exchange at all.
     """
     import ray
 
     manifest = Manifest(os.path.join(out_dir, "_manifest.json"))
     fp = _shard_fingerprint(input_files)
+    bm = manifest.stage_metrics.get("build_index_ranged")
+    if bm and bm.get("input_fingerprint") == fp and bm.get("complete"):
+        # a prior run finished every partition for this exact input: skip
+        # the encode + exchange entirely (cheap-resume fast path)
+        return manifest
     ds = ray.data.read_parquet(input_files)
     enc = ops.encode(ds, url_col=url_col, id_col=id_col)
 
@@ -239,7 +246,8 @@ def build_index_ranged(
     manifest.record_stage_metrics(
         "build_index_ranged",
         {"partitions": n_parts, "rows": manifest.total_rows(),
-         "bytes": manifest.total_bytes()},
+         "bytes": manifest.total_bytes(), "input_fingerprint": fp,
+         "complete": True},
     )
     return manifest
 

@@ -188,3 +188,6 @@ def test_build_index_ranged_global_pruning(ray_session, tmp_path):
     m2 = pipelines.build.build_index_ranged(files, out_dir, n_partitions=16)
     after = {k: v["completed_at"] for k, v in m2.partitions().items()}
     assert before == after
+    # the completion marker gates the resume fast path (skip encode+exchange)
+    bm = m2.stage_metrics["build_index_ranged"]
+    assert bm["complete"] and bm["input_fingerprint"]
