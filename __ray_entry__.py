@@ -1213,6 +1213,64 @@ WHERE {ex} (SELECT 1 FROM orders o
 """
 
 
+OUTER_NATION_MAX = 12
+OUTER_PRICE_MIN = 150_000.0
+
+
+def _customer_orders_outer(sf_dir):
+    """Full outer equi-join through the exchange plan (the only plan that
+    can emit unmatched rows of BOTH sides exactly once): customers in
+    nations < OUTER_NATION_MAX vs orders over OUTER_PRICE_MIN, reduced to
+    (matched, cust_only, order_only) counts so the output carries no nulls."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey") < OUTER_NATION_MAX,
+    ).select_columns(["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > OUTER_PRICE_MIN,
+    ).select_columns(["o_custkey"])
+    joined = ops.equi_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="outer",
+        n_shards=32,
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.to_pandas()
+        has_c = df["c_custkey"].notna().to_numpy()
+        has_o = df["o_custkey"].notna().to_numpy()
+        return pa.table(
+            {
+                "matched": pa.array([int((has_c & has_o).sum())]),
+                "cust_only": pa.array([int((has_c & ~has_o).sum())]),
+                "order_only": pa.array([int((~has_c & has_o).sum())]),
+            }
+        )
+
+    out = joined.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = out.sum().to_frame().T.astype("int64")
+    return pa.Table.from_pandas(
+        out[["matched", "cust_only", "order_only"]], preserve_index=False
+    )
+
+
+CUSTOMER_ORDERS_OUTER_ORACLE = f"""
+WITH c AS (SELECT c_custkey FROM customer WHERE c_nationkey < {OUTER_NATION_MAX}),
+     o AS (SELECT o_custkey FROM orders WHERE o_totalprice > {OUTER_PRICE_MIN})
+SELECT
+  CAST(count(*) FILTER (WHERE c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL) AS BIGINT) AS matched,
+  CAST(count(*) FILTER (WHERE o.o_custkey IS NULL) AS BIGINT) AS cust_only,
+  CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS order_only
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
 def _events_orders_asof(sf_dir):
     """As-of join: each event is matched to the LATEST order by the same
     user at or before the event time (ties on order date broken by max
@@ -2195,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _revenue_by_region,
         "revenue_rollup": _revenue_rollup,
         "customer_recent_semi": lambda sf: _customer_semi_anti(sf, "semi"),
+        "customer_orders_outer": _customer_orders_outer,
         "customer_recent_anti": lambda sf: _customer_semi_anti(sf, "anti"),
         "events_orders_asof": _events_orders_asof,
         "events_quantiles": _events_quantiles,
@@ -2253,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": REVENUE_ROLLUP_ORACLE,
         "customer_recent_semi": _customer_semi_anti_oracle("semi"),
         "customer_recent_anti": _customer_semi_anti_oracle("anti"),
+        "customer_orders_outer": CUSTOMER_ORDERS_OUTER_ORACLE,
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
         "events_quantiles": EVENTS_QUANTILES_ORACLE,
         "video_frames": multimodal.VIDEO_FRAMES_ORACLE,

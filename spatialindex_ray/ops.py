@@ -757,7 +757,9 @@ def equi_join(
     hot_keys=None,
     n_salt: int = 8,
 ):
-    """General distributed equi-join. Two plans:
+    """General distributed equi-join (``how``: inner/left/right/outer/
+    semi/anti; null-keyed rows follow pandas merge semantics — they never
+    match each other). Two plans:
 
     - ``broadcast="right"`` (or "left"): the small side is materialized ONCE
       into the object store (``ray.put``) and every map task joins its batch
@@ -797,6 +799,16 @@ def equi_join(
         )
 
     if broadcast in ("left", "right"):
+        if how == "outer" or how == broadcast:
+            # any merge that keeps unmatched BROADCAST-side rows would
+            # re-emit them once PER BATCH; only the exchange plan (which
+            # sees each key's rows in exactly one shard) emits them once.
+            # Valid: inner with either side; left with broadcast="right";
+            # right with broadcast="left".
+            raise ValueError(
+                f"how={how!r} keeps unmatched {broadcast} rows: use the "
+                "exchange plan (broadcast=None) or broadcast the other side"
+            )
         import ray
 
         small_ds, big_ds = (

@@ -252,6 +252,53 @@ def test_salted_join_matches_plain(ray_session):
     assert ops.detect_hot_keys(sr, "rk", frac_threshold=0.5) == []
 
 
+def test_outer_right_joins_match_pandas(ray_session):
+    """how=outer/right via the exchange plan == single-process pandas merge;
+    broadcast plans that would duplicate unmatched broadcast rows raise."""
+    import pyarrow as pa
+    import pytest
+
+    import ray
+
+    rng = np.random.RandomState(3)
+    ltbl = pa.table({
+        "k": pa.array(rng.randint(0, 30, 2000).astype(np.int64)),
+        "lv": pa.array(np.arange(2000, dtype=np.int64)),
+    })
+    # right keys [20, 40): overlap 20-29, left-only 0-19, right-only 30-39
+    rtbl = pa.table({
+        "rk": pa.array(np.repeat(np.arange(20, 40), 3).astype(np.int64)),
+        "rv": pa.array(np.arange(60, dtype=np.int64)),
+    })
+    left = ray.data.from_arrow(ltbl).repartition(5)
+    right = ray.data.from_arrow(rtbl).repartition(2)
+
+    for how in ("outer", "right"):
+        got = ops.equi_join(left, right, on="k", right_on="rk", how=how,
+                            n_shards=16).to_pandas()
+        exp = ltbl.to_pandas().merge(rtbl.to_pandas(), left_on="k",
+                                     right_on="rk", how=how)
+        cols = sorted(exp.columns)
+        got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        exp = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    for how, bc in (("outer", "right"), ("outer", "left"),
+                    ("left", "left"), ("right", "right")):
+        with pytest.raises(ValueError):
+            ops.equi_join(left, right, on="k", right_on="rk", how=how,
+                          broadcast=bc)
+    # right join with the LEFT side broadcast is the valid small-side plan
+    got = ops.equi_join(left, right, on="k", right_on="rk", how="right",
+                        broadcast="left").to_pandas()
+    exp = ltbl.to_pandas().merge(rtbl.to_pandas(), left_on="k", right_on="rk",
+                                 how="right")
+    cols = sorted(exp.columns)
+    got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    exp = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_two_level_exchange_matches_flat(ray_session):
     """hash_exchange_two_level == hash_exchange for an arbitrary shard
     reducer (per-shard sorted key checksum)."""
