@@ -1333,6 +1333,63 @@ def _events_quantiles(sf_dir):
     return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
 
 
+SKETCH_BINS = 256
+
+
+def _events_quantiles_sketch(sf_dir):
+    """Mergeable-histogram quantile sketch (ops.group_quantiles_sketch): the
+    shuffle carries at most SKETCH_BINS rows per event type regardless of
+    data size. The sketch is DETERMINISTIC (fixed bin grid from the exact
+    per-group min/max), so the DuckDB dual reproduces it bit-for-bit with
+    width_bucket-style arithmetic — a full-strength value-hash oracle even
+    though the estimate is approximate w.r.t. the true quantile."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = ops.group_quantiles_sketch(
+        ds, "event_type", "value", EVENT_QS, n_bins=SKETCH_BINS
+    )
+
+    def order_cols(tbl: pa.Table) -> pa.Table:
+        cols = ["event_type", "n_events"] + [f"q{int(q * 100)}" for q in EVENT_QS]
+        return tbl.select(cols)
+
+    return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
+
+
+def _events_quantiles_sketch_oracle():
+    qcols = ",\n  ".join(
+        f"(SELECT r.mn + (min(s.bin) + 0.5) * r.w FROM sel s "
+        f"WHERE s.event_type = r.event_type "
+        f"AND s.cum >= ceil({q} * s.total)) AS q{int(q * 100)}"
+        for q in EVENT_QS
+    )
+    return f"""
+WITH r AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         (max(value) - min(value)) / {SKETCH_BINS}.0 AS w,
+         count(*) AS n_events
+  FROM events GROUP BY event_type),
+b AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(CAST(FLOOR((e.value - r.mn) / r.w) AS BIGINT), 0),
+               {SKETCH_BINS - 1}) AS bin
+  FROM events e JOIN r USING (event_type)),
+h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY event_type, bin),
+sel AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h)
+SELECT r.event_type AS event_type, CAST(r.n_events AS BIGINT) AS n_events,
+  {qcols}
+FROM r
+ORDER BY event_type
+"""
+
+
 EVENTS_QUANTILES_ORACLE = f"""
 SELECT event_type, count(*) AS n_events,
   {", ".join(f"quantile_disc(value, {q}) AS q{int(q * 100)}" for q in EVENT_QS)}
@@ -2257,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_recent_anti": lambda sf: _customer_semi_anti(sf, "anti"),
         "events_orders_asof": _events_orders_asof,
         "events_quantiles": _events_quantiles,
+        "events_quantiles_sketch": _events_quantiles_sketch,
         "events_user_hll": _events_user_hll,
         "sessionize_events": _sessionize_events,
     }
@@ -2315,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_orders_outer": CUSTOMER_ORDERS_OUTER_ORACLE,
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
         "events_quantiles": EVENTS_QUANTILES_ORACLE,
+        "events_quantiles_sketch": _events_quantiles_sketch_oracle(),
         "video_frames": multimodal.VIDEO_FRAMES_ORACLE,
         "audio_features": AUDIO_FEATURES_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,

@@ -1154,6 +1154,98 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: tuple):
     return dist.groupby(key_col).map_groups(quant, batch_format="pandas")
 
 
+def group_quantiles_sketch(ds, key_col: str, val_col: str, qs: tuple, n_bins: int = 256):
+    """APPROXIMATE per-group quantiles with a bounded-error mergeable
+    histogram — the scale path where ``group_quantiles``' exact compressed
+    distribution degenerates (continuous never-repeating values: the exact
+    plan's shuffle carries one row per distinct value; this one carries at
+    most ``n_bins`` rows per group regardless of data size).
+
+    1. per-group [min, max] (per-batch partials + a tiny groupby), broadcast
+       once via ``ray.put`` (#groups == output size, assumed driver-sized —
+       the same assumption the exact operator's output already makes),
+    2. per-batch histogram counts on the group's fixed bin grid — mergeable
+       by plain addition, one (key, bin) groupby-sum shuffle,
+    3. per-key rank walk over the cumulative histogram; the reported value
+       is the owning bin's midpoint, so
+       ``|estimate - exact_quantile| <= (max-min)/n_bins / 2`` per group.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def mm_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                key_col: tbl[key_col].to_numpy(zero_copy_only=False),
+                val_col: tbl[val_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(key_col)[val_col].agg(["min", "max"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ranges = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .aggregate(Min("min"), Max("max"))
+        .to_pandas()
+    )
+    keys = ranges[key_col].to_numpy()
+    lo = ranges["min(min)"].to_numpy(dtype=np.float64)
+    width = (ranges["max(max)"].to_numpy(dtype=np.float64) - lo) / float(n_bins)
+    ref = ray.put((dict(zip(keys.tolist(), range(len(keys)))), lo, width))
+
+    def hist_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        kmap, los, ws = ray.get(ref)
+        k = pd.Series(tbl[key_col].to_numpy(zero_copy_only=False))
+        gi = k.map(kmap).to_numpy(dtype=np.int64)
+        v = tbl[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = ws[gi]
+        b = np.zeros(len(v), dtype=np.int64)
+        nz = w > 0
+        b[nz] = np.clip(
+            ((v[nz] - los[gi[nz]]) / w[nz]).astype(np.int64), 0, n_bins - 1
+        )
+        g = (
+            pd.DataFrame({key_col: k, "_bin": b})
+            .groupby([key_col, "_bin"], as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+        .groupby([key_col, "_bin"])
+        .sum("partial_n")
+    )
+    kmap = dict(zip(keys.tolist(), range(len(keys))))
+
+    def quant(df):
+        import pandas as pd
+
+        df = df.sort_values("_bin", kind="mergesort")
+        cnt = df["sum(partial_n)"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        key = df[key_col].iloc[0]
+        gi = kmap[key]
+        bins = df["_bin"].to_numpy(dtype=np.int64)
+        out = {key_col: [key], "n_events": [total]}
+        for q in qs:
+            rank = int(np.ceil(np.float64(q) * np.float64(total)))
+            b = int(bins[int(np.searchsorted(cum, rank, side="left"))])
+            est = lo[gi] + (b + 0.5) * width[gi] if width[gi] > 0 else lo[gi]
+            out[f"q{int(q * 100)}"] = [float(est)]
+        return pd.DataFrame(out)
+
+    return hist.groupby(key_col).map_groups(quant, batch_format="pandas")
+
+
 def prefix_sum(ds, order_col: str, value_col: str, n_shards: int = 64,
                lo: int | None = None, hi: int | None = None):
     """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``order_col``

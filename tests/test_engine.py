@@ -252,6 +252,37 @@ def test_salted_join_matches_plain(ray_session):
     assert ops.detect_hot_keys(sr, "rk", frac_threshold=0.5) == []
 
 
+def test_group_quantiles_sketch_error_bound(ray_session):
+    """Histogram-sketch quantiles land within the documented per-group
+    error bound (bin width / 2) of the exact operator, including a
+    constant-valued group (zero width)."""
+    import pyarrow as pa
+
+    import ray
+
+    rng = np.random.RandomState(21)
+    n = 30000
+    keys = rng.randint(0, 4, n)
+    vals = np.where(keys == 3, 7.5, rng.lognormal(0.0, 1.0, n) * (keys + 1))
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys.astype(np.int64)), "v": pa.array(vals),
+    })).repartition(8)
+
+    qs = (0.5, 0.9, 0.99)
+    n_bins = 512
+    exact = ops.group_quantiles(ds, "k", "v", qs).to_pandas().set_index("k")
+    approx = ops.group_quantiles_sketch(ds, "k", "v", qs, n_bins=n_bins) \
+        .to_pandas().set_index("k")
+    assert sorted(approx.index) == sorted(exact.index)
+    for k in exact.index:
+        m = vals[keys == k]
+        tol = (m.max() - m.min()) / n_bins / 2 + 1e-9
+        for q in qs:
+            col = f"q{int(q * 100)}"
+            assert abs(approx.loc[k, col] - exact.loc[k, col]) <= tol, (k, col)
+    assert (approx["n_events"] == exact["n_events"]).all()
+
+
 def test_outer_right_joins_match_pandas(ray_session):
     """how=outer/right via the exchange plan == single-process pandas merge;
     broadcast plans that would duplicate unmatched broadcast rows raise."""
