@@ -1333,6 +1333,29 @@ def _events_quantiles(sf_dir):
     return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
 
 
+HH_K = 64
+
+
+def _source_heavy_hitters(sf_dir):
+    """Misra-Gries heavy hitters over documents.source (ops.heavy_hitters).
+    With k=HH_K above the source cardinality no truncation ever fires, so
+    the sketch's count_lo equals the exact count independent of Ray's batch
+    boundaries — a full value-hash oracle for the sketch plumbing (the
+    truncation bounds themselves are property-tested in tests/)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return ops.heavy_hitters(ds, "source", k=HH_K)
+
+
+SOURCE_HH_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS count_lo,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total
+FROM documents GROUP BY source
+"""
+
+
 SKETCH_BINS = 256
 
 
@@ -2278,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup_query,
         "token_stats": textfn.token_stats_query,
         "top_terms": textfn.top_terms_query,
+        "source_heavy_hitters": _source_heavy_hitters,
         "top_terms_by_lang": textfn.top_terms_by_lang_query,
         "doc_pack": _doc_pack,
         "doc_split": _doc_split,
@@ -2373,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_orders_outer": CUSTOMER_ORDERS_OUTER_ORACLE,
         "events_orders_asof": EVENTS_ORDERS_ASOF_ORACLE,
         "events_quantiles": EVENTS_QUANTILES_ORACLE,
+        "source_heavy_hitters": SOURCE_HH_ORACLE,
         "events_quantiles_sketch": _events_quantiles_sketch_oracle(),
         "video_frames": multimodal.VIDEO_FRAMES_ORACLE,
         "audio_features": AUDIO_FEATURES_ORACLE,

@@ -1246,6 +1246,68 @@ def group_quantiles_sketch(ds, key_col: str, val_col: str, qs: tuple, n_bins: in
     return hist.groupby(key_col).map_groups(quant, batch_format="pandas")
 
 
+def heavy_hitters(ds, key_col: str, k: int = 64):
+    """Misra-Gries heavy-hitters sketch: per-batch summaries of at most
+    ``k`` counters (exact per-batch counts truncated MG-style: keep the top
+    k keys and subtract the (k+1)-th count from each — the classic bound),
+    merged by pairwise counter addition + re-truncation. Only k rows per
+    batch enter the (driver-side, k-bounded) merge, so the operator is
+    shuffle-free and O(k) in memory at any scale.
+
+    Guarantees (standard MG): every key with true count > n/(k+1) is
+    present, and each reported count underestimates the true count by at
+    most n/(k+1). Returns a pyarrow Table (key, count_lo, n_total) sorted
+    by count_lo descending — `count_lo` is the certified lower bound."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(tbl) == 0:
+            return pa.table(
+                {key_col: tbl[key_col], "_n": pa.array([], type=pa.int64()),
+                 "_is_key": pa.array([], type=pa.bool_())}
+            )
+        s = pd.Series(tbl[key_col].to_numpy(zero_copy_only=False))
+        vc = s.value_counts()  # descending
+        if len(vc) > k:
+            dec = int(vc.iloc[k])  # (k+1)-th largest count
+            vc = vc.iloc[:k] - dec
+            vc = vc[vc > 0]
+        keys = vc.index.to_numpy()
+        # sentinel row (_is_key=False) carries the batch length for n_total
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate([keys, s.iloc[:1].to_numpy()])),
+                "_n": pa.array(
+                    np.concatenate([vc.to_numpy(), [len(s)]]).astype(np.int64)
+                ),
+                "_is_key": pa.array([True] * len(keys) + [False]),
+            }
+        )
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if parts.empty:
+        return pa.table({key_col: pa.array([]), "count_lo": pa.array([], type=pa.int64()),
+                         "n_total": pa.array([], type=pa.int64())})
+    n_total = int(parts.loc[~parts["_is_key"], "_n"].sum())
+    merged = (
+        parts[parts["_is_key"]].groupby(key_col)["_n"].sum()
+        .sort_values(ascending=False)
+    )
+    if len(merged) > k:
+        dec = int(merged.iloc[k])
+        merged = merged.iloc[:k] - dec
+        merged = merged[merged > 0]
+    out = pd.DataFrame(
+        {key_col: merged.index.to_numpy(),
+         "count_lo": merged.to_numpy().astype(np.int64),
+         "n_total": np.full(len(merged), n_total, dtype=np.int64)}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def prefix_sum(ds, order_col: str, value_col: str, n_shards: int = 64,
                lo: int | None = None, hi: int | None = None):
     """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``order_col``

@@ -252,6 +252,35 @@ def test_salted_join_matches_plain(ray_session):
     assert ops.detect_hot_keys(sr, "rk", frac_threshold=0.5) == []
 
 
+def test_heavy_hitters_misra_gries_bounds(ray_session):
+    """MG guarantees: every key with true count > n/(k+1) is reported, and
+    count_lo <= true count <= count_lo + n/(k+1)."""
+    import pyarrow as pa
+
+    import ray
+
+    rng = np.random.RandomState(5)
+    n = 40000
+    keys = np.where(
+        rng.rand(n) < 0.5,
+        rng.randint(0, 8, n),               # 8 heavy keys (~6% each)
+        rng.randint(1000, 9000, n),         # long uniform tail
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(keys)})).repartition(7)
+
+    k = 32
+    out = ops.heavy_hitters(ds, "h", k=k).to_pandas()
+    assert (out["n_total"] == n).all()
+    bound = n / (k + 1)
+    true = {int(v): int(c) for v, c in zip(*np.unique(keys, return_counts=True))}
+    reported = dict(zip(out["h"].astype(int), out["count_lo"].astype(int)))
+    for key, c in true.items():
+        if c > bound:
+            assert key in reported, (key, c)
+    for key, lo in reported.items():
+        assert lo <= true[key] <= lo + bound, (key, lo, true[key])
+
+
 def test_group_quantiles_sketch_error_bound(ray_session):
     """Histogram-sketch quantiles land within the documented per-group
     error bound (bin width / 2) of the exact operator, including a
