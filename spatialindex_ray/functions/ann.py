@@ -1,9 +1,10 @@
 """Approximate/exact nearest-neighbor search over an embedding column.
 
 Baseline: brute-force cosine top-k — per-batch numpy matmul against a
-broadcast (ray.put once) query matrix, per-batch partial top-k, tiny driver
-merge. Scale path: LSH-bucketed variant (random-hyperplane signatures ->
-groupby bucket) that only scores within matching buckets.
+broadcast (ray.put once) query matrix, per-batch partial top-k, then a
+DISTRIBUTED per-query merge (ops.topk_reduce — the driver only materializes
+the final Q*k rows). Scale path: IVF-bucketed variant that only scores
+within each query's probed centroid buckets.
 """
 
 from __future__ import annotations
@@ -25,6 +26,26 @@ def _query_matrix(sf_dir: str):
     Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     return qids, Q
+
+
+def _finish_topk(parts_ds, qids: np.ndarray, k: int) -> pa.Table:
+    """Distributed per-query top-k merge of (qi, vec_id, sim) partials
+    (ops.topk_reduce: combiner pass + per-qi groupby — the driver sees only
+    the final Q*k rows), then the tiny qi -> query_id relabel."""
+    from .. import ops
+
+    top = ops.topk_reduce(
+        parts_ds, k, key_col="qi", id_col="vec_id", score_col="sim",
+        ascending=False,
+    )
+    qi = top["qi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qids[qi]),
+            "vec_id": top["vec_id"],
+            "rank": top["rank"],
+        }
+    )
 
 
 def topk_cosine_query(sf_dir: str, k: int = ANN_K):
@@ -58,16 +79,8 @@ def topk_cosine_query(sf_dir: str, k: int = ANN_K):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
-    import pandas as pd
-
-    df = pd.DataFrame(parts)
-    df["query_id"] = qids[df["qi"].to_numpy()]
-    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
-                        kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _finish_topk(parts, qids, k)
 
 
 # ---------------------------------------------------------- IVF-bucketed ANN
@@ -178,21 +191,5 @@ def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
-    import pandas as pd
-
-    df = pd.DataFrame(parts)
-    if len(df) == 0:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "vec_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int64()),
-            }
-        )
-    df["query_id"] = qids[df["qi"].to_numpy(dtype=np.int64)]
-    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
-                        kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _finish_topk(parts, qids, k)

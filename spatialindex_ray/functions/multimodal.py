@@ -360,18 +360,34 @@ class SampleFrames:
 
 
 def image_features_query(sf_dir: str):
-    """Pipeline entry: synthesize webpage payloads sized from the documents
-    table, run the DecodeImage actor pool, return (url, width, height,
-    n_features). Rows-only check (stubbed decode has no SQL equivalent)."""
-    import pyarrow.parquet as pq
-
+    """End-to-end image pipeline over REAL PNG payloads: synthesize one
+    deterministic constant-color PNG per doc (encode_png — width/height/
+    color all SQL-expressible functions of doc_id), decode + featurize in
+    the DecodeImage actor pool, then verify the decoded byte histogram
+    against an independently constructed copy of the actor's projection
+    model (px_ok): a constant-color image yields a one-hot normalized
+    histogram, so features must equal proj[doc_id % 256] exactly — any
+    pixel corruption in the codec roundtrip flips px_ok. Fully oracled
+    (IMAGE_FEATURES_ORACLE)."""
     import ray
 
-    from ..sources import webpages
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
-    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    pages = webpages.synth_webpages(n, hot_frac=0.0)
-    decoded = pages.map_batches(
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            w = 8 + int(did) % 24
+            h = 8 + (int(did) % 7) * 3
+            v = int(did) % 256
+            payloads.append(encode_png(np.full((h, w, 3), v, dtype=np.uint8)))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    decoded = ds.map_batches(
+        synth, batch_format="pyarrow", batch_size=None
+    ).map_batches(
         DecodeImage,
         batch_format="pyarrow",
         batch_size=256,      # large binary payloads -> small batches
@@ -379,21 +395,41 @@ def image_features_query(sf_dir: str):
         num_cpus=1,
     )
 
-    def project(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # independent copy of the actor's deterministic projection "model"
+    proj = (
+        np.random.RandomState(424242)
+        .normal(size=(256, DecodeImage.FEATURE_DIM))
+        .astype(np.float32)
+    )
 
+    def project(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        feats = (
+            tbl["features"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .reshape(len(tbl), DecodeImage.FEATURE_DIM)
+        )
+        ok = np.all(feats == proj[ids % 256], axis=1)
         return pa.table(
             {
-                "url": tbl["url"],
+                "doc_id": pa.array(ids),
                 "width": tbl["width"],
                 "height": tbl["height"],
-                "n_features": pa.array(
-                    np.full(len(tbl), DecodeImage.FEATURE_DIM, dtype=np.int64)
-                ),
+                "channels": tbl["channels"],
+                "px_ok": pa.array(ok),
             }
         )
 
     return decoded.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+IMAGE_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(8 + doc_id % 24 AS INTEGER) AS width,
+       CAST(8 + (doc_id % 7) * 3 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(TRUE AS BOOLEAN) AS px_ok
+FROM documents
+"""
 
 
 VIDEO_FRAME_BYTES = 64

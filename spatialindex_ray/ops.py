@@ -539,6 +539,85 @@ def radius_join(
 
 
 # ------------------------------------------------------------------- kNN
+def _topk_table(
+    tbl: pa.Table,
+    k: int,
+    key_col: str,
+    id_col: str,
+    score_col: str,
+    ascending: bool,
+) -> pa.Table:
+    """Keep the best-k rows per key from a (key, id, score) table — one
+    vectorized lexsort + group-head rank, no per-row Python. Deterministic:
+    ties broken by (score, id) with id always ascending."""
+    if len(tbl) == 0:
+        return tbl
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    scores = tbl[score_col].to_numpy(zero_copy_only=False)
+    s = scores if ascending else -scores
+    order = np.lexsort((ids, s, keys))
+    sk = keys[order]
+    # rank within each key run: position minus the run's start offset
+    starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+    run_id = np.cumsum(np.concatenate([[False], sk[1:] != sk[:-1]]))
+    rank = np.arange(len(sk)) - starts[run_id]
+    return tbl.take(pa.array(order[rank < k]))
+
+
+def topk_reduce(
+    parts_ds,
+    k: int,
+    *,
+    key_col: str,
+    id_col: str,
+    score_col: str,
+    ascending: bool = True,
+    fan_in_rows: int = 65536,
+):
+    """Distributed merge of per-block top-k partials (the scale-safe
+    replacement for ``take_all()`` + a driver pandas sort, VERDICT r2 item
+    2): a combiner ``map_batches`` pass re-truncates ``fan_in_rows``-sized
+    runs of partial tables, then a per-key ``groupby().map_groups`` computes
+    the final top-k and dense 1..k ranks — the driver materializes only the
+    final Q*k rows, independent of input block count.
+
+    Returns a pyarrow Table (key_col, id_col, rank) with rank int64."""
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        return _topk_table(tbl, k, key_col, id_col, score_col, ascending)
+
+    combined = parts_ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=fan_in_rows
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        top = _topk_table(tbl, k, key_col, id_col, score_col, ascending)
+        scores = top[score_col].to_numpy(zero_copy_only=False)
+        ids = top[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, scores if ascending else -scores))
+        top = top.take(pa.array(order))
+        return pa.table(
+            {
+                key_col: top[key_col],
+                id_col: top[id_col],
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            }
+        )
+
+    out = combined.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table(
+            {
+                key_col: pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables)
+
+
 def knn(
     ds,
     query_points,
@@ -548,7 +627,9 @@ def knn(
 ):
     """Distributed brute-force kNN: broadcast the (Q, 3) query matrix; each
     batch computes a Q x B distance block and keeps a per-batch top-k
-    (np.argpartition); the driver merges the tiny partials.
+    (np.argpartition); partials merge DISTRIBUTEDLY via ``topk_reduce``
+    (combiner map_batches + per-query groupby), so the driver materializes
+    only the final Q*k rows regardless of block count.
 
     Returns a pyarrow Table (query_id, doc_id-named id_col, rank) with rank
     1..k, ties broken by (dist2, id) ascending — fully deterministic.
@@ -590,14 +671,10 @@ def knn(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=None).take_all()
-    import pandas as pd
-
-    df = pd.DataFrame(partials)
-    df = df.sort_values(["query_id", "dist2", id_col], kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", id_col, "rank"]].reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
+    return topk_reduce(
+        partials, k, key_col="query_id", id_col=id_col, score_col="dist2"
+    )
 
 
 # ------------------------------------------------------- skew / hot cells

@@ -385,8 +385,6 @@ def knn_indexed(
     or the build manifest). Returns a pyarrow Table
     (query_id, id_col, rank).
     """
-    import pandas as pd
-
     import ray
 
     from ..kernels import healpix
@@ -427,9 +425,28 @@ def knn_indexed(
 
     all_cells = sorted(set().union(*per_query_cells))
     shift = 2 * (data_level - count_level)
-    ranges = np.array(
-        [[c << shift, ((c + 1) << shift) - 1] for c in all_cells], dtype=np.int64
-    )
+    # Merge contiguous nested-order cells into [lo, hi] runs and cap the
+    # range count: a sparse dataset can ring-walk thousands of cells and a
+    # multi-thousand-term OR filter expression serializes to many MB and
+    # dominates the read. Over-inclusive ranges are safe — partial() below
+    # post-filters each query's candidates exactly with np.isin.
+    cells_arr = np.array(all_cells, dtype=np.int64)
+    brk = np.nonzero(np.diff(cells_arr) > 1)[0]
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk, [len(cells_arr) - 1]])
+    cr = np.column_stack([cells_arr[starts], cells_arr[ends]])
+    max_ranges = 64
+    if len(cr) > max_ranges:
+        gaps = cr[1:, 0] - cr[:-1, 1]
+        close = np.zeros(len(gaps), dtype=bool)
+        close[np.argsort(gaps)[: len(cr) - max_ranges]] = True
+        ks = np.nonzero(~close)[0]
+        starts2 = np.concatenate([[0], ks + 1])
+        ends2 = np.concatenate([ks, [len(cr) - 1]])
+        cr = np.column_stack([cr[starts2, 0], cr[ends2, 1]])
+    ranges = np.column_stack(
+        [cr[:, 0] << shift, ((cr[:, 1] + 1) << shift) - 1]
+    ).astype(np.int64)
     files = [
         os.path.join(root, f)
         for root, _, fs in os.walk(out_dir)
@@ -471,7 +488,7 @@ def knn_indexed(
             return pa.table(
                 {
                     "qi": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=tbl.schema.field(id_col).type),
                     "dist2": pa.array([], type=pa.float64()),
                 }
             )
@@ -483,15 +500,19 @@ def knn_indexed(
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
-    df = pd.DataFrame(parts)
-    if len(df) == 0:
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # distributed per-query merge — driver sees only the final Q*k rows
+    top = ops.topk_reduce(parts, k, key_col="qi", id_col=id_col, score_col="dist2")
+    if len(top) == 0:
         return pa.table({"query_id": [], id_col: [], "rank": []})
-    df["query_id"] = np.array(qids)[df["qi"].to_numpy()]
-    df = df.sort_values(["query_id", "dist2", id_col], kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", id_col, "rank"]].reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    qi = top["qi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(np.array(qids, dtype=np.int64)[qi]),
+            id_col: top[id_col],
+            "rank": top["rank"],
+        }
+    )
 
 
 def region_count_bounds(

@@ -508,3 +508,65 @@ def test_group_quantiles_sum_prefixed_value_col(ray_session):
     # rank ceil(0.5*10)=5 -> 5th smallest of 0..9 = 4
     assert (out["q50"].to_numpy() == np.array([4, 4])).all()
     assert (out["n_events"].to_numpy() == np.array([10, 10])).all()
+
+
+def test_topk_reduce_distributed_merge(ray_session):
+    """topk_reduce returns exactly Q*k rows independent of block count and
+    matches a driver-side brute-force merge (VERDICT r2 item 2: no
+    take_all-then-pandas growth with block count)."""
+    import pandas as pd
+    import ray
+
+    rng = np.random.RandomState(3)
+    n_blocks, rows_per_block, Q, k = 60, 40, 3, 5
+    frames = []
+    for b in range(n_blocks):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "qi": np.repeat(np.arange(Q), rows_per_block // Q + 1)[
+                        :rows_per_block
+                    ],
+                    "doc_id": np.arange(rows_per_block) + b * rows_per_block,
+                    "dist2": rng.rand(rows_per_block),
+                }
+            )
+        )
+    ds = ray.data.from_pandas(frames)  # one block per frame
+    # tiny fan_in forces a multi-level merge (combiner output > 1 batch)
+    out = ops.topk_reduce(
+        ds, k, key_col="qi", id_col="doc_id", score_col="dist2",
+        fan_in_rows=64,
+    )
+    assert len(out) == Q * k  # driver-side volume is exactly Q*k
+    df = out.to_pandas().sort_values(["qi", "rank"]).reset_index(drop=True)
+    allrows = pd.concat(frames)
+    for qi in range(Q):
+        sub = allrows[allrows["qi"] == qi].sort_values(
+            ["dist2", "doc_id"], kind="mergesort"
+        )
+        expect = sub["doc_id"].to_numpy()[:k]
+        got = df[df["qi"] == qi].sort_values("rank")["doc_id"].to_numpy()
+        assert (got == expect).all()
+    for _, ranks in df.groupby("qi")["rank"]:
+        assert sorted(ranks) == list(range(1, k + 1))
+
+
+def test_topk_reduce_descending_and_string_ids(ray_session):
+    """Descending scores (similarity) with string ids: deterministic
+    (score desc, id asc) tie-break."""
+    import pandas as pd
+    import ray
+
+    df = pd.DataFrame(
+        {
+            "qi": [0] * 6,
+            "vid": ["b", "a", "c", "e", "d", "f"],
+            "sim": [0.9, 0.9, 0.8, 0.7, 0.8, 0.1],
+        }
+    )
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+    out = ops.topk_reduce(
+        ds, 4, key_col="qi", id_col="vid", score_col="sim", ascending=False
+    ).to_pandas().sort_values("rank")
+    assert list(out["vid"]) == ["a", "b", "c", "d"]
