@@ -345,29 +345,47 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
     sub = ds.map_batches(filter_subset, batch_format="pyarrow", batch_size=None)
 
     def explode(tbl: pa.Table) -> pa.Table:
-        gids: list[int] = []
-        all_grams: list[str] = []
-        for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-            toks = t.split(" ")
-            grams = {
-                " ".join(toks[i : i + SHINGLE_W])
-                for i in range(max(len(toks) - SHINGLE_W + 1, 0))
-            }
-            gids.extend([did] * len(grams))
-            all_grams.extend(grams)
-        # one batched SHA-1 over every gram in the batch (same value as
-        # int.from_bytes(sha1(gram)[:8], "big") >> 1)
-        gh = (
-            (hashing.sha1_pairs_of_strings(all_grams)[:, 0] >> np.uint64(1)).astype(
-                np.int64
+        """Distinct word-3-gram identities per doc, fully vectorized (round
+        3 — replaces the per-row Python loop): one Arrow split_pattern(" ")
+        (exact str.split(" ") semantics incl. empty tokens, matching the SQL
+        oracle's string_split), one batched SHA-1 over the flat token array,
+        windowed G1/G2/G3 gram hashes, per-row distinct via lexsort. Tokens
+        cannot contain spaces, so (token triple) <-> (joined gram string) is
+        bijective — this hash identity partitions grams exactly like the
+        oracle's string equality."""
+        import pyarrow.compute as pc
+
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        toks = pc.split_pattern(tbl["text"].combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.flatten()
+        th = hashing.sha1_first64_of_tokens(flat)
+        ntok = offsets[1:] - offsets[:-1]
+        if len(th) < SHINGLE_W:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
             )
-            if all_grams
-            else np.empty(0, dtype=np.int64)
-        )
+        with np.errstate(over="ignore"):
+            win = th[:-2] * _G1 + th[1:-1] * _G2 + th[2:] * _G3
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        ok = row_of[:-2] == row_of[2:]  # window stays inside its row
+        grams = win[ok]
+        rows = row_of[:-2][ok]
+        order = np.lexsort((grams, rows))
+        grams = grams[order]
+        rows = rows[order]
+        keep = np.ones(len(grams), dtype=bool)
+        keep[1:] = (grams[1:] != grams[:-1]) | (rows[1:] != rows[:-1])
         return pa.table(
             {
-                "gram": pa.array(gh, type=pa.int64()),
-                "doc_id": pa.array(np.array(gids, dtype=np.int64)),
+                "gram": pa.array(grams[keep].view(np.int64)),
+                "doc_id": pa.array(ids[rows[keep]].astype(np.int64)),
             }
         )
 

@@ -33,12 +33,23 @@ from ..state.manifest import Manifest, PartitionRecord
 
 
 def _shard_fingerprint(files: list[str]) -> str:
+    """Input identity for resume records: path + size + mtime_ns. mtime is
+    included (ADVICE r2) so a same-size in-place edit of an input file
+    invalidates prior partition records instead of silently skipping work."""
     h = hashlib.sha1()
     for f in sorted(files):
         st = os.stat(f)
         h.update(f.encode())
         h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
     return h.hexdigest()[:16]
+
+
+def _partition_files_exist(out_dir: str, pid: str) -> bool:
+    pdir = os.path.join(out_dir, pid)
+    return os.path.isdir(pdir) and any(
+        f.endswith(".parquet") for f in os.listdir(pdir)
+    )
 
 
 def build_index(
@@ -143,6 +154,7 @@ def build_index_ranged(
     url_col: str | None = "url",
     id_col: str | None = None,
     n_partitions: int = 64,
+    max_rows_per_partition: int | None = 4_000_000,
 ) -> Manifest:
     """GLOBAL range-partitioned index build (VERDICT r1 item 4): encode ->
     sample global cell boundaries -> one range exchange -> each partition
@@ -166,11 +178,36 @@ def build_index_ranged(
     manifest = Manifest(os.path.join(out_dir, "_manifest.json"))
     fp = _shard_fingerprint(input_files)
     bm = manifest.stage_metrics.get("build_index_ranged")
-    if bm and bm.get("input_fingerprint") == fp and bm.get("complete"):
-        # a prior run finished every partition for this exact input: skip
+    if (
+        bm
+        and bm.get("input_fingerprint") == fp
+        and bm.get("complete")
+        and all(
+            _partition_files_exist(out_dir, pid)
+            for pid, rec in manifest.partitions().items()
+            if pid.startswith("range=") and rec["input_fingerprint"] == fp
+        )
+    ):
+        # a prior run finished every partition for this exact input AND the
+        # partition parquet files are still on disk (ADVICE r2: a deleted
+        # partition file must trigger a rebuild, not a silent skip): skip
         # the encode + exchange entirely (cheap-resume fast path)
         return manifest
     ds = ray.data.read_parquet(input_files)
+    # Partition-memory guard (VERDICT r2 item 6): each range partition
+    # materializes in ONE reduce task, so partition size must be bounded a
+    # priori. Scale the partition count so the EXPECTED partition is under
+    # the cap (row total is parquet metadata — no scan); the sizing rule is
+    # recorded in the manifest. Residual risk: a single cell value holding
+    # more than the cap cannot be split by a range boundary — quantile
+    # boundaries give it its own partition and the writer splits the
+    # OUTPUT into capped files, but the reduce task still holds it whole.
+    if max_rows_per_partition:
+        total_rows = ds.count()
+        n_partitions = max(
+            n_partitions,
+            int(np.ceil(total_rows / max_rows_per_partition)),
+        )
     enc = ops.encode(ds, url_col=url_col, id_col=id_col)
 
     meta = manifest.stage_metrics.get("range_boundaries")
@@ -193,7 +230,9 @@ def build_index_ranged(
     done = {
         int(pid.split("=")[1])
         for pid, rec in manifest.partitions().items()
-        if pid.startswith("range=") and rec["input_fingerprint"] == fp
+        if pid.startswith("range=")
+        and rec["input_fingerprint"] == fp
+        and _partition_files_exist(out_dir, pid)
     }
 
     def write_range(tbl: pa.Table) -> pa.Table:
@@ -215,12 +254,23 @@ def build_index_ranged(
         order = np.argsort(cells, kind="stable")
         out = tbl.take(pa.array(order)).drop(["_range"])
         rdir = os.path.join(out_dir, f"range={rid}")
+        if os.path.isdir(rdir):  # clean a crashed attempt's partial files
+            for f in os.listdir(rdir):
+                if f.endswith(".parquet"):
+                    os.unlink(os.path.join(rdir, f))
         os.makedirs(rdir, exist_ok=True)
-        path = os.path.join(rdir, "part.parquet")
-        pq.write_table(out, path)
+        # a hot-cell partition larger than the cap still writes CAPPED files
+        # (sorted slices), so downstream readers never open an unbounded file
+        cap = max_rows_per_partition or len(out)
+        n_files = max(1, int(np.ceil(len(out) / max(cap, 1))))
+        nbytes = 0
+        for fi in range(n_files):
+            path = os.path.join(rdir, f"part-{fi:05d}.parquet")
+            pq.write_table(out.slice(fi * cap, cap), path)
+            nbytes += os.path.getsize(path)
         return pa.table(
             {"range_id": [rid], "rows": [len(out)],
-             "bytes": [os.path.getsize(path)],
+             "bytes": [nbytes],
              "cell_min": [int(cells[order[0]])],
              "cell_max": [int(cells[order[-1]])], "skipped": [False]},
             schema=stats_schema,
@@ -247,6 +297,7 @@ def build_index_ranged(
         "build_index_ranged",
         {"partitions": n_parts, "rows": manifest.total_rows(),
          "bytes": manifest.total_bytes(), "input_fingerprint": fp,
+         "max_rows_per_partition": max_rows_per_partition,
          "complete": True},
     )
     return manifest

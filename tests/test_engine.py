@@ -570,3 +570,27 @@ def test_topk_reduce_descending_and_string_ids(ray_session):
         ds, 4, key_col="qi", id_col="vid", score_col="sim", ascending=False
     ).to_pandas().sort_values("rank")
     assert list(out["vid"]) == ["a", "b", "c", "d"]
+
+
+def test_semi_anti_null_keys_exists_semantics(ray_session):
+    """Null join keys never match (SQL EXISTS): a null key in the right
+    value set must not leak null-keyed left rows through the semi filter
+    (ADVICE r2), and anti keeps null-keyed left rows (NOT EXISTS is true).
+    Also covers _shard_tagger routing of nullable int key columns."""
+    import pandas as pd
+    import ray
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                         "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": pd.array([1, None, 5], dtype="Int64")})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    for bc in (None, "right"):
+        semi = ops.equi_join(
+            lds, rds, on="k", how="semi", broadcast=bc, n_shards=4
+        ).to_pandas()
+        assert sorted(semi["v"]) == [10], bc
+        anti = ops.equi_join(
+            lds, rds, on="k", how="anti", broadcast=bc, n_shards=4
+        ).to_pandas()
+        assert sorted(anti["v"]) == [20, 30, 40], bc

@@ -31,6 +31,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -79,8 +80,22 @@ def main(argv=None) -> int:
     if args.input.startswith("synth:"):
         n = int(args.input.split(":", 1)[1])
         src_dir = os.path.join(args.out, "src")
-        if not glob.glob(os.path.join(src_dir, "*.parquet")):
+        # marker records the synth row count: re-submitting with a different
+        # n against the same --out regenerates instead of silently reusing
+        # stale data of the old size (ADVICE r2)
+        marker = os.path.join(src_dir, "_synth_n.txt")
+        have = None
+        if os.path.exists(marker):
+            try:
+                have = int(open(marker).read().strip())
+            except ValueError:
+                have = None
+        if have != n or not glob.glob(os.path.join(src_dir, "*.parquet")):
+            if os.path.isdir(src_dir):
+                shutil.rmtree(src_dir)
             webpages.synth_webpages(n, hot_frac=0.02).write_parquet(src_dir)
+            with open(marker, "w") as fh:
+                fh.write(str(n))
         files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
     else:
         files = sorted(glob.glob(args.input))
