@@ -2303,6 +2303,141 @@ def _index_build_query(sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _customer_semi_bloom(sf_dir):
+    """The bloom-prefiltered semi plan (ops._filter_join broadcast="bloom"):
+    a fixed-size bitmap over the right keys drops non-matching customers
+    before the exchange; survivors verify exactly, so the result — and the
+    oracle — are identical to customer_recent_semi."""
+    import ray
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    out = ops.equi_join(
+        cust,
+        _recent_orders(sf_dir),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="semi",
+        broadcast="bloom",
+    )
+    return out.select_columns(["c_custkey"])
+
+
+# --------------------------------------------------- wave 6: bands / CMS
+VALUE_BANDS = [(i, 50.0 * i, 50.0 * i + 75.0) for i in range(10)]
+
+
+def _events_value_bands(sf_dir):
+    """Interval (band) join: every event joins EVERY overlapping value band
+    [lo, hi) — ops.interval_join broadcasts the band table once and emits
+    one vectorized mask per band; rows under two bands appear twice. Sums
+    are carried as integer cents so the distributed partial-sum order
+    cannot perturb the float hash."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    joined = ops.interval_join(ds, VALUE_BANDS, "value", id_col="band_id")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "band_id": tbl["band_id"].to_numpy(zero_copy_only=False),
+                "cents": np.round(v * 100.0).astype(np.int64),
+            }
+        )
+        g = df.groupby("band_id", as_index=False).agg(
+            n_events=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).groupby("band_id").sum(["n_events", "sum_cents"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band_id": tbl["band_id"],
+                "n_events": tbl["sum(n_events)"].cast(pa.int64()),
+                "sum_cents": tbl["sum(sum_cents)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def _events_value_bands_oracle():
+    vals = ", ".join(f"({i}, {lo!r}, {hi!r})" for i, lo, hi in VALUE_BANDS)
+    return f"""
+WITH bands(band_id, lo, hi) AS (VALUES {vals})
+SELECT band_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id
+"""
+
+
+CMS_WIDTH = 256          # small so real collisions occur at test scale
+CMS_PROBE_USERS = 20
+
+
+def _cms_user_counts(sf_dir):
+    """Count-min sketch frequency estimates for a probe set of users —
+    the mergeable-sketch path for per-key counts at 100 TB (the sketch is
+    depth x width counters however large the input; an exact per-key count
+    is a full groupby shuffle). DETERMINISTIC fixed-seed sketch, so the
+    DuckDB dual rebuilds the SAME counters with the splitmix64 SQL
+    fragment and reproduces every estimate bit-for-bit — a full-strength
+    oracle even though the estimate itself is approximate (est >= true)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cells = ops.cms_sketch(ds, "user_id", width=CMS_WIDTH)
+    probes = np.arange(CMS_PROBE_USERS, dtype=np.int64)
+    est = ops.cms_estimate(cells, probes)
+    return pa.table(
+        {"user_id": pa.array(probes), "cms_est": pa.array(est)}
+    )
+
+
+def _cms_user_counts_oracle():
+    def bucket(x_expr: str, seed: int) -> str:
+        return (
+            f"({_sql_splitmix64(_sql_xor64(x_expr, str(seed)))} % {CMS_WIDTH})"
+        )
+
+    uid = "CAST(user_id AS HUGEINT)"
+    bcols = ",\n    ".join(
+        f"{bucket(uid, s)} AS b{j}" for j, s in enumerate(ops.CMS_SEEDS)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN c{j} ON c{j}.b = p.b{j}" for j in range(len(ops.CMS_SEEDS))
+    )
+    cells = ",\n".join(
+        f"c{j} AS (SELECT b{j} AS b, count(*) AS n FROM h GROUP BY b{j})"
+        for j in range(len(ops.CMS_SEEDS))
+    )
+    least = ", ".join(f"COALESCE(c{j}.n, 0)" for j in range(len(ops.CMS_SEEDS)))
+    return f"""
+WITH h AS (SELECT user_id,
+    {bcols}
+  FROM events),
+probes AS (SELECT i AS user_id,
+    {bcols.replace("user_id", "i")}
+  FROM (SELECT unnest(range(0, {CMS_PROBE_USERS})) AS i) t),
+{cells}
+SELECT p.user_id AS user_id,
+       CAST(least({least}) AS BIGINT) AS cms_est
+FROM probes p
+{joins}
+"""
+
+
 # ------------------------------------------------------------------ contract
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
@@ -2396,6 +2531,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts_s2": _cell_counts_s2,
         "ngon_search": lambda sf: _constructed_poly_query(sf, "ngon"),
         "line_search": lambda sf: _constructed_poly_query(sf, "line"),
+        "text_scrub": textfn.scrub_query,
+        "domain_stats": textfn.domain_stats_query,
+        "customer_semi_bloom": _customer_semi_bloom,
+        "events_value_bands": _events_value_bands,
+        "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -2467,6 +2607,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rows_salted": DEDUP_ROWS_SALTED_ORACLE,
         "index_build_query": _cone_oracle(1),
         "knn_indexed": _knn_oracle(),
+        "text_scrub": textfn.SCRUB_ORACLE,
+        "domain_stats": textfn.DOMAIN_STATS_ORACLE,
+        "customer_semi_bloom": _customer_semi_anti_oracle("semi"),
+        "events_value_bands": _events_value_bands_oracle(),
+        "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -367,3 +367,117 @@ SELECT doc_id,
                  ELSE 0 END AS BIGINT) AS fingerprint
 FROM h
 """
+
+
+# ------------------------------------------------------- text scrubbing
+SCRUB_PATTERN = r"\b(spark|secret|customer)\b"
+SCRUB_REPLACEMENT = "[REDACTED]"
+
+
+def scrub_query(sf_dir: str):
+    """PII-style text scrubbing: replace every token matching SCRUB_PATTERN
+    with a redaction marker — ONE vectorized Arrow RE2 pass over the whole
+    batch (pc.replace_substring_regex), no per-row Python. DuckDB's
+    regexp_replace runs the same RE2 engine, so the oracle is byte-exact.
+    The transform class every training pipeline needs before tokenization
+    (emails/phones/keys in real corpora); pattern swap is config, the
+    distributed shape is identical."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def scrub(tbl: pa.Table) -> pa.Table:
+        clean = pc.replace_substring_regex(
+            tbl["text"], pattern=SCRUB_PATTERN, replacement=SCRUB_REPLACEMENT
+        )
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "clean_text": clean,
+                "n_chars_clean": pc.utf8_length(clean).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
+
+
+SCRUB_ORACLE = rf"""
+SELECT doc_id,
+  regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_REPLACEMENT}', 'g')
+    AS clean_text,
+  CAST(length(regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_REPLACEMENT}',
+       'g')) AS BIGINT) AS n_chars_clean
+FROM documents
+"""
+
+
+# ------------------------------------------------------- URL / domain stats
+def domain_stats_query(sf_dir: str):
+    """Per-domain corpus stats: synthesize a deterministic URL per doc
+    ('https://<source>.example.org/doc/<doc_id>'), parse the HOST back out
+    with one vectorized RE2 extraction (the real operator under web-corpus
+    bucketing: crawls arrive as raw URLs), then a partial-aggregated
+    groupby: docs + chars per domain. The oracle re-parses the same URL
+    string with DuckDB's regexp_extract, so the extraction — not just the
+    aggregate — is verified."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(tbl)),
+            tbl["source"].cast(pa.string()),
+            pa.array([".example.org/doc/"] * len(tbl)),
+            pc.cast(tbl["doc_id"], pa.string()),
+            "",
+        )
+        domain = pc.extract_regex(url, r"^https://(?P<host>[^/]+)/")
+        host = pc.struct_field(domain, "host")
+        df = pd.DataFrame(
+            {
+                "domain": host.to_numpy(zero_copy_only=False),
+                "n_chars": tbl["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("domain", as_index=False).agg(
+            n_docs=("n_chars", "size"), chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+    out = parts.groupby("domain").sum(["n_docs", "chars"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "domain": tbl["domain"],
+                "n_docs": tbl["sum(n_docs)"].cast(pa.int64()),
+                "chars": tbl["sum(chars)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+DOMAIN_STATS_ORACLE = r"""
+WITH u AS (
+  SELECT n_chars,
+    regexp_extract(
+      'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR),
+      '^https://([^/]+)/', 1) AS domain
+  FROM documents)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM u GROUP BY domain
+"""

@@ -973,6 +973,32 @@ def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
     if broadcast == "left":
         raise ValueError("semi/anti joins filter the LEFT side; use broadcast='right' or None")
 
+    if broadcast == "bloom":
+        # Bloom-prefiltered semi-join (scale path): a compact fixed-size
+        # bitmap over the right keys drops definitely-non-matching left
+        # rows BEFORE the exchange; survivors verify exactly in the
+        # standard exchange plan below, so the RESULT is exact — the bloom
+        # only bounds what shuffles. The right choice when the right key
+        # set is too large to broadcast as an array but the left side is
+        # dominated by non-matching rows (point-lookup joins at 100 TB).
+        if how != "semi":
+            raise ValueError(
+                "broadcast='bloom' prefilters matches and applies to semi "
+                "joins only (anti needs every non-match verified anyway)"
+            )
+        import ray
+
+        bref = ray.put(build_bloom_filter(right_ds, right_on))
+
+        def prefilter(tbl: pa.Table) -> pa.Table:
+            keep = bloom_may_contain(ray.get(bref), _key_ints(tbl[on]))
+            return tbl.filter(pa.array(keep))
+
+        left_ds = left_ds.map_batches(
+            prefilter, batch_format="pyarrow", batch_size=None
+        )
+        broadcast = None  # fall through to the exact exchange plan
+
     if broadcast == "right":
         import ray
 
@@ -1641,3 +1667,209 @@ def cell_counts(ds, cell_col: str, out_level: int, data_level: int = 20):
         .groupby("cell")
         .sum("partial_count")
     )
+
+
+# ------------------------------------------------------ interval (band) join
+def interval_join(
+    left_ds,
+    intervals,
+    value_col: str,
+    *,
+    id_col: str = "interval_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+):
+    """Broadcast interval join: attach every matching interval id to each
+    left row where ``lo <= value < hi``. The (small) interval table is
+    broadcast ONCE via ``ray.put``; each batch evaluates one vectorized
+    mask per interval — intervals MAY OVERLAP (a row joins every interval
+    containing it), which a searchsorted bucketing cannot express.
+
+    Scale contract: the interval side is plan-sized (bands, SLA buckets,
+    histogram edges — tens to thousands), like the query matrices of knn /
+    ann. A large interval side would need a range-partition exchange
+    instead; this operator raises above ``_MAX_BROADCAST_INTERVALS`` to
+    make that misuse loud."""
+    import ray
+
+    _MAX_BROADCAST_INTERVALS = 100_000
+    ids = np.asarray([r[0] for r in intervals], dtype=np.int64)
+    los = np.asarray([r[1] for r in intervals], dtype=np.float64)
+    his = np.asarray([r[2] for r in intervals], dtype=np.float64)
+    if len(ids) > _MAX_BROADCAST_INTERVALS:
+        raise ValueError(
+            f"{len(ids)} intervals exceed the broadcast contract "
+            f"({_MAX_BROADCAST_INTERVALS}); range-partition the interval side"
+        )
+    ref = ray.put((ids, los, his))
+
+    def join_batch(tbl: pa.Table) -> pa.Table:
+        ids_, los_, his_ = ray.get(ref)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_rows, out_iv = [], []
+        for i in range(len(ids_)):
+            m = (v >= los_[i]) & (v < his_[i])
+            if m.any():
+                rows = np.flatnonzero(m)
+                out_rows.append(rows)
+                out_iv.append(np.full(len(rows), ids_[i], dtype=np.int64))
+        if not out_rows:
+            empty = tbl.slice(0, 0)
+            return empty.append_column(id_col, pa.array([], type=pa.int64()))
+        rows = np.concatenate(out_rows)
+        taken = tbl.take(pa.array(rows))
+        return taken.append_column(
+            id_col, pa.array(np.concatenate(out_iv))
+        )
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------- count-min sketch
+CMS_SEEDS = (
+    0x243F6A8885A308D3,  # pi digits — arbitrary fixed public constants,
+    0x13198A2E03707344,  # kept below 2^62 so the SQL dual's nonnegative
+    0x0A4093822299F31D,  # HUGEINT xor/divmod arithmetic stays exact
+    0x082EFA98EC4E6C89,
+)
+
+
+def cms_sketch(ds, col: str, *, width: int = 1024, seeds=CMS_SEEDS):
+    """Count-min sketch over an integer key column: ``depth x width``
+    counters, ``bucket_j = splitmix64(key XOR seed_j) % width``. Per-batch
+    partial cells merge by plain addition through one (j, bucket) groupby-sum
+    shuffle — at most ``depth * width`` rows ever exist after the combine,
+    so the sketch is O(depth*width) at any data size. DETERMINISTIC (fixed
+    public seeds), which makes the whole sketch — not just its error bound —
+    reproducible bit-for-bit in SQL (see CMS oracle in __ray_entry__).
+
+    Returns a dense (depth, width) int64 numpy array of counters."""
+    depth = len(seeds)
+    w64 = np.uint64(width)
+    seeds64 = [np.int64(s) for s in seeds]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        keys = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        js, bs, ns = [], [], []
+        for j in range(depth):
+            b = (_splitmix64(keys ^ seeds64[j]) % w64).astype(np.int64)
+            ub, cnt = np.unique(b, return_counts=True)
+            js.append(np.full(len(ub), j, dtype=np.int64))
+            bs.append(ub)
+            ns.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js)),
+                "bucket": pa.array(np.concatenate(bs)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["j", "bucket"])
+        .sum("n")
+        .to_pandas()
+    )
+    out = np.zeros((depth, width), dtype=np.int64)
+    out[cells["j"].to_numpy(), cells["bucket"].to_numpy()] = cells[
+        "sum(n)"
+    ].to_numpy()
+    return out
+
+
+def cms_estimate(cells: np.ndarray, keys, *, seeds=CMS_SEEDS) -> np.ndarray:
+    """Point-frequency estimates for ``keys`` from a cms_sketch array:
+    min over rows of the addressed counters. Standard CM guarantee:
+    true_count <= est <= true_count + 2N/width with prob 1 - 2^-depth."""
+    depth, width = cells.shape
+    keys = np.asarray(keys, dtype=np.int64)
+    w64 = np.uint64(width)
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        b = (_splitmix64(keys ^ np.int64(seeds[j])) % w64).astype(np.int64)
+        est = np.minimum(est, cells[j, b])
+    return est
+
+
+# ----------------------------------------------------------- Bloom filter
+def _key_ints(col) -> np.ndarray:
+    """int64 identity for an exchange/bloom key column: integers pass
+    through (nulls -> 0 — they can never match, downstream masks drop
+    them), strings hash through hash64_strings. Same type contract as
+    _shard_tagger."""
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(col.type):
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return hash64_strings(col).view(np.int64)
+    raise TypeError(f"unsupported key type {col.type} for bloom/exchange")
+
+
+def build_bloom_filter(ds, col: str, *, m_bits: int = 1 << 20, seeds=CMS_SEEDS):
+    """Distributed Bloom filter over a key column: each batch sets its
+    keys' bits in a local m_bits bitmap; bitmaps OR-merge in a bounded
+    combiner pass (64 bitmaps per task) before the driver ORs the few
+    survivors — bitmap traffic is O(n_blocks/64 * m_bits/8) through the
+    object store and O(m_bits/8) at the driver.
+
+    Returns (words uint64[m_bits/64], m_bits, seeds). False-positive rate
+    with k=len(seeds) hashes: (1 - e^(-k n / m))^k — at the default 1 MiB /
+    4 hashes that is <1% up to ~10^5 distinct keys; size m_bits ~ 10 bits
+    per expected distinct key."""
+    words = m_bits // 64
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        keys = _key_ints(tbl[col])
+        bm = np.zeros(words, dtype=np.uint64)
+        for s in seeds:
+            idx = (_splitmix64(keys ^ np.int64(s)) % np.uint64(m_bits)).astype(
+                np.int64
+            )
+            np.bitwise_or.at(
+                bm, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+            )
+        return pa.table(
+            {"bits": pa.array([bm.view(np.int64)], type=pa.list_(pa.int64(), words))}
+        )
+
+    def or_rows(tbl: pa.Table) -> pa.Table:
+        mat = (
+            tbl["bits"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(tbl), words)
+            .view(np.uint64)
+        )
+        red = np.bitwise_or.reduce(mat, axis=0)
+        return pa.table(
+            {"bits": pa.array([red.view(np.int64)], type=pa.list_(pa.int64(), words))}
+        )
+
+    merged = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).map_batches(or_rows, batch_format="pyarrow", batch_size=64)
+    final = np.zeros(words, dtype=np.uint64)
+    for tbl in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+        mat = (
+            tbl["bits"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(tbl), words)
+            .view(np.uint64)
+        )
+        final |= np.bitwise_or.reduce(mat, axis=0)
+    return final, m_bits, seeds
+
+
+def bloom_may_contain(bloom, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: True if every seed's bit is set (may
+    contain — false positives possible, false negatives never)."""
+    words, m_bits, seeds = bloom
+    keep = np.ones(len(keys), dtype=bool)
+    for s in seeds:
+        idx = (_splitmix64(keys ^ np.int64(s)) % np.uint64(m_bits)).astype(np.int64)
+        keep &= ((words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)).astype(bool)
+    return keep

@@ -594,3 +594,75 @@ def test_semi_anti_null_keys_exists_semantics(ray_session):
             lds, rds, on="k", how="anti", broadcast=bc, n_shards=4
         ).to_pandas()
         assert sorted(anti["v"]) == [20, 30, 40], bc
+
+
+def test_interval_join_overlapping_bands(ray_session):
+    """interval_join: a row joins EVERY containing interval (overlap
+    semantics a searchsorted bucketing cannot express); rows outside all
+    intervals drop."""
+    import pandas as pd
+    import ray
+
+    df = pd.DataFrame({"id": [0, 1, 2, 3], "v": [5.0, 60.0, 120.0, -3.0]})
+    bands = [(0, 0.0, 75.0), (1, 50.0, 125.0), (2, 100.0, 175.0)]
+    out = ops.interval_join(
+        ray.data.from_pandas(df), bands, "v", id_col="band"
+    ).to_pandas()
+    got = sorted(map(tuple, out[["id", "band"]].to_numpy()))
+    assert got == [(0, 0), (1, 0), (1, 1), (2, 1), (2, 2)]
+
+
+def test_interval_join_broadcast_contract(ray_session):
+    import pandas as pd
+    import ray
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [1.0]}))
+    too_many = [(i, 0.0, 1.0) for i in range(100_001)]
+    with pytest.raises(ValueError, match="broadcast contract"):
+        ops.interval_join(ds, too_many, "v")
+
+
+def test_cms_sketch_guarantee(ray_session):
+    """CM guarantee: est >= true always; est <= true + 2N/width for the
+    fixed-seed sketch on a skewed key distribution; distributed cells ==
+    single-pass local cells (mergeable by addition)."""
+    import pandas as pd
+    import ray
+
+    rng = np.random.RandomState(11)
+    keys = rng.zipf(1.5, size=20000).astype(np.int64) % 1000
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"k": part}) for part in np.array_split(keys, 7)]
+    )
+    width = 128
+    cells = ops.cms_sketch(ds, "k", width=width)
+    assert cells.sum() == len(keys) * len(ops.CMS_SEEDS)
+    probes = np.arange(50, dtype=np.int64)
+    est = ops.cms_estimate(cells, probes)
+    true = np.array([(keys == p).sum() for p in probes], dtype=np.int64)
+    assert (est >= true).all()
+    assert (est <= true + 2 * len(keys) // width).all()
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    """Bloom: every inserted key probes True (int and string columns);
+    false-positive rate on absent keys stays near the analytic bound."""
+    import pandas as pd
+    import ray
+
+    n = 5000
+    ints = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas([ints.iloc[:2000], ints.iloc[2000:]])
+    bloom = ops.build_bloom_filter(ds, "k", m_bits=1 << 16)
+    assert ops.bloom_may_contain(bloom, np.arange(n, dtype=np.int64)).all()
+    absent = np.arange(10_000_000, 10_050_000, dtype=np.int64)
+    fp = ops.bloom_may_contain(bloom, absent).mean()
+    assert fp < 0.1, fp  # (1-e^(-4*5000/65536))^4 ~ 0.4%; generous margin
+
+    strs = pd.DataFrame({"s": [f"url-{i}" for i in range(1000)]})
+    sds = ray.data.from_pandas(strs)
+    sbloom = ops.build_bloom_filter(sds, "s", m_bits=1 << 16)
+    import pyarrow as pa
+
+    present = ops._key_ints(pa.array([f"url-{i}" for i in range(1000)]))
+    assert ops.bloom_may_contain(sbloom, present).all()
