@@ -2322,6 +2322,218 @@ def _customer_semi_bloom(sf_dir):
     return out.select_columns(["c_custkey"])
 
 
+PARTSUPP_LIMIT = 200
+
+
+def _partsupp_pair_count(sf_dir):
+    """COMPOSITE-key equi-join (on=[l_partkey, l_suppkey]): self-join a
+    bounded lineitem slice on the (part, supplier) pair and count matches
+    per pair — n_pairs = group_count^2, so any composite-hash routing error
+    (e.g. mixing rows of different suppliers for one part) breaks the
+    square. Exercises the chained-splitmix shard tagger end-to-end."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def bound(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.less(tbl["l_partkey"], PARTSUPP_LIMIT))
+
+    li = ds.map_batches(bound, batch_format="pyarrow", batch_size=None)
+    joined = ops.equi_join(
+        li, li, on=["l_partkey", "l_suppkey"], n_shards=16
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_partkey": tbl["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": tbl["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    out = joined.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).groupby(["l_partkey", "l_suppkey"]).sum("n")
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": tbl["l_partkey"],
+                "l_suppkey": tbl["l_suppkey"],
+                "n_pairs": tbl["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+PARTSUPP_PAIRS_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey FROM lineitem WHERE l_partkey < {PARTSUPP_LIMIT})
+SELECT a.l_partkey AS l_partkey, a.l_suppkey AS l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM li a JOIN li b
+  ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------- wave 6b: chunking / top-N / sampling
+CHUNK_W = 32      # tokens per chunk
+CHUNK_S = 24      # stride (CHUNK_W - CHUNK_S tokens of overlap)
+
+
+def _doc_chunks(sf_dir):
+    """Overlapping token-window chunking — the standard pre-embedding
+    segmentation op: windows of CHUNK_W tokens every CHUNK_S (docs at or
+    under one window get exactly one chunk; empty docs none). Emits only
+    chunk COORDINATES (doc_id, chunk_id, start_tok, n_tok) — the text slice
+    itself is a downstream gather, so nothing wide shuffles. Vectorized:
+    one Arrow split for token counts, np.repeat/arange for the windows."""
+    import ray
+
+    from spatialindex_ray.functions.text import _token_segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def chunks(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        _, offsets = _token_segments(tbl["text"])
+        n = offsets[1:] - offsets[:-1]
+        nc = np.where(
+            n == 0,
+            0,
+            np.where(
+                n <= CHUNK_W,
+                1,
+                ((n - CHUNK_W + CHUNK_S - 1) // CHUNK_S) + 1,
+            ),
+        ).astype(np.int64)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), nc)
+        cid = np.arange(len(row), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
+        )
+        start = cid * CHUNK_S
+        ntk = np.minimum(CHUNK_W, n[row] - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row]),
+                "chunk_id": pa.array(cid),
+                "start_tok": pa.array(start),
+                "n_tok": pa.array(ntk),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+
+DOC_CHUNKS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE ((n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}) + 1
+         END AS nc
+  FROM t WHERE n > 0)
+SELECT doc_id, i AS chunk_id, i * {CHUNK_S} AS start_tok,
+       LEAST({CHUNK_W}, n - i * {CHUNK_S}) AS n_tok
+FROM c, unnest(range(0, nc)) AS u(i)
+"""
+
+
+TOP_DOCS_K = 3
+
+
+def _top_docs_per_lang(sf_dir):
+    """Distributed per-group top-N (the window-rank operator): the longest
+    TOP_DOCS_K docs per language by (n_chars desc, doc_id asc) — served by
+    the same ops.topk_reduce that bounds the kNN/ANN merges: per-batch
+    k-truncation, one per-lang groupby, driver sees langs*k rows."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    top = ops.topk_reduce(
+        ds, TOP_DOCS_K, key_col="lang", id_col="doc_id",
+        score_col="n_chars", ascending=False,
+    )
+    return top
+
+
+TOP_DOCS_ORACLE = f"""
+SELECT lang, doc_id,
+  CAST(row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents QUALIFY rank <= {TOP_DOCS_K}
+"""
+
+
+SAMPLE_N = 500
+SAMPLE_SEED = 0x5A3F1E
+
+
+def _corpus_sample(sf_dir):
+    """Deterministic exactly-n corpus sample: rank docs by
+    splitmix64(doc_id XOR seed) and keep the smallest SAMPLE_N — the
+    reproducible fixed-size sample (no RNG state, stable under resharding
+    and resume) that a fractional coin cannot give. The global selection is
+    a topk_reduce with a constant key: per-batch n-truncation, driver sees
+    exactly n rows regardless of corpus size."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def key(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._splitmix64(ids ^ np.int64(SAMPLE_SEED))
+        return pa.table(
+            {
+                "all": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "doc_id": pa.array(ids),
+                "hv": pa.array((h >> np.uint64(1)).view(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    top = ops.topk_reduce(
+        keyed, SAMPLE_N, key_col="all", id_col="doc_id", score_col="hv"
+    )
+    return top.select(["doc_id", "rank"])
+
+
+CORPUS_SAMPLE_ORACLE = f"""
+WITH h AS (SELECT doc_id,
+    {{sm}} // 2 AS hv
+  FROM documents)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS rank
+FROM h QUALIFY rank <= {SAMPLE_N}
+"""
+
+
+def _corpus_sample_oracle():
+    sm = _sql_splitmix64(
+        _sql_xor64("CAST(doc_id AS HUGEINT)", str(SAMPLE_SEED))
+    )
+    return CORPUS_SAMPLE_ORACLE.format(sm=sm)
+
+
 # --------------------------------------------------- wave 6: bands / CMS
 VALUE_BANDS = [(i, 50.0 * i, 50.0 * i + 75.0) for i in range(10)]
 
@@ -2534,6 +2746,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_scrub": textfn.scrub_query,
         "domain_stats": textfn.domain_stats_query,
         "customer_semi_bloom": _customer_semi_bloom,
+        "doc_chunks": _doc_chunks,
+        "top_docs_per_lang": _top_docs_per_lang,
+        "corpus_sample": _corpus_sample,
+        "partsupp_pair_count": _partsupp_pair_count,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -2610,6 +2826,10 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub": textfn.SCRUB_ORACLE,
         "domain_stats": textfn.DOMAIN_STATS_ORACLE,
         "customer_semi_bloom": _customer_semi_anti_oracle("semi"),
+        "doc_chunks": DOC_CHUNKS_ORACLE,
+        "top_docs_per_lang": TOP_DOCS_ORACLE,
+        "corpus_sample": _corpus_sample_oracle(),
+        "partsupp_pair_count": PARTSUPP_PAIRS_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -842,8 +842,9 @@ def equi_join(
     n_salt: int = 8,
 ):
     """General distributed equi-join (``how``: inner/left/right/outer/
-    semi/anti; null-keyed rows follow pandas merge semantics — they never
-    match each other). Two plans:
+    semi/anti; ``on``/``right_on`` may be a COLUMN LIST for composite-key
+    joins on the inner/left/right/outer plans; null-keyed rows follow
+    pandas merge semantics — they never match each other). Two plans:
 
     - ``broadcast="right"`` (or "left"): the small side is materialized ONCE
       into the object store (``ray.put``) and every map task joins its batch
@@ -867,6 +868,16 @@ def equi_join(
     never need it: their right side reduces to distinct keys)."""
     right_on = right_on or on
     n_shards = min(n_shards, 512)
+    if not isinstance(on, str):
+        # COMPOSITE key join: the exchange tagger chains the column hashes
+        # (_shard_tagger) and pandas merges on the list. Semi/anti and
+        # salted plans reduce/replicate by a SINGLE key value — derive a
+        # concatenated key column first if you need them.
+        if how in ("semi", "anti") or hot_keys is not None:
+            raise NotImplementedError(
+                "composite-key semi/anti/salted joins: derive a single "
+                "concatenated key column first"
+            )
     if isinstance(hot_keys, str) and hot_keys == "auto":
         # one extra (cheap, key-column-only) pass over the left side; falls
         # back to the plain exchange when no key clears the threshold
@@ -941,21 +952,33 @@ def _shard_tagger(key_name: str, n_shards: int):
     dropped by the join masks (null keys never match)."""
     import pyarrow.compute as pc
 
-    def f(tbl: pa.Table) -> pa.Table:
-        col = tbl[key_name]
+    names = [key_name] if isinstance(key_name, str) else list(key_name)
+
+    def one_key_shard(col) -> np.ndarray:
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if pa.types.is_integer(col.type):
             if col.null_count:
                 col = pc.fill_null(col, 0)
             knum = col.to_numpy(zero_copy_only=False)
-            shard = (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
-        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            shard = (hash64_strings(col) % np.uint64(n_shards)).astype(np.int64)
+            return (knum.astype(np.int64) % np.int64(n_shards) + n_shards) % n_shards
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return (hash64_strings(col) % np.uint64(n_shards)).astype(np.int64)
+        raise TypeError(
+            f"unsupported exchange key type {col.type}: "
+            "use an integer or string key column"
+        )
+
+    def f(tbl: pa.Table) -> pa.Table:
+        if len(names) == 1:
+            shard = one_key_shard(tbl[names[0]])
         else:
-            raise TypeError(
-                f"unsupported exchange key type {col.type} for {key_name!r}: "
-                "use an integer or string key column"
-            )
+            # COMPOSITE key: chain the per-column int identities through
+            # splitmix64 so equal tuples land in equal shards on both sides
+            acc = np.zeros(len(tbl), dtype=np.int64)
+            for nm in names:
+                with np.errstate(over="ignore"):
+                    acc = _splitmix64(acc ^ _key_ints(tbl[nm])).view(np.int64)
+            shard = ((acc % np.int64(n_shards)) + n_shards) % n_shards
         return tbl.append_column("_shard", pa.array(shard))
 
     return f

@@ -666,3 +666,44 @@ def test_bloom_filter_no_false_negatives(ray_session):
 
     present = ops._key_ints(pa.array([f"url-{i}" for i in range(1000)]))
     assert ops.bloom_may_contain(sbloom, present).all()
+
+
+def test_composite_key_join_matches_pandas(ray_session):
+    """Composite-key exchange join (mixed int+string key) == pandas merge;
+    semi/salted composite plans raise the documented NotImplementedError."""
+    import pandas as pd
+    import ray
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {
+            "k1": rng.randint(0, 20, 500),
+            "k2": np.array(["a", "b", "c"])[rng.randint(0, 3, 500)],
+            "v": np.arange(500),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k1": rng.randint(0, 20, 200),
+            "k2": np.array(["a", "b", "c"])[rng.randint(0, 3, 200)],
+            "w": np.arange(200) * 10,
+        }
+    )
+    lds = ray.data.from_pandas([left.iloc[:250], left.iloc[250:]])
+    rds = ray.data.from_pandas([right.iloc[:90], right.iloc[90:]])
+    got = (
+        ops.equi_join(lds, rds, on=["k1", "k2"], n_shards=8)
+        .to_pandas()[["k1", "k2", "v", "w"]]
+        .sort_values(["k1", "k2", "v", "w"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on=["k1", "k2"], how="inner")[["k1", "k2", "v", "w"]]
+        .sort_values(["k1", "k2", "v", "w"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    with pytest.raises(NotImplementedError, match="composite-key"):
+        ops.equi_join(lds, rds, on=["k1", "k2"], how="semi")
+    with pytest.raises(NotImplementedError, match="composite-key"):
+        ops.equi_join(lds, rds, on=["k1", "k2"], hot_keys=[("x", "a")])
