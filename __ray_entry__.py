@@ -2322,6 +2322,29 @@ def _customer_semi_bloom(sf_dir):
     return out.select_columns(["c_custkey"])
 
 
+TILE_QUERY_ID = 149  # the 15-deg tile containing (83.2, 12.5): ty=6*24+tx=5
+
+
+def _tile_vector_roundtrip(sf_dir):
+    """RASTER -> VECTOR: rows of one raster tile recovered by
+    ops.tile_region_search (superset cone cover prefilter + the exact
+    tile floor predicate) — the inverse of tile_assign_grid; the oracle is
+    the same floor arithmetic, so the round trip is proven loss-free."""
+    ds = _docs_encoded(sf_dir, htm_level=None)
+    out = ops.tile_region_search(ds, TILE_QUERY_ID, TILE_DEG)
+    return out.select_columns(["doc_id"])
+
+
+def _tile_vector_oracle():
+    nx = int(math.ceil(360.0 / TILE_DEG))
+    return f"""
+WITH p AS ({_POS_SQL})
+SELECT doc_id FROM p
+WHERE CAST(floor((lat + 90.0) / {_d(TILE_DEG)}) AS BIGINT) * {nx}
+      + CAST(floor(lon / {_d(TILE_DEG)}) AS BIGINT) = {TILE_QUERY_ID}
+"""
+
+
 PARTSUPP_LIMIT = 200
 
 
@@ -2750,6 +2773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _top_docs_per_lang,
         "corpus_sample": _corpus_sample,
         "partsupp_pair_count": _partsupp_pair_count,
+        "tile_vector_roundtrip": _tile_vector_roundtrip,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -2830,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_lang": TOP_DOCS_ORACLE,
         "corpus_sample": _corpus_sample_oracle(),
         "partsupp_pair_count": PARTSUPP_PAIRS_ORACLE,
+        "tile_vector_roundtrip": _tile_vector_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

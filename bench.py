@@ -247,6 +247,9 @@ def run_suite() -> dict:
         "events_quantiles", "events_sliding_window", "events_user_hll",
         "events_orders_asof", "revenue_by_region", "top_terms",
         "customer_recent_anti", "cell_counts_hpx5", "hex_smooth",
+        # round-3 sixth-wave operators
+        "text_scrub", "doc_chunks", "events_value_bands", "cms_user_counts",
+        "customer_semi_bloom", "top_docs_per_lang",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)

@@ -214,6 +214,55 @@ def tile_assign(ds, tile_deg: float, **kw):
     )
 
 
+def tile_region_search(
+    ds,
+    tile_id: int,
+    tile_deg: float,
+    *,
+    lon_col="lon",
+    lat_col="lat",
+    cell_col="hpx20",
+    data_level: int = 20,
+    plan_level: int = 7,
+):
+    """RASTER -> VECTOR: recover the rows of one raster tile as a pruned
+    region query — the inverse of tile_assign (north_rule's raster<->vector
+    pair). A lat-lon tile is NOT a geodesic polygon (its N/S edges are
+    small circles), so the index prefilter is a guaranteed-superset CONE
+    cover around the tile center: any tile point is within
+    |dlat| + |dlon|*cos(lat) <= tile_deg of the center (meridian+parallel
+    arc bound), so radius = 1.01*tile_deg covers it at every latitude. The
+    exact filter then reapplies tile_assign_batch's floor arithmetic —
+    bit-identical semantics, so the tile_assign/tile_region pair is
+    loss-free both ways."""
+    from .spatial_index import SpatialIndex  # lazy: no import cycle
+
+    nx = int(math.ceil(360.0 / tile_deg))
+    ty, tx = divmod(int(tile_id), nx)
+    lon_c = (tx + 0.5) * tile_deg
+    lat_c = (ty + 0.5) * tile_deg - 90.0
+    plan = SpatialIndex().cone_plan(
+        lon_c, lat_c, 1.01 * tile_deg, mode=1, level=plan_level
+    )
+    shift = 2 * (data_level - plan_level)
+
+    def filt(tbl: pa.Table) -> pa.Table:
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False) >> shift
+        m = ranges_mask(cells, plan["ranges"])
+        if not m.any():
+            return tbl.slice(0, 0)
+        sub = tbl.filter(pa.array(m))
+        lon = sub[lon_col].to_numpy(zero_copy_only=False)
+        lat = sub[lat_col].to_numpy(zero_copy_only=False)
+        tid = (
+            np.floor((lat + 90.0) / tile_deg).astype(np.int64) * nx
+            + np.floor(lon / tile_deg).astype(np.int64)
+        )
+        return sub.filter(pa.array(tid == np.int64(tile_id)))
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
 def tile_counts(ds, tile_deg: float, lon_col="lon", lat_col="lat"):
     """Per-tile row counts with partial pre-aggregation: each batch shrinks
     to its distinct tiles before the (tiny) groupby-sum shuffle — the same

@@ -707,3 +707,29 @@ def test_composite_key_join_matches_pandas(ray_session):
         ops.equi_join(lds, rds, on=["k1", "k2"], how="semi")
     with pytest.raises(NotImplementedError, match="composite-key"):
         ops.equi_join(lds, rds, on=["k1", "k2"], hot_keys=[("x", "a")])
+
+
+def test_tile_region_search_roundtrip_all_tiles(ray_session):
+    """tile_region_search(T) returns exactly the rows tile_assign puts in T
+    for EVERY populated tile (incl. polar rows) — the raster<->vector pair
+    is loss-free in both directions."""
+    import ray
+
+    from spatialindex_ray.sources import webpages
+
+    pages = webpages.synth_webpages(4000, hot_frac=0.0)
+    enc = ops.encode(pages, url_col="url", htm_level=None).materialize()
+    tile_deg = 30.0
+    assigned = ops.tile_assign(enc, tile_deg).to_pandas()
+    by_tile = assigned.groupby("tile_id")["url"].apply(set)
+    assert len(by_tile) > 20
+    # spot-check a spread of tiles: first, last (polar band), densest
+    probe = {by_tile.index[0], by_tile.index[-1], by_tile.apply(len).idxmax()}
+    # plus any polar-band tiles (lat >= 60)
+    probe |= set(by_tile.index[by_tile.index >= (150 // 30 + 4) * 12][:2])
+    for t in probe:
+        got = {
+            r["url"]
+            for r in ops.tile_region_search(enc, int(t), tile_deg).take_all()
+        }
+        assert got == by_tile[t], t
