@@ -2322,6 +2322,41 @@ def _customer_semi_bloom(sf_dir):
     return out.select_columns(["c_custkey"])
 
 
+def _dedup_clusters(sf_dir):
+    """Near-dup CLUSTER formation: connected components over the exact
+    ngram-Jaccard pair graph (ops.connected_components — iterative
+    min-label propagation, one exchange join + groupby-min per round).
+    cluster_id = min doc_id of the component; singletons label themselves.
+    The oracle is a recursive-CTE transitive closure over the same
+    SQL-derived edge set, so the component structure itself is verified."""
+    import ray
+
+    edges = dedup.ngram_jaccard_query(sf_dir)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def bound(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.less(tbl["doc_id"], dedup.NGRAM_DOC_LIMIT))
+
+    nodes = docs.map_batches(bound, batch_format="pyarrow", batch_size=None)
+    return ops.connected_components(edges, nodes)
+
+
+def _dedup_clusters_oracle():
+    return f"""
+WITH RECURSIVE pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (SELECT left_id AS a, right_id AS b FROM pairs
+      UNION SELECT right_id AS a, left_id AS b FROM pairs),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < {dedup.NGRAM_DOC_LIMIT}
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+
+
 TILE_QUERY_ID = 149  # the 15-deg tile containing (83.2, 12.5): ty=6*24+tx=5
 
 
@@ -2774,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _corpus_sample,
         "partsupp_pair_count": _partsupp_pair_count,
         "tile_vector_roundtrip": _tile_vector_roundtrip,
+        "dedup_clusters": _dedup_clusters,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -2855,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": _corpus_sample_oracle(),
         "partsupp_pair_count": PARTSUPP_PAIRS_ORACLE,
         "tile_vector_roundtrip": _tile_vector_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -375,6 +375,11 @@ def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
 
     @ray.remote
     def _split(tbl: pa.Table, nsh: int):
+        # Ray groupby can emit zero-row blocks with an EMPTY schema, which
+        # map_batches passes through untagged — route them as empty slices.
+        if tbl.num_rows == 0 or key_col not in tbl.schema.names:
+            empty = tbl.slice(0, 0)
+            return tuple(empty for _ in range(nsh))
         keys = tbl[key_col].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         sorted_tbl = tbl.take(pa.array(order))
@@ -389,7 +394,10 @@ def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
     def _reduce(*parts):
         nonempty = [p for p in parts if len(p)]
         if not nonempty:
-            return shard_fn(parts[0])  # empty slice: shard_fn supplies schema
+            # empty shard: hand shard_fn the widest-schema empty slice so
+            # it can supply the output schema (schema-less blocks from an
+            # upstream groupby carry no columns at all)
+            return shard_fn(max(parts, key=lambda p: p.num_columns))
         return shard_fn(pa.concat_tables(nonempty))
 
     # Keep exchange pieces LARGE: Ray inlines objects under ~100 KB through
@@ -812,6 +820,9 @@ def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
     def _mk_split(key_col):
         @ray.remote
         def _split(tbl: pa.Table, nsh: int):
+            if tbl.num_rows == 0 or key_col not in tbl.schema.names:
+                empty = tbl.slice(0, 0)
+                return tuple(empty for _ in range(nsh))
             keys = tbl[key_col].to_numpy(zero_copy_only=False)
             order = np.argsort(keys, kind="stable")
             sorted_tbl = tbl.take(pa.array(order))
@@ -826,9 +837,14 @@ def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
 
     @ray.remote
     def _reduce(n_a, *parts):
-        a = pa.concat_tables(parts[:n_a])
-        b = pa.concat_tables(parts[n_a:])
-        return shard_fn(a, b)
+        def cat(ps):
+            # drop schema-less empties (groupby artifacts); if ALL pieces
+            # are schema-less the side is truly empty — keep one so the
+            # shard_fn sees a (zero-column) table and can handle it
+            good = [p for p in ps if p.num_columns] or list(ps[:1])
+            return pa.concat_tables(good)
+
+        return shard_fn(cat(parts[:n_a]), cat(parts[n_a:]))
 
     def _refs(ds):
         refs = ds.to_arrow_refs()
@@ -979,8 +995,8 @@ def equi_join(
         return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
-        ldf = ta.drop(["_shard"]).to_pandas()
-        rdf = tb.drop(["_shard"]).to_pandas()
+        ldf = _drop_shard(ta).to_pandas()
+        rdf = _drop_shard(tb).to_pandas()
         merged = ldf.merge(
             rdf, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
         )
@@ -989,6 +1005,12 @@ def equi_join(
     left = left_ds.map_batches(_shard_tagger(on, n_shards), batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(_shard_tagger(right_on, n_shards), batch_format="pyarrow", batch_size=None)
     return hash_exchange2(left, right, "_shard", "_shard", n_shards, join_shard)
+
+
+def _drop_shard(t: pa.Table) -> pa.Table:
+    """Strip the exchange's ``_shard`` tag; tolerate a schema-less empty
+    block (Ray groupby artifact) that never got tagged."""
+    return t.drop(["_shard"]) if "_shard" in t.schema.names else t
 
 
 def _shard_tagger(key_name: str, n_shards: int):
@@ -1100,7 +1122,9 @@ def _filter_join(left_ds, right_ds, on, right_on, how, n_shards, broadcast):
         return left_ds.map_batches(filter_batch, batch_format="pyarrow", batch_size=None)
 
     def filter_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
-        left = ta.drop(["_shard"])
+        left = _drop_shard(ta)
+        if on not in left.schema.names or right_on not in tb.schema.names:
+            return left if how == "anti" else left.slice(0, 0)
         mask = pc.is_in(
             left[on],
             value_set=pc.drop_null(tb[right_on].combine_chunks().unique()),
@@ -1237,8 +1261,8 @@ def _salted_join(left_ds, right_ds, on, right_on, how, n_shards, hot_keys, n_sal
         )
 
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
-        ldf = ta.drop(["_shard"]).to_pandas()
-        rdf = tb.drop(["_shard"]).to_pandas()
+        ldf = _drop_shard(ta).to_pandas()
+        rdf = _drop_shard(tb).to_pandas()
         merged = ldf.merge(
             rdf, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
         )
@@ -1283,8 +1307,8 @@ def asof_join(
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
         import pandas as pd
 
-        ldf = ta.drop(["_shard"]).to_pandas()
-        rdf = tb.drop(["_shard"]).to_pandas()
+        ldf = _drop_shard(ta).to_pandas()
+        rdf = _drop_shard(tb).to_pandas()
         ldf = ldf.sort_values(on, kind="mergesort")
         if tiebreak:
             # merge_asof keeps the last equal-time row (backward) / first
@@ -1945,3 +1969,95 @@ def bloom_may_contain(bloom, keys: np.ndarray) -> np.ndarray:
         idx = (_splitmix64(keys ^ np.int64(s)) % np.uint64(m_bits)).astype(np.int64)
         keep &= ((words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)).astype(bool)
     return keep
+
+
+# ------------------------------------------------- connected components
+def connected_components(
+    edges_ds,
+    nodes_ds,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    node_col: str = "doc_id",
+    n_shards: int = 32,
+    max_iters: int = 50,
+):
+    """Distributed connected components by iterative min-label propagation —
+    the operator that turns near-dup PAIRS into dedup CLUSTERS (keep one doc
+    per component). Labels start as node ids; each round relabels every node
+    to the min label among itself and its neighbors (one exchange join + one
+    groupby-min); converges in O(component diameter) rounds — near-dup
+    graphs are dense clusters with tiny diameters, and ``max_iters`` bounds
+    pathological chains. Convergence is detected by the (monotonically
+    decreasing) global label sum — one scalar per round to the driver.
+
+    Returns a Dataset (node_col, "cluster_id") where cluster_id is the
+    component's min node id. Scale shape: each round shuffles only
+    (node, label) pairs — never payloads; edges are re-joined from their
+    (object-store resident) Dataset each round."""
+    import ray
+
+    def as_labels(tbl: pa.Table) -> pa.Table:
+        n = tbl[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(n), "label": pa.array(n)})
+
+    labels = nodes_ds.map_batches(
+        as_labels, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = edges_ds.map_batches(
+        sym, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def min_by_node(tbl: pa.Table) -> pa.Table:
+        t = _drop_shard(tbl)
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lab, n))
+        n, lab = n[order], lab[order]
+        heads = np.concatenate(([True], n[1:] != n[:-1]))
+        return pa.table({"node": pa.array(n[heads]), "label": pa.array(lab[heads])})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor labels: edges(src, dst) x labels(node=src) -> (dst, label)
+        prop = equi_join(
+            edges, labels, on="src", right_on="node", n_shards=n_shards
+        )
+
+        def to_cand(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": tbl["dst"], "label": tbl["label"]}
+            )
+
+        cand = prop.map_batches(to_cand, batch_format="pyarrow", batch_size=None)
+        # min-combine via the repo's hash exchange (segment-min per shard)
+        # rather than Ray's sort-based groupby: no per-round global sort,
+        # and no schema-less empty blocks in the loop state
+        tagged = labels.union(cand).map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        labels = hash_exchange(tagged, "_shard", n_shards, min_by_node).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({node_col: tbl["node"], "cluster_id": tbl["label"]})
+
+    return labels.map_batches(project, batch_format="pyarrow", batch_size=None)

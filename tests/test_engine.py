@@ -733,3 +733,103 @@ def test_tile_region_search_roundtrip_all_tiles(ray_session):
             for r in ops.tile_region_search(enc, int(t), tile_deg).take_all()
         }
         assert got == by_tile[t], t
+
+
+def _union_find_components(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_connected_components_vs_union_find(ray_session):
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, n, size=(350, 2)) if p[0] != p[1]]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([a for a, _ in pairs], pa.int64()),
+                "right_id": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    got = (
+        ops.connected_components(edges, nodes, n_shards=8)
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    want = _union_find_components(n, pairs)
+    # union-find roots are path-compressed mins because we always attach the
+    # larger root under the smaller, so both sides label by component min
+    assert got == want
+
+
+def test_connected_components_long_chain(ray_session):
+    import pyarrow as pa
+    import ray
+
+    n = 40  # diameter 39: exercises many propagation rounds
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array(range(n - 1), pa.int64()),
+                "right_id": pa.array(range(1, n), pa.int64()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    got = ops.connected_components(edges, nodes, n_shards=4).to_pandas()
+    assert (got["cluster_id"] == 0).all()
+    assert len(got) == n
+
+
+def test_exchange_tolerates_groupby_empty_schema_blocks(ray_session):
+    """Ray's sort-based groupby emits zero-row blocks with an EMPTY schema;
+    map_batches passes them through untouched, so the exchange split/reduce
+    must route them instead of KeyError'ing on the missing _shard tag."""
+    import pyarrow as pa
+    import ray
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+                "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+            }
+        )
+    )
+    # 3 groups over (default-parallelism) many partitions -> empty blocks
+    right = left.groupby("k").max("v")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table({"k": tbl["k"], "mx": tbl["max(v)"]})
+
+    right = right.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.equi_join(left, right, on="k", n_shards=8)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    assert out.loc[out["k"] == 1, "mx"].unique().tolist() == [20]
+    assert out.loc[out["k"] == 3, "mx"].unique().tolist() == [60]
+
+    semi = ops.equi_join(left, right, on="k", how="semi", n_shards=8)
+    assert semi.count() == 6
