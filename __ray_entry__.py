@@ -2357,6 +2357,30 @@ FROM walk GROUP BY node
 """
 
 
+def _dedup_canonical(sf_dir):
+    """End-to-end near-dup REMOVAL: cluster the ngram-Jaccard pair graph
+    (connected_components) then keep one canonical doc per cluster with its
+    member count (ops.cluster_canonical — one exchange, segment counts).
+    The keep-list a 100-TB dedup would semi-join back against the corpus."""
+    clusters = _dedup_clusters(sf_dir)
+    return ops.cluster_canonical(clusters)
+
+
+def _dedup_canonical_oracle():
+    return f"""
+WITH RECURSIVE pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (SELECT left_id AS a, right_id AS b FROM pairs
+      UNION SELECT right_id AS a, left_id AS b FROM pairs),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < {dedup.NGRAM_DOC_LIMIT}
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach),
+comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY cluster_id
+"""
+
+
 TILE_QUERY_ID = 149  # the 15-deg tile containing (83.2, 12.5): ty=6*24+tx=5
 
 
@@ -2810,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partsupp_pair_count": _partsupp_pair_count,
         "tile_vector_roundtrip": _tile_vector_roundtrip,
         "dedup_clusters": _dedup_clusters,
+        "dedup_canonical": _dedup_canonical,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -2892,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         "partsupp_pair_count": PARTSUPP_PAIRS_ORACLE,
         "tile_vector_roundtrip": _tile_vector_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_canonical": _dedup_canonical_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

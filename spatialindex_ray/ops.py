@@ -2061,3 +2061,41 @@ def connected_components(
         return pa.table({node_col: tbl["node"], "cluster_id": tbl["label"]})
 
     return labels.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def cluster_canonical(
+    clusters_ds,
+    *,
+    node_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    n_shards: int = 32,
+):
+    """Reduce a (node, cluster) assignment to ONE canonical row per cluster
+    — the keep-list of a near-dup dedup (canonical = the cluster label,
+    which connected_components defines as the component's min node id).
+    One hash exchange co-locates each cluster's members; the shard fn emits
+    (canonical node, cluster_size) per cluster via a vectorized segment
+    count. Output columns: (node_col, "cluster_size")."""
+
+    def per_shard(tbl: pa.Table) -> pa.Table:
+        t = _drop_shard(tbl)
+        if t.num_rows == 0 or cluster_col not in t.schema.names:
+            return pa.table(
+                {
+                    node_col: pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        c = t[cluster_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c.sort()
+        heads = np.concatenate(([True], c[1:] != c[:-1]))
+        idx = np.flatnonzero(heads)
+        sizes = np.diff(np.append(idx, len(c)))
+        return pa.table(
+            {node_col: pa.array(c[idx]), "cluster_size": pa.array(sizes.astype(np.int64))}
+        )
+
+    tagged = clusters_ds.map_batches(
+        _shard_tagger(cluster_col, n_shards), batch_format="pyarrow", batch_size=None
+    )
+    return hash_exchange(tagged, "_shard", n_shards, per_shard)

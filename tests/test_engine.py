@@ -833,3 +833,25 @@ def test_exchange_tolerates_groupby_empty_schema_blocks(ray_session):
 
     semi = ops.equi_join(left, right, on="k", how="semi", n_shards=8)
     assert semi.count() == 6
+
+
+def test_cluster_canonical_sizes(ray_session):
+    import pyarrow as pa
+    import ray
+
+    clusters = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "cluster_id": pa.array([1, 1, 1, 4, 5, 5, 7], pa.int64()),
+            }
+        )
+    )
+    got = (
+        ops.cluster_canonical(clusters, n_shards=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 4, 5, 7]
+    assert got["cluster_size"].tolist() == [3, 1, 2, 1]
