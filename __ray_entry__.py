@@ -2381,6 +2381,106 @@ FROM comp GROUP BY cluster_id
 """
 
 
+def _orders_ranked(sf_dir):
+    """Window rank: ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY
+    o_totalprice DESC, o_orderkey) via ops.window_rank — one exchange
+    co-locates each customer's orders, every partition in a shard ranks in
+    one np.lexsort. Keeps rank <= 3 (top-3 orders per customer with their
+    in-partition position, which plain per-group top-N doesn't expose)."""
+    import ray
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": tbl["o_orderkey"],
+                "o_custkey": tbl["o_custkey"],
+                "price_cents": pa.array(np.round(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ranked = ops.window_rank(
+        orders.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        part_col="o_custkey",
+        order_col="price_cents",
+        tiebreak_col="o_orderkey",
+        descending=True,
+        rank_col="rnk",
+    )
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.less_equal(tbl["rnk"], 3))
+
+    return ranked.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+ORDERS_RANKED_ORACLE = """
+SELECT o_orderkey, o_custkey, price_cents, rnk FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY round(o_totalprice*100) DESC, o_orderkey
+         ) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_pivot(sf_dir):
+    """Wide pivot: per-user integer-cents revenue split into one column per
+    event type (ops.pivot — per-batch vectorized partial cells, only
+    users x 6 partial columns shuffle) plus a total event count."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl["user_id"],
+                "event_type": tbl["event_type"],
+                "cents": pa.array(np.round(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    return ops.pivot(
+        ds,
+        key_col="user_id",
+        pivot_col="event_type",
+        value_col="cents",
+        categories=EVENT_TYPES,
+        count_name="n_events",
+        suffix="_cents",
+    )
+
+
+def _events_pivot_oracle():
+    cases = ",\n  ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(round(value*100) AS BIGINT) "
+        f"ELSE 0 END) AS BIGINT) AS {t}_cents"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+  {cases},
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 TILE_QUERY_ID = 149  # the 15-deg tile containing (83.2, 12.5): ty=6*24+tx=5
 
 
@@ -2835,6 +2935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_vector_roundtrip": _tile_vector_roundtrip,
         "dedup_clusters": _dedup_clusters,
         "dedup_canonical": _dedup_canonical,
+        "events_pivot": _events_pivot,
+        "orders_ranked": _orders_ranked,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -2918,6 +3020,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_vector_roundtrip": _tile_vector_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_canonical": _dedup_canonical_oracle(),
+        "events_pivot": _events_pivot_oracle(),
+        "orders_ranked": ORDERS_RANKED_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -2099,3 +2099,118 @@ def cluster_canonical(
         _shard_tagger(cluster_col, n_shards), batch_format="pyarrow", batch_size=None
     )
     return hash_exchange(tagged, "_shard", n_shards, per_shard)
+
+
+# ----------------------------------------------------------------- pivot
+def pivot(
+    ds,
+    *,
+    key_col: str,
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+    count_name: str = "n_rows",
+    suffix: str = "",
+):
+    """Wide pivot by conditional aggregation: one output column per category
+    holding sum(value_col) where pivot_col == category, plus a total row
+    count per key. Scale shape: each batch collapses to at most
+    (distinct keys in batch) x (len(categories)+2) partial cells inside
+    map_batches — vectorized np.add.at over a searchsorted category index —
+    and only those partials reach the (small) groupby-sum shuffle; the raw
+    stream never shuffles. Category list must be known (pass the output of
+    a cheap distinct pass); unknown categories are ignored, matching
+    SUM(CASE WHEN pivot=c ...) semantics."""
+    import pandas as pd
+
+    cats = sorted(categories)
+    cat_arr = np.array(cats)
+    colnames = [f"{c}{suffix}" for c in cats]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        piv = np.asarray(tbl[pivot_col].to_numpy(zero_copy_only=False), dtype=object)
+        vals = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        ci = np.searchsorted(cat_arr, piv.astype(str))
+        ci = np.clip(ci, 0, len(cats) - 1)
+        known = cat_arr[ci] == piv.astype(str)
+        out = {key_col: uk}
+        mat = np.zeros((len(uk), len(cats)), dtype=np.int64)
+        np.add.at(mat, (inv[known], ci[known]), vals[known])
+        for j, name in enumerate(colnames):
+            out[name] = mat[:, j]
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        out[count_name] = cnt
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    agg_cols = colnames + [count_name]
+    g = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(
+        key_col
+    ).sum(agg_cols)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        cols = {key_col: tbl[key_col]}
+        for name in agg_cols:
+            cols[name] = tbl[f"sum({name})"].cast(pa.int64())
+        return pa.table(cols)
+
+    return g.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+# ----------------------------------------------------------- window rank
+def window_rank(
+    ds,
+    *,
+    part_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+    descending: bool = False,
+    method: str = "row_number",
+    rank_col: str = "rank",
+    n_shards: int = 64,
+):
+    """Per-partition window rank — ROW_NUMBER() / DENSE_RANK() OVER
+    (PARTITION BY part_col ORDER BY order_col [DESC][, tiebreak_col]).
+    One hash exchange co-locates each partition's rows; the shard fn ranks
+    every partition in the shard with ONE np.lexsort + segment arithmetic
+    (no per-group Python). With ``method="row_number"`` a tiebreak column
+    should be supplied for determinism. Appends ``rank_col`` (1-based)."""
+    if method not in ("row_number", "dense_rank"):
+        raise ValueError("method must be 'row_number' or 'dense_rank'")
+
+    def per_shard(tbl: pa.Table) -> pa.Table:
+        t = _drop_shard(tbl)
+        if t.num_rows == 0 or part_col not in t.schema.names:
+            return t.append_column(rank_col, pa.array([], pa.int64())) if t.num_columns else t
+        part = t[part_col].to_numpy(zero_copy_only=False)
+        order = t[order_col].to_numpy(zero_copy_only=False)
+        keys = [order]
+        if tiebreak_col is not None:
+            keys.insert(0, t[tiebreak_col].to_numpy(zero_copy_only=False))
+        if descending:
+            # negate numerics; lexsort has no per-key order flag
+            keys[-1] = -keys[-1]
+        keys.append(part)  # primary: partition
+        idx = np.lexsort(keys)
+        p_sorted = part[idx]
+        starts = np.concatenate(([True], p_sorted[1:] != p_sorted[:-1]))
+        if method == "row_number":
+            pos = np.arange(len(idx), dtype=np.int64)
+            base = np.maximum.accumulate(np.where(starts, pos, 0))
+            rank_sorted = pos - base + 1
+        else:
+            o_sorted = order[idx]
+            new_val = np.concatenate(([True], o_sorted[1:] != o_sorted[:-1])) | starts
+            steps = np.cumsum(new_val.astype(np.int64))
+            base = np.maximum.accumulate(np.where(starts, steps, 0))
+            rank_sorted = steps - base + 1
+        rank = np.empty(len(idx), dtype=np.int64)
+        rank[idx] = rank_sorted
+        return t.append_column(rank_col, pa.array(rank))
+
+    tagged = ds.map_batches(
+        _shard_tagger(part_col, n_shards), batch_format="pyarrow", batch_size=None
+    )
+    return hash_exchange(tagged, "_shard", n_shards, per_shard)

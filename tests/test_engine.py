@@ -855,3 +855,58 @@ def test_cluster_canonical_sizes(ray_session):
     )
     assert got["doc_id"].tolist() == [1, 4, 5, 7]
     assert got["cluster_size"].tolist() == [3, 1, 2, 1]
+
+
+def test_pivot_ignores_unknown_categories(ray_session):
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+                "cat": pa.array(["a", "zz", "a", "b", "b"]),
+                "v": pa.array([10, 99, 1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    got = (
+        ops.pivot(ds, key_col="k", pivot_col="cat", value_col="v",
+                  categories=["a", "b"], count_name="n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # unknown 'zz' contributes to the count but no category column,
+    # matching SUM(CASE WHEN cat='a' ...) + COUNT(*) semantics
+    assert got["a"].tolist() == [10, 1]
+    assert got["b"].tolist() == [0, 5]
+    assert got["n"].tolist() == [2, 3]
+
+
+def test_window_rank_dense_vs_row_number(ray_session):
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "p": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "v": pa.array([5, 5, 3, 1, 9, 9], pa.int64()),
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            }
+        )
+    )
+    rn = (
+        ops.window_rank(ds, part_col="p", order_col="v", tiebreak_col="id",
+                        descending=True, rank_col="r", n_shards=4)
+        .to_pandas().sort_values("id")["r"].tolist()
+    )
+    assert rn == [1, 2, 3, 4, 1, 2]
+    dr = (
+        ops.window_rank(ds, part_col="p", order_col="v", method="dense_rank",
+                        rank_col="r", n_shards=4)
+        .to_pandas().sort_values("id")["r"].tolist()
+    )
+    # ascending dense rank: ties share a rank, no gaps
+    assert dr == [3, 3, 2, 1, 1, 1]
