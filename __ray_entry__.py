@@ -2381,6 +2381,24 @@ FROM comp GROUP BY cluster_id
 """
 
 
+def _dedup_triangles(sf_dir):
+    """Triangle count of the near-dup pair graph (ops.triangle_count:
+    wedge join + closing semi-join, both bounded hash exchanges) — the
+    standard graph-density diagnostic for a dedup candidate set."""
+    return ops.triangle_count(dedup.ngram_jaccard_query(sf_dir))
+
+
+def _dedup_triangles_oracle():
+    return f"""
+WITH pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (SELECT left_id AS a, right_id AS b FROM pairs)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def _orders_ranked(sf_dir):
     """Window rank: ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY
     o_totalprice DESC, o_orderkey) via ops.window_rank — one exchange
@@ -2937,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical": _dedup_canonical,
         "events_pivot": _events_pivot,
         "orders_ranked": _orders_ranked,
+        "dedup_triangles": _dedup_triangles,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3022,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": _dedup_canonical_oracle(),
         "events_pivot": _events_pivot_oracle(),
         "orders_ranked": ORDERS_RANKED_ORACLE,
+        "dedup_triangles": _dedup_triangles_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -2214,3 +2214,55 @@ def window_rank(
         _shard_tagger(part_col, n_shards), batch_format="pyarrow", batch_size=None
     )
     return hash_exchange(tagged, "_shard", n_shards, per_shard)
+
+
+# ------------------------------------------------------- triangle count
+def triangle_count(
+    edges_ds,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    n_shards: int = 32,
+):
+    """Distributed triangle count over an undirected SIMPLE graph given as
+    canonical (a < b) edge pairs: the classic two-join plan — a wedge join
+    (e1.b = e2.a gives ordered wedges a<b<c, so each triangle is built
+    exactly once) then a closing semi-join of the wedge's (a, c) key
+    against the edge-key set. Keys pack as (a << 32) | c, so node ids must
+    fit in uint32 (guarded). Both joins are the engine's bounded hash
+    exchanges; nothing reaches the driver but the final count. Returns a
+    1-row Dataset {"n_triangles": int64}."""
+    import ray
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        a = tbl[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        if len(lo) and (lo.min() < 0 or hi.max() >= 2**32):
+            raise ValueError("triangle_count packs (a, c) into int64: node ids must be in [0, 2^32)")
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi),
+                         "k": pa.array((lo << 32) | hi)})
+
+    edges = edges_ds.map_batches(canon, batch_format="pyarrow", batch_size=None).materialize()
+
+    wedges = equi_join(
+        edges.select_columns(["a", "b"]),
+        edges.select_columns(["a", "b"]),
+        on="b", right_on="a", n_shards=n_shards,
+    )
+
+    def wedge_key(tbl: pa.Table) -> pa.Table:
+        if "a" not in tbl.schema.names:
+            return pa.table({"k": pa.array([], pa.int64())})
+        a = tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl["b_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array((a << 32) | c)})
+
+    keys = wedges.map_batches(wedge_key, batch_format="pyarrow", batch_size=None)
+    closed = equi_join(
+        keys, edges.select_columns(["k"]), on="k", how="semi", n_shards=n_shards
+    )
+    n = closed.count()
+    return ray.data.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))

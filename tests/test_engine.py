@@ -910,3 +910,22 @@ def test_window_rank_dense_vs_row_number(ray_session):
     )
     # ascending dense rank: ties share a rank, no gaps
     assert dr == [3, 3, 2, 1, 1, 1]
+
+
+def test_triangle_count_known_graph(ray_session):
+    import pyarrow as pa
+    import ray
+
+    # K4 on {0,1,2,3} (4 triangles) + pendant edge 3-7 + disjoint triangle
+    # 10-11-12 (1) => 5 triangles; edges given in mixed orientation
+    e = [(0, 1), (2, 0), (0, 3), (1, 2), (3, 1), (2, 3), (7, 3), (10, 11), (12, 11), (10, 12)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([a for a, _ in e], pa.int64()),
+                "right_id": pa.array([b for _, b in e], pa.int64()),
+            }
+        )
+    )
+    out = ops.triangle_count(edges, n_shards=4).to_pandas()
+    assert out["n_triangles"].tolist() == [5]
