@@ -2381,6 +2381,58 @@ FROM comp GROUP BY cluster_id
 """
 
 
+STRATIFIED_K = 20
+
+
+def _corpus_stratified(sf_dir):
+    """Stratified deterministic sampling: exactly K docs PER LANGUAGE
+    (fewer when the stratum is smaller), chosen by splitmix64(doc_id) rank
+    inside each stratum — reproducible under re-runs and resharding, no RNG
+    state. One ops.window_rank exchange ranks every stratum; only doc ids
+    and hashes shuffle. The per-group quota that plain Bernoulli/global
+    sampling (corpus_sample / doc_split) cannot guarantee."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def hashed(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        h = ops._splitmix64(ids.astype(np.int64))
+        return pa.table(
+            {"doc_id": tbl["doc_id"], "lang": tbl["lang"], "hv": pa.array(h)}
+        )
+
+    ranked = ops.window_rank(
+        ds.map_batches(hashed, batch_format="pyarrow", batch_size=None),
+        part_col="lang",
+        order_col="hv",
+        tiebreak_col="doc_id",
+        rank_col="rnk",
+        n_shards=16,
+    )
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        out = tbl.filter(pc.less_equal(tbl["rnk"], STRATIFIED_K))
+        return out.select(["doc_id", "lang", "rnk"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def _corpus_stratified_oracle():
+    return f"""
+SELECT doc_id, lang, rnk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_splitmix64("CAST(doc_id AS HUGEINT)")}, doc_id
+         ) AS rnk
+  FROM documents) WHERE rnk <= {STRATIFIED_K}
+"""
+
+
 def _dedup_triangles(sf_dir):
     """Triangle count of the near-dup pair graph (ops.triangle_count:
     wedge join + closing semi-join, both bounded hash exchanges) — the
@@ -2956,6 +3008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _events_pivot,
         "orders_ranked": _orders_ranked,
         "dedup_triangles": _dedup_triangles,
+        "corpus_stratified": _corpus_stratified,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3042,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _events_pivot_oracle(),
         "orders_ranked": ORDERS_RANKED_ORACLE,
         "dedup_triangles": _dedup_triangles_oracle(),
+        "corpus_stratified": _corpus_stratified_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -2181,7 +2181,7 @@ def window_rank(
         raise ValueError("method must be 'row_number' or 'dense_rank'")
 
     def per_shard(tbl: pa.Table) -> pa.Table:
-        t = _drop_shard(tbl)
+        t = _drop_shard(tbl).combine_chunks()
         if t.num_rows == 0 or part_col not in t.schema.names:
             return t.append_column(rank_col, pa.array([], pa.int64())) if t.num_columns else t
         part = t[part_col].to_numpy(zero_copy_only=False)
