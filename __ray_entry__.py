@@ -3009,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ranked": _orders_ranked,
         "dedup_triangles": _dedup_triangles,
         "corpus_stratified": _corpus_stratified,
+        "ngram_containment": dedup.ngram_containment_query,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3096,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_ranked": ORDERS_RANKED_ORACLE,
         "dedup_triangles": _dedup_triangles_oracle(),
         "corpus_stratified": _corpus_stratified_oracle(),
+        "ngram_containment": dedup.NGRAM_CONTAINMENT_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

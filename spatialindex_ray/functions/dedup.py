@@ -335,6 +335,33 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
     """Exact word-3-gram Jaccard similarity join on a bounded doc subset:
     explode (gram, doc) -> groupby(gram) partial pair counts ->
     groupby(pair) sum -> filter jaccard >= tau. Distributed at every step."""
+
+    def jaccard(it, sa, sb):
+        return it / (sa + sb - it) >= tau
+
+    return _ngram_scored_pairs(sf_dir, limit, jaccard)
+
+
+NGRAM_CONTAINMENT_TAU = 0.8
+
+
+def ngram_containment_query(sf_dir: str, tau: float = NGRAM_CONTAINMENT_TAU,
+                            limit: int = NGRAM_DOC_LIMIT):
+    """Exact word-3-gram CONTAINMENT join: inter / min(|A|, |B|) >= tau —
+    catches subset/boilerplate relationships (one doc embedded in another)
+    that symmetric Jaccard misses when sizes differ a lot. Same distributed
+    pair-count machinery as ngram_jaccard_query; only the score differs."""
+
+    def containment(it, sa, sb):
+        return it / np.minimum(sa, sb) >= tau
+
+    return _ngram_scored_pairs(sf_dir, limit, containment)
+
+
+def _ngram_scored_pairs(sf_dir: str, limit: int, score_keep):
+    """Shared exact n-gram pair pipeline: explode distinct grams, shard by
+    gram hash, per-shard vectorized self-merge pair counts, groupby-sum,
+    then filter by ``score_keep(inter, size_a, size_b) -> bool mask``."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -433,8 +460,7 @@ def ngram_jaccard_query(sf_dir: str, tau: float = NGRAM_TAU, limit: int = NGRAM_
         it = tbl["sum(inter)"].to_numpy(zero_copy_only=False).astype(np.float64)
         sa = np.array([sizes.get(i, 0) for i in li], dtype=np.float64)
         sb = np.array([sizes.get(i, 0) for i in ri], dtype=np.float64)
-        jac = it / (sa + sb - it)
-        keep = jac >= tau
+        keep = score_keep(it, sa, sb)
         return pa.table({"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep])})
 
     out = inter.map_batches(verify, batch_format="pyarrow", batch_size=None)
@@ -475,6 +501,27 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = left_id
 JOIN sizes sb ON sb.doc_id = right_id
 WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= {NGRAM_TAU}
+"""
+
+
+NGRAM_CONTAINMENT_ORACLE = f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sub),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(range(1, greatest(length(ws) - 1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id
+FROM pairs
+JOIN sizes sa ON sa.doc_id = left_id
+JOIN sizes sb ON sb.doc_id = right_id
+WHERE CAST(inter AS DOUBLE) / least(CAST(sa.sz AS DOUBLE), CAST(sb.sz AS DOUBLE)) >= {NGRAM_CONTAINMENT_TAU}
 """
 
 
