@@ -2381,6 +2381,75 @@ FROM comp GROUP BY cluster_id
 """
 
 
+def _embedding_centroids(sf_dir):
+    """Grouped VECTOR aggregate: per-label embedding centroid numerators as
+    exact integer micro-units — each float32 element upcasts to float64,
+    scales by 1e6 and rounds to int64 BEFORE summing, so the distributed
+    partial-sum order cannot perturb the result (the float-exactness rule
+    used by every cents-summing query here, applied to vectors). Per-batch
+    partials collapse to (labels x dims) cells; only those shuffle. Output
+    long format (label, dim, sum_micros, n) — centroid = sum_micros/(1e6 n)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        col = tbl["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(col.offsets)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "sum_micros": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        d = int(widths[0])
+        assert (widths == d).all(), "ragged embedding lengths"
+        mat = np.round(flat * 1e6).astype(np.int64).reshape(-1, d)
+        labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ul), d), dtype=np.int64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(ul))),
+                "sum_micros": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    g = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(
+        ["label", "dim"]
+    ).sum(["sum_micros", "n"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": tbl["label"].cast(pa.int64()),
+                "dim": tbl["dim"],
+                "sum_micros": tbl["sum(sum_micros)"].cast(pa.int64()),
+                "n": tbl["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return g.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+EMBEDDING_CENTROIDS_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY 1, 2
+"""
+
+
 STRATIFIED_K = 20
 
 
@@ -3010,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_triangles": _dedup_triangles,
         "corpus_stratified": _corpus_stratified,
         "ngram_containment": dedup.ngram_containment_query,
+        "embedding_centroids": _embedding_centroids,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3098,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_triangles": _dedup_triangles_oracle(),
         "corpus_stratified": _corpus_stratified_oracle(),
         "ngram_containment": dedup.NGRAM_CONTAINMENT_ORACLE,
+        "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
