@@ -2450,6 +2450,73 @@ GROUP BY 1, 2
 """
 
 
+def _events_unpivot(sf_dir):
+    """UNPIVOT: melt the per-user event-type cents matrix back to long
+    (user_id, event_type_col, cents) rows — ops.unpivot, a pure map stage
+    over the pivot result (no extra shuffle beyond the pivot's own)."""
+    return ops.unpivot(
+        _events_pivot(sf_dir),
+        key_cols=["user_id"],
+        value_cols=[f"{t}_cents" for t in EVENT_TYPES],
+        var_col="event_type_col",
+        value_col="cents",
+    )
+
+
+def _events_unpivot_oracle():
+    arms = "\nUNION ALL\n".join(
+        f"SELECT user_id, '{t}_cents' AS event_type_col, "
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(round(value*100) AS BIGINT) "
+        f"ELSE 0 END) AS BIGINT) AS cents FROM events GROUP BY user_id"
+        for t in EVENT_TYPES
+    )
+    return arms
+
+
+def _events_cume(sf_dir):
+    """percent_rank / cume_dist building blocks: every purchase event gets
+    its 1-based value rank AND its partition size (COUNT(*) OVER user) from
+    ONE window_rank exchange — the ratio pair is exact integers, so the
+    cumulative-distribution position derives with no float in the hash."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl["event_type"], "purchase"))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pa.array(np.round(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    return ops.window_rank(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        part_col="user_id",
+        order_col="cents",
+        tiebreak_col="event_id",
+        rank_col="rnk",
+        part_size_col="n_part",
+        n_shards=32,
+    )
+
+
+EVENTS_CUME_ORACLE = """
+SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents,
+       ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY round(value*100), event_id) AS rnk,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_part
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 STRATIFIED_K = 20
 
 
@@ -3080,6 +3147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stratified": _corpus_stratified,
         "ngram_containment": dedup.ngram_containment_query,
         "embedding_centroids": _embedding_centroids,
+        "events_unpivot": _events_unpivot,
+        "events_cume": _events_cume,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3169,6 +3238,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stratified": _corpus_stratified_oracle(),
         "ngram_containment": dedup.NGRAM_CONTAINMENT_ORACLE,
         "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
+        "events_unpivot": _events_unpivot_oracle(),
+        "events_cume": EVENTS_CUME_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -2169,6 +2169,7 @@ def window_rank(
     descending: bool = False,
     method: str = "row_number",
     rank_col: str = "rank",
+    part_size_col: str | None = None,
     n_shards: int = 64,
 ):
     """Per-partition window rank — ROW_NUMBER() / DENSE_RANK() OVER
@@ -2176,14 +2177,22 @@ def window_rank(
     One hash exchange co-locates each partition's rows; the shard fn ranks
     every partition in the shard with ONE np.lexsort + segment arithmetic
     (no per-group Python). With ``method="row_number"`` a tiebreak column
-    should be supplied for determinism. Appends ``rank_col`` (1-based)."""
+    should be supplied for determinism. Appends ``rank_col`` (1-based);
+    with ``part_size_col`` also appends the partition row count (COUNT(*)
+    OVER (PARTITION BY part_col)) so percent_rank/cume_dist derive as
+    exact integer ratios downstream."""
     if method not in ("row_number", "dense_rank"):
         raise ValueError("method must be 'row_number' or 'dense_rank'")
 
     def per_shard(tbl: pa.Table) -> pa.Table:
         t = _drop_shard(tbl).combine_chunks()
         if t.num_rows == 0 or part_col not in t.schema.names:
-            return t.append_column(rank_col, pa.array([], pa.int64())) if t.num_columns else t
+            if not t.num_columns:
+                return t
+            t = t.append_column(rank_col, pa.array([], pa.int64()))
+            if part_size_col is not None:
+                t = t.append_column(part_size_col, pa.array([], pa.int64()))
+            return t
         part = t[part_col].to_numpy(zero_copy_only=False)
         order = t[order_col].to_numpy(zero_copy_only=False)
         keys = [order]
@@ -2208,7 +2217,15 @@ def window_rank(
             rank_sorted = steps - base + 1
         rank = np.empty(len(idx), dtype=np.int64)
         rank[idx] = rank_sorted
-        return t.append_column(rank_col, pa.array(rank))
+        t = t.append_column(rank_col, pa.array(rank))
+        if part_size_col is not None:
+            starts_idx = np.flatnonzero(starts)
+            sizes = np.diff(np.append(starts_idx, len(idx)))
+            size_sorted = np.repeat(sizes, sizes)
+            size = np.empty(len(idx), dtype=np.int64)
+            size[idx] = size_sorted
+            t = t.append_column(part_size_col, pa.array(size))
+        return t
 
     tagged = ds.map_batches(
         _shard_tagger(part_col, n_shards), batch_format="pyarrow", batch_size=None
@@ -2266,3 +2283,37 @@ def triangle_count(
     )
     n = closed.count()
     return ray.data.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
+# --------------------------------------------------------------- unpivot
+def unpivot(
+    ds,
+    *,
+    key_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+):
+    """UNPIVOT / melt: turn one row with N value columns into N rows of
+    (key_cols..., variable, value). Pure per-batch map — embarrassingly
+    parallel, no shuffle; the exact inverse of ops.pivot's layout. Value
+    columns must share one Arrow type."""
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        k = len(value_cols)
+        out = {}
+        for kc in key_cols:
+            col = tbl[kc].combine_chunks()
+            out[kc] = col.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), k)))
+        out[var_col] = pa.array(np.tile(np.array(value_cols, dtype=object), n))
+        vals = [tbl[vc].combine_chunks() for vc in value_cols]
+        mat = np.empty((n, k), dtype=object if not n else None)
+        if n:
+            mat = np.column_stack([v.to_numpy(zero_copy_only=False) for v in vals])
+            out[value_col] = pa.array(mat.ravel())
+        else:
+            out[value_col] = pa.array([], vals[0].type if vals else pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)

@@ -929,3 +929,49 @@ def test_triangle_count_known_graph(ray_session):
     )
     out = ops.triangle_count(edges, n_shards=4).to_pandas()
     assert out["n_triangles"].tolist() == [5]
+
+
+def test_unpivot_inverts_pivot_layout(ray_session):
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "a": pa.array([10, 30], pa.int64()),
+                "b": pa.array([20, 0], pa.int64()),
+            }
+        )
+    )
+    got = (
+        ops.unpivot(ds, key_cols=["k"], value_cols=["a", "b"])
+        .to_pandas()
+        .sort_values(["k", "variable"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 1, 2, 2]
+    assert got["variable"].tolist() == ["a", "b", "a", "b"]
+    assert got["value"].tolist() == [10, 20, 30, 0]
+
+
+def test_window_rank_part_size(ray_session):
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "p": pa.array([1, 1, 1, 2], pa.int64()),
+                "v": pa.array([3, 1, 2, 9], pa.int64()),
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    got = (
+        ops.window_rank(ds, part_col="p", order_col="v", tiebreak_col="id",
+                        rank_col="r", part_size_col="n", n_shards=4)
+        .to_pandas().sort_values("id")
+    )
+    assert got["r"].tolist() == [3, 1, 2, 1]
+    assert got["n"].tolist() == [3, 3, 3, 1]
