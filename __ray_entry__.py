@@ -2517,6 +2517,106 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def _events_gap_fill(sf_dir):
+    """Time-series DENSIFICATION (gap fill): one row per (user, day) over
+    the corpus' full day range, zero-filled where a user had no events —
+    what rolling/trend models need and sparse groupbys don't give. Scale
+    shape: per-(user,day) counts reduce first (partials -> groupby-sum);
+    only [lo, hi] day bounds hit the driver (two scalars); the dense frame
+    expands PER USER ROW inside map_batches (users never materialize to the
+    driver) and left-joins the counts on the composite key exchange."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "day_num": us // _DAY_US,
+            }
+        )
+        g = df.groupby(["user_id", "day_num"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day_num"])
+        .sum("n")
+    )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "day_num": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"user_id": tbl["user_id"], "day_num": tbl["day_num"],
+             "n_events": tbl["sum(n)"].cast(pa.int64())}
+        )
+
+    counts = counts.map_batches(proj, batch_format="pyarrow", batch_size=None).materialize()
+    lo = counts.min("day_num")
+    hi = counts.max("day_num")
+    n_days = int(hi - lo + 1)
+
+    users = counts.groupby("user_id").count()
+
+    def dense(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "day_num": pa.array([], pa.int64())}
+            )
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = np.arange(lo, hi + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, n_days)),
+                "day_num": pa.array(np.tile(days, len(u))),
+            }
+        )
+
+    frame = users.map_batches(dense, batch_format="pyarrow", batch_size=None)
+    joined = ops.equi_join(
+        frame, counts, on=["user_id", "day_num"], how="left", n_shards=32
+    )
+
+    def fill(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.fill_null(tbl["n_events"].cast(pa.int64()), 0)
+        return pa.table(
+            {"user_id": tbl["user_id"], "day_num": tbl["day_num"], "n_events": n}
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_GAP_FILL_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_num,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM c),
+u AS (SELECT DISTINCT user_id FROM events),
+d AS (SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS day_num)
+SELECT u.user_id, CAST(d.day_num AS BIGINT) AS day_num,
+       COALESCE(c.n_events, 0) AS n_events
+FROM u CROSS JOIN d
+LEFT JOIN c ON c.user_id = u.user_id AND c.day_num = d.day_num
+"""
+
+
 STRATIFIED_K = 20
 
 
@@ -3149,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _embedding_centroids,
         "events_unpivot": _events_unpivot,
         "events_cume": _events_cume,
+        "events_gap_fill": _events_gap_fill,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3240,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
         "events_unpivot": _events_unpivot_oracle(),
         "events_cume": EVENTS_CUME_ORACLE,
+        "events_gap_fill": EVENTS_GAP_FILL_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
