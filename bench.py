@@ -250,6 +250,10 @@ def run_suite() -> dict:
         # round-3 sixth-wave operators
         "text_scrub", "doc_chunks", "events_value_bands", "cms_user_counts",
         "customer_semi_bloom", "top_docs_per_lang",
+        # round-3 seventh-wave operators (graph + analytics)
+        "dedup_clusters", "dedup_canonical", "dedup_triangles",
+        "events_pivot", "orders_ranked", "corpus_stratified",
+        "embedding_centroids", "events_cume", "events_gap_fill",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)
