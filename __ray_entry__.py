@@ -3250,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": _events_unpivot,
         "events_cume": _events_cume,
         "events_gap_fill": _events_gap_fill,
+        "term_postings": textfn.term_postings_query,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3342,6 +3343,7 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": _events_unpivot_oracle(),
         "events_cume": EVENTS_CUME_ORACLE,
         "events_gap_fill": EVENTS_GAP_FILL_ORACLE,
+        "term_postings": textfn.TERM_POSTINGS_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

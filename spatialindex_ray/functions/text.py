@@ -481,3 +481,84 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS chars
 FROM u GROUP BY domain
 """
+
+
+# --------------------------------------------------------- inverted index
+POSTINGS_CAP = 100
+
+
+def term_postings_query(sf_dir: str, cap: int = POSTINGS_CAP):
+    """Capped inverted index — the search-engine core: per term, its
+    document frequency plus the first ``cap`` posting doc_ids (ascending,
+    comma-joined). Scale shape: the (term, doc) explode dedups inside each
+    batch (a doc's text lives in exactly one row, so per-batch distinct IS
+    global distinct), shards by term hash so each term's postings co-locate
+    in one reduce, and the cap bounds per-term output — a stopword's
+    posting list costs O(cap), not O(corpus). df keeps the TRUE count
+    before truncation."""
+    import ray
+    import pandas as pd
+
+    from .. import ops as _ops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_shards = 64
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        flat, offsets = _token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(ids, np.diff(offsets))
+        df = pd.DataFrame({"term": flat.to_pandas(), "doc_id": doc_rep})
+        df = df.drop_duplicates()
+        terms = pa.array(df["term"].to_numpy(dtype=object))
+        shard = (_ops.hash64_strings(terms) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def per_shard(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = _ops._drop_shard(tbl)
+        if t.num_rows == 0 or "term" not in t.schema.names:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
+                 "postings": pa.array([], pa.string())}
+            )
+        df = t.to_pandas().sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term", sort=False)
+        df["df"] = g["doc_id"].transform("size").astype(np.int64)
+        df["rn"] = g.cumcount()
+        kept = df[df["rn"] < cap]
+        out = (
+            kept.assign(doc_s=kept["doc_id"].astype(str))
+            .groupby("term", sort=False)
+            .agg(df=("df", "first"), postings=("doc_s", ",".join))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    return _ops.hash_exchange(tagged, "_shard", n_shards, per_shard)
+
+
+TERM_POSTINGS_ORACLE = rf"""
+WITH t AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents)),
+r AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM t)
+SELECT term, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM r WHERE rn <= {POSTINGS_CAP} GROUP BY term
+"""
