@@ -2517,6 +2517,95 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+CURATION_MIN_CHARS = 200
+
+
+def _corpus_curation(sf_dir):
+    """FLAGSHIP LLM-corpus curation chain — the pipeline a training-data
+    user actually runs, end to end: (1) quality gate (n_chars >= 200);
+    (2) exact dedup keeping the min doc_id per identical text (text-hash
+    exchange, first-per-group — byte equality, not just hash equality,
+    decides within a shard); (3) near-dup removal via the corpus-wide
+    ngram-Jaccard connected components (non-canonical cluster members
+    drop — anti join); (4) deterministic splitmix64 train/val assignment.
+    Every stage streams; only (hash, id) pairs and the bounded cluster set
+    shuffle."""
+    import ray
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+
+    def quality(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.greater_equal(tbl["n_chars"], CURATION_MIN_CHARS))
+
+    q = docs.map_batches(quality, batch_format="pyarrow", batch_size=None)
+
+    n_shards = 32
+    tagged = q.map_batches(
+        ops._shard_tagger("text", n_shards), batch_format="pyarrow", batch_size=None
+    )
+
+    def first_per_text(tbl: pa.Table) -> pa.Table:
+        t = ops._drop_shard(tbl)
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())}
+            )
+        df = t.to_pandas().sort_values(["text", "doc_id"], kind="mergesort")
+        head = ~df.duplicated(["text"], keep="first")
+        out = df[head][["doc_id", "lang"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    kept = ops.hash_exchange(tagged, "_shard", n_shards, first_per_text)
+
+    clusters = _dedup_clusters(sf_dir)
+
+    def non_canonical(tbl: pa.Table) -> pa.Table:
+        if "doc_id" not in tbl.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        mask = pc.not_equal(tbl["doc_id"], tbl["cluster_id"])
+        return tbl.filter(mask).select(["doc_id"])
+
+    dupes = clusters.map_batches(non_canonical, batch_format="pyarrow", batch_size=None)
+    survivors = ops.equi_join(kept, dupes, on="doc_id", how="anti", n_shards=n_shards)
+
+    def assign_split(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        h = ops._splitmix64(ids.astype(np.int64))
+        split = np.where(h < np.uint64(_VAL_THRESHOLD), "val", "train")
+        return pa.table(
+            {"doc_id": tbl["doc_id"], "lang": tbl["lang"], "split": pa.array(split)}
+        )
+
+    return survivors.map_batches(assign_split, batch_format="pyarrow", batch_size=None)
+
+
+def _corpus_curation_oracle():
+    return f"""
+WITH RECURSIVE pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (SELECT left_id AS a, right_id AS b FROM pairs
+      UNION SELECT right_id AS a, left_id AS b FROM pairs),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < {dedup.NGRAM_DOC_LIMIT}
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach),
+comp AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+q AS (SELECT doc_id, text, lang FROM documents WHERE n_chars >= {CURATION_MIN_CHARS}),
+d AS (SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q) WHERE rn = 1)
+SELECT d.doc_id, d.lang,
+       CASE WHEN {_sql_splitmix64("CAST(d.doc_id AS HUGEINT)")} < {_VAL_THRESHOLD}
+            THEN 'val' ELSE 'train' END AS split
+FROM d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -3251,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume": _events_cume,
         "events_gap_fill": _events_gap_fill,
         "term_postings": textfn.term_postings_query,
+        "corpus_curation": _corpus_curation,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3344,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cume": EVENTS_CUME_ORACLE,
         "events_gap_fill": EVENTS_GAP_FILL_ORACLE,
         "term_postings": textfn.TERM_POSTINGS_ORACLE,
+        "corpus_curation": _corpus_curation_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
