@@ -3341,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": _events_gap_fill,
         "term_postings": textfn.term_postings_query,
         "corpus_curation": _corpus_curation,
+        "tfidf": textfn.tfidf_query,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3435,6 +3436,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": EVENTS_GAP_FILL_ORACLE,
         "term_postings": textfn.TERM_POSTINGS_ORACLE,
         "corpus_curation": _corpus_curation_oracle(),
+        "tfidf": textfn.TFIDF_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -562,3 +562,100 @@ SELECT term, CAST(max(df) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM r WHERE rn <= {POSTINGS_CAP} GROUP BY term
 """
+
+
+IDF_SCALE = 1000
+
+
+def tfidf_query(sf_dir: str):
+    """Per-(doc, term) tf-idf with INTEGER-scaled idf: score_milli =
+    tf * ((N * 1000) // df) — exact integer arithmetic end to end, so the
+    distributed result hashes identically to SQL (no transcendental ln in
+    the compared value; the 1000//df quantization is the documented
+    contract). Scale shape: tf is a PURE MAP (each doc's text lives in one
+    row, so per-batch (doc, term) counts are final — zero shuffle); df
+    reduces per-batch distinct terms to a vocabulary-sized groupby; the
+    (term, df) side broadcasts into the tf stream (one ray.put, not an
+    exchange)."""
+    import ray
+    import pandas as pd
+
+    from .. import ops as _ops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def tf_batch(tbl: pa.Table) -> pa.Table:
+        flat, offsets = _token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(ids, np.diff(offsets))
+        df = pd.DataFrame({"doc_id": doc_rep, "term": flat.to_pandas()})
+        g = df.groupby(["doc_id", "term"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "tf"}), preserve_index=False
+        )
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow", batch_size=None)
+
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        # per-batch distinct (term, doc) -> per-term partial doc counts
+        vc = tbl["term"].combine_chunks().value_counts()
+        return pa.table(
+            {"term": vc.field("values"),
+             "partial_df": vc.field("counts").cast(pa.int64())}
+        )
+
+    dfreq = (
+        tf.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("partial_df")
+    )
+
+    def df_rename(tbl: pa.Table) -> pa.Table:
+        if "term" not in tbl.schema.names:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"term": tbl["term"], "df": tbl["sum(partial_df)"].cast(pa.int64())}
+        )
+
+    dfreq = dfreq.map_batches(df_rename, batch_format="pyarrow", batch_size=None)
+
+    joined = _ops.equi_join(tf, dfreq, on="term", broadcast="right")
+
+    def score(tbl: pa.Table) -> pa.Table:
+        tfv = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = (np.int64(n_docs) * np.int64(IDF_SCALE)) // dfv
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "term": tbl["term"],
+                "tf": pa.array(tfv),
+                "df": pa.array(dfv),
+                "score_milli": pa.array(tfv * idf),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+TFIDF_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS c FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       tf.tf * (((SELECT c FROM n) * {IDF_SCALE}) // df.df) AS score_milli
+FROM tf JOIN df USING (term)
+"""
