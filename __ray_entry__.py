@@ -2607,6 +2607,105 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
 
 
 _DAY_US = 86_400_000_000
+FUNNEL_WINDOW_US = 7 * _DAY_US
+
+
+def _funnel_conversion(sf_dir):
+    """FUNNEL analysis: per user with a signup, did a purchase follow
+    within 7 days — first-signup time, conversion flag, and exact delay
+    (us, -1 when none). Scale shape: the stream pre-filters to the two
+    funnel event types BEFORE the user-hash exchange (only funnel rows
+    shuffle), each shard resolves all its users with one lexsort + segment
+    scan — no per-user Python."""
+    import ray
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    n_shards = 32
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.is_in(tbl["event_type"], value_set=pa.array(["signup", "purchase"])))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_purchase": pa.array(
+                    pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False).astype(np.int8)
+                ),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    tagged = ev.map_batches(prep, batch_format="pyarrow", batch_size=None).map_batches(
+        ops._shard_tagger("user_id", n_shards), batch_format="pyarrow", batch_size=None
+    )
+
+    def per_shard(tbl: pa.Table) -> pa.Table:
+        t = ops._drop_shard(tbl).combine_chunks()
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()), "signup_us": pa.array([], pa.int64()),
+             "converted": pa.array([], pa.int64()), "delay_us": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isp = t["is_purchase"].to_numpy(zero_copy_only=False).astype(np.int8)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, isp, u))  # per user: signups (ts-sorted) then purchases
+        u, isp, ts = u[order], isp[order], ts[order]
+        starts = np.concatenate(([True], u[1:] != u[:-1]))
+        gidx = np.cumsum(starts) - 1
+        n_g = gidx[-1] + 1
+        # first signup per user (signups sort before purchases; first row of
+        # the group is the min-ts signup IF the group has any signup)
+        first_pos = np.flatnonzero(starts)
+        has_signup = isp[first_pos] == 0
+        signup_us = ts[first_pos]
+        # min purchase ts AFTER the user's first signup
+        su_per_row = signup_us[gidx]
+        cand = (isp == 1) & (ts > su_per_row)
+        delay = np.full(n_g, -1, dtype=np.int64)
+        if cand.any():
+            cu, cts = gidx[cand], ts[cand]
+            o2 = np.lexsort((cts, cu))
+            cu, cts = cu[o2], cts[o2]
+            h = np.concatenate(([True], cu[1:] != cu[:-1]))
+            first_after = cts[h] - signup_us[cu[h]]
+            ok = first_after <= FUNNEL_WINDOW_US
+            delay[cu[h][ok]] = first_after[ok]
+        users = u[first_pos]
+        keep = has_signup
+        return pa.table(
+            {
+                "user_id": pa.array(users[keep]),
+                "signup_us": pa.array(signup_us[keep]),
+                "converted": pa.array((delay[keep] >= 0).astype(np.int64)),
+                "delay_us": pa.array(delay[keep]),
+            }
+        )
+
+    return ops.hash_exchange(tagged, "_shard", n_shards, per_shard)
+
+
+FUNNEL_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT s.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM s JOIN events e ON e.user_id = s.user_id
+   AND e.event_type = 'purchase' AND epoch_us(e.ts) > s.signup_us
+  GROUP BY s.user_id)
+SELECT s.user_id, s.signup_us,
+  CASE WHEN p.first_purchase_us IS NOT NULL
+        AND p.first_purchase_us - s.signup_us <= {FUNNEL_WINDOW_US}
+       THEN 1 ELSE 0 END AS converted,
+  CASE WHEN p.first_purchase_us IS NOT NULL
+        AND p.first_purchase_us - s.signup_us <= {FUNNEL_WINDOW_US}
+       THEN p.first_purchase_us - s.signup_us ELSE -1 END AS delay_us
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+"""
 
 
 def _events_gap_fill(sf_dir):
@@ -3342,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": textfn.term_postings_query,
         "corpus_curation": _corpus_curation,
         "tfidf": textfn.tfidf_query,
+        "funnel_conversion": _funnel_conversion,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3437,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "term_postings": textfn.TERM_POSTINGS_ORACLE,
         "corpus_curation": _corpus_curation_oracle(),
         "tfidf": textfn.TFIDF_ORACLE,
+        "funnel_conversion": FUNNEL_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
