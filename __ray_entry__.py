@@ -2688,6 +2688,117 @@ def _funnel_conversion(sf_dir):
     return ops.hash_exchange(tagged, "_shard", n_shards, per_shard)
 
 
+def _retention_cohorts(sf_dir):
+    """RETENTION COHORT matrix: users grouped by first-signup day; for each
+    (cohort_day, day offset >= 0), how many cohort members were active that
+    day. Scale shape: activity dedups to distinct (user, day) via
+    groupby-count (per-batch partials first), cohorts reduce per-user
+    min-day, the two co-keyed sets join on the user exchange, and the final
+    (cohort_day, offset) cells aggregate from partials — users never
+    materialize to the driver."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def cohort_partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.equal(tbl["event_type"], "signup"))
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "cd": pa.array([], pa.int64())})
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = us // _DAY_US
+        order = np.lexsort((days, u))
+        u, days = u[order], days[order]
+        heads = np.concatenate(([True], u[1:] != u[:-1]))
+        return pa.table({"user_id": pa.array(u[heads]), "cd": pa.array(days[heads])})
+
+    cohorts = (
+        ev.map_batches(cohort_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id").min("cd")
+    )
+
+    def cohort_proj(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "cohort_day": pa.array([], pa.int64())})
+        return pa.table({"user_id": tbl["user_id"],
+                         "cohort_day": tbl["min(cd)"].cast(pa.int64())})
+
+    cohorts = cohorts.map_batches(cohort_proj, batch_format="pyarrow", batch_size=None)
+
+    def act_partial(tbl: pa.Table) -> pa.Table:
+        us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = us // _DAY_US
+        key = np.stack([u, days])
+        uniq = np.unique(key, axis=1)
+        return pa.table({"user_id": pa.array(uniq[0]), "day_num": pa.array(uniq[1]),
+                         "one": pa.array(np.ones(uniq.shape[1], dtype=np.int64))})
+
+    activity = (
+        ev.map_batches(act_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day_num"]).sum("one")
+    )
+
+    def act_proj(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day_num": pa.array([], pa.int64())})
+        return pa.table({"user_id": tbl["user_id"], "day_num": tbl["day_num"]})
+
+    activity = activity.map_batches(act_proj, batch_format="pyarrow", batch_size=None)
+
+    joined = ops.equi_join(activity, cohorts, on="user_id", n_shards=32)
+
+    def cell_partial(tbl: pa.Table) -> pa.Table:
+        if "cohort_day" not in tbl.schema.names or tbl.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "offset_days": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        cd = tbl["cohort_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl["day_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = d - cd
+        keep = off >= 0
+        key = np.stack([cd[keep], off[keep]])
+        uniq, cnt = np.unique(key, axis=1, return_counts=True)
+        return pa.table({"cohort_day": pa.array(uniq[0]), "offset_days": pa.array(uniq[1]),
+                         "p": pa.array(cnt.astype(np.int64))})
+
+    cells = (
+        joined.map_batches(cell_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_day", "offset_days"]).sum("p")
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if "cohort_day" not in tbl.schema.names:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "offset_days": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64())})
+        return pa.table({"cohort_day": tbl["cohort_day"], "offset_days": tbl["offset_days"],
+                         "n_active": tbl["sum(p)"].cast(pa.int64())})
+
+    return cells.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+RETENTION_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, min(epoch_us(ts) // {_DAY_US}) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day_num FROM events)
+SELECT c.cohort_day, a.day_num - c.cohort_day AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN c ON a.user_id = c.user_id
+WHERE a.day_num >= c.cohort_day
+GROUP BY 1, 2
+"""
+
+
 FUNNEL_ORACLE = f"""
 WITH s AS (
   SELECT user_id, min(epoch_us(ts)) AS signup_us
@@ -2872,6 +2983,62 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.a = e1.b
 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def _dedup_degree_hist(sf_dir):
+    """Degree distribution of the near-dup pair graph: per-node degrees
+    (both endpoints count) -> histogram (degree, n_nodes). Two small
+    groupby-sums over per-batch partial counts; completes the graph-ops
+    family's density diagnostics (triangles measure closure, this measures
+    skew — celebrity nodes are the scale hazard for pair explosion)."""
+    import ray
+
+    edges = dedup.ngram_jaccard_query(sf_dir)
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "left_id" not in tbl.schema.names or tbl.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())})
+        a = tbl["left_id"].to_numpy(zero_copy_only=False)
+        b = tbl["right_id"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([a, b])
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(un.astype(np.int64)),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
+        .groupby("node").sum("d")
+    )
+
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        if "node" not in tbl.schema.names or tbl.num_rows == 0:
+            return pa.table({"degree": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        d = tbl["sum(d)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(ud), "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        deg.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("degree").sum("n")
+    )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        if "degree" not in tbl.schema.names:
+            return pa.table({"degree": pa.array([], pa.int64()), "n_nodes": pa.array([], pa.int64())})
+        return pa.table({"degree": tbl["degree"], "n_nodes": tbl["sum(n)"].cast(pa.int64())})
+
+    return hist.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
+def _dedup_degree_hist_oracle():
+    return f"""
+WITH pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+n AS (SELECT left_id AS node FROM pairs UNION ALL SELECT right_id FROM pairs),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM n GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
 """
 
 
@@ -3442,6 +3609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": _corpus_curation,
         "tfidf": textfn.tfidf_query,
         "funnel_conversion": _funnel_conversion,
+        "dedup_degree_hist": _dedup_degree_hist,
+        "retention_cohorts": _retention_cohorts,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3538,6 +3707,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _corpus_curation_oracle(),
         "tfidf": textfn.TFIDF_ORACLE,
         "funnel_conversion": FUNNEL_ORACLE,
+        "dedup_degree_hist": _dedup_degree_hist_oracle(),
+        "retention_cohorts": RETENTION_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
