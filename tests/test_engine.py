@@ -975,3 +975,68 @@ def test_window_rank_part_size(ray_session):
     )
     assert got["r"].tolist() == [3, 1, 2, 1]
     assert got["n"].tolist() == [3, 3, 3, 1]
+
+
+def test_new_ops_shard_count_invariance(ray_session):
+    """Results of exchange-based operators must not depend on n_shards
+    (the salt-independence rule): run CC, window_rank and cluster_canonical
+    at two shard counts and compare exactly."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(11)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 120, size=(90, 2)) if p[0] != p[1]]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([a for a, _ in pairs], pa.int64()),
+                "right_id": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(120), pa.int64())}))
+
+    def cc(ns):
+        return (
+            ops.connected_components(edges, nodes, n_shards=ns)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a, b = cc(4), cc(13)
+    assert a.equals(b)
+
+    clusters = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(a["doc_id"].to_numpy()),
+                "cluster_id": pa.array(a["cluster_id"].to_numpy()),
+            }
+        )
+    )
+
+    def canon(ns):
+        return (
+            ops.cluster_canonical(clusters, n_shards=ns)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    assert canon(3).equals(canon(16))
+
+    rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "p": pa.array((rng.integers(0, 9, 200)).astype(np.int64)),
+                "v": pa.array((rng.integers(0, 50, 200)).astype(np.int64)),
+                "id": pa.array(np.arange(200, dtype=np.int64)),
+            }
+        )
+    )
+
+    def wr(ns):
+        return (
+            ops.window_rank(rows, part_col="p", order_col="v", tiebreak_col="id",
+                            rank_col="r", part_size_col="n", n_shards=ns)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+
+    assert wr(2).equals(wr(11))
