@@ -2688,6 +2688,65 @@ def _funnel_conversion(sf_dir):
     return ops.hash_exchange(tagged, "_shard", n_shards, per_shard)
 
 
+def _events_compact(sf_dir):
+    """CDC / UPSERT COMPACTION: the events stream read as a change log —
+    latest row per (user_id, event_type) key wins, ties on ts broken by
+    event_id (the lakehouse MERGE/compaction semantic). One window_rank
+    exchange ranks each key's versions descending; rank 1 survives. The
+    same stage structure compacts a 100-TB changelog: only keys + version
+    stamps decide, payloads ride along in their shard."""
+    import ray
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # composite (user, type) key as one string column for the exchange
+        key = np.char.add(np.char.add(u.astype(str), "|"), et.astype(str))
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "event_id": tbl["event_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "cents": pa.array(np.round(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ranked = ops.window_rank(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        part_col="key",
+        order_col="ts_us",
+        tiebreak_col="event_id",
+        descending=True,
+        rank_col="rnk",
+        n_shards=32,
+    )
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl["rnk"], 1))
+        return t.select(["key", "event_id", "ts_us", "cents"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_COMPACT_ORACLE = """
+SELECT key, event_id, ts_us, cents FROM (
+  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+         event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts) DESC, event_id) AS rnk
+  FROM events) WHERE rnk = 1
+"""
+
+
 def _retention_cohorts(sf_dir):
     """RETENTION COHORT matrix: users grouped by first-signup day; for each
     (cohort_day, day offset >= 0), how many cohort members were active that
@@ -3611,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": _funnel_conversion,
         "dedup_degree_hist": _dedup_degree_hist,
         "retention_cohorts": _retention_cohorts,
+        "events_compact": _events_compact,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3709,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": FUNNEL_ORACLE,
         "dedup_degree_hist": _dedup_degree_hist_oracle(),
         "retention_cohorts": RETENTION_ORACLE,
+        "events_compact": EVENTS_COMPACT_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
