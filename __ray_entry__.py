@@ -3671,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_degree_hist": _dedup_degree_hist,
         "retention_cohorts": _retention_cohorts,
         "events_compact": _events_compact,
+        "term_cooccurrence": textfn.term_cooccurrence_query,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3770,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_degree_hist": _dedup_degree_hist_oracle(),
         "retention_cohorts": RETENTION_ORACLE,
         "events_compact": EVENTS_COMPACT_ORACLE,
+        "term_cooccurrence": textfn.TERM_COOC_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

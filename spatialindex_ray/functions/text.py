@@ -659,3 +659,83 @@ SELECT tf.doc_id, tf.term, tf.tf, df.df,
        tf.tf * (((SELECT c FROM n) * {IDF_SCALE}) // df.df) AS score_milli
 FROM tf JOIN df USING (term)
 """
+
+
+COOC_TOP_K = 50
+
+
+def term_cooccurrence_query(sf_dir: str, k: int = COOC_TOP_K):
+    """Term co-occurrence counts restricted to the global top-k terms — the
+    bounded-pair-space design that makes co-occurrence tractable at scale
+    (pair candidates are k^2/2 cells, never vocab^2): the top-k list is a
+    driver-sized aggregate broadcast into a per-batch distinct-intersect +
+    vectorized pair explode; per-batch partial counts groupby-sum."""
+    import ray
+    import pandas as pd
+
+    top = top_terms_query(sf_dir, k).to_pandas()["term"].tolist()
+    top_arr = np.array(sorted(top), dtype=object)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        flat, offsets = _token_segments(tbl["text"])
+        toks = flat.to_numpy(zero_copy_only=False).astype(object)
+        doc_rep = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        idx = np.searchsorted(top_arr, toks)
+        idx_c = np.clip(idx, 0, len(top_arr) - 1)
+        hit = top_arr[idx_c] == toks
+        d, t = doc_rep[hit], idx_c[hit]
+        # fully vectorized pair counting: dense doc x term incidence matrix
+        # (k <= 50, so k*k partials are tiny) -> one matmul gives per-batch
+        # co-occurrence counts for every pair at once; no per-doc Python
+        kdim = len(top_arr)
+        m = np.zeros((len(offsets) - 1, kdim), dtype=np.int64)
+        m[d, t] = 1
+        co = m.T @ m
+        ai, bi = np.triu_indices(kdim, k=1)
+        cnt = co[ai, bi]
+        nz = cnt > 0
+        if not nz.any():
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string()),
+                             "p": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "term_a": pa.array(top_arr[ai[nz]]),
+                "term_b": pa.array(top_arr[bi[nz]]),
+                "p": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["term_a", "term_b"]).sum("p")
+    )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        if "term_a" not in tbl.schema.names:
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        return pa.table({"term_a": tbl["term_a"], "term_b": tbl["term_b"],
+                         "n_docs": tbl["sum(p)"].cast(pa.int64())})
+
+    return agg.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
+TERM_COOC_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents),
+top AS (SELECT term FROM tok GROUP BY term
+        ORDER BY count(*) DESC, term LIMIT {COOC_TOP_K}),
+g AS (SELECT DISTINCT doc_id, term FROM tok
+      WHERE term IN (SELECT term FROM top))
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+"""
