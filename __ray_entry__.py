@@ -2688,6 +2688,50 @@ def _funnel_conversion(sf_dir):
     return ops.hash_exchange(tagged, "_shard", n_shards, per_shard)
 
 
+def _users_intersect(sf_dir):
+    """Set INTERSECTION across behaviors: users who clicked AND purchased
+    AND viewed — chained semi-joins over per-type distinct user sets (each
+    right side reduces to its distinct keys before anything moves; the
+    INTERSECT plan with no full-width shuffle)."""
+    import ray
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def typed_users(t):
+        def f(tbl: pa.Table) -> pa.Table:
+            x = tbl.filter(pc.equal(tbl["event_type"], t))
+            u = np.unique(x["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"user_id": pa.array(u)})
+
+        return ev.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    base = typed_users("click")
+    for t in ("purchase", "view"):
+        base = ops.equi_join(base, typed_users(t), on="user_id", how="semi",
+                             n_shards=16)
+
+    def dedup_batchwise(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.schema.names or tbl.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        u = np.unique(tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"user_id": pa.array(u)})
+
+    # semi-join shards partition by user hash, so per-shard dedup is global
+    return base.map_batches(dedup_batchwise, batch_format="pyarrow", batch_size=None)
+
+
+USERS_INTERSECT_ORACLE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+"""
+
+
 def _events_compact(sf_dir):
     """CDC / UPSERT COMPACTION: the events stream read as a change log —
     latest row per (user_id, event_type) key wins, ties on ts broken by
@@ -3672,6 +3716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _retention_cohorts,
         "events_compact": _events_compact,
         "term_cooccurrence": textfn.term_cooccurrence_query,
+        "users_intersect": _users_intersect,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3772,6 +3817,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": RETENTION_ORACLE,
         "events_compact": EVENTS_COMPACT_ORACLE,
         "term_cooccurrence": textfn.TERM_COOC_ORACLE,
+        "users_intersect": USERS_INTERSECT_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
