@@ -2008,10 +2008,17 @@ def connected_components(
     def sym(tbl: pa.Table) -> pa.Table:
         a = tbl[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = tbl[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
         return pa.table(
             {
-                "src": pa.array(np.concatenate([a, b])),
+                "src": pa.array(src),
                 "dst": pa.array(np.concatenate([b, a])),
+                # pre-tag ONCE: every round's exchange re-splits the same
+                # materialized blocks; re-tagging per round would add a
+                # full edge-set map per iteration for nothing
+                "_shard": pa.array(
+                    ((src % np.int64(n_shards)) + n_shards) % n_shards
+                ),
             }
         )
 
@@ -2032,19 +2039,33 @@ def connected_components(
         heads = np.concatenate(([True], n[1:] != n[:-1]))
         return pa.table({"node": pa.array(n[heads]), "label": pa.array(lab[heads])})
 
-    prev_sum = None
-    for _ in range(max_iters):
-        # neighbor labels: edges(src, dst) x labels(node=src) -> (dst, label)
-        prop = equi_join(
-            edges, labels, on="src", right_on="node", n_shards=n_shards
+    def prop_shard(te: pa.Table, tl: pa.Table) -> pa.Table:
+        # neighbor labels for one shard: edges(src, dst) x labels(node=src)
+        # -> (node=dst, label), projected inside the reduce (no extra map)
+        import pandas as pd
+
+        if "src" not in te.schema.names or "node" not in tl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        e = _drop_shard(te).to_pandas()
+        l = _drop_shard(tl).to_pandas()
+        m = e.merge(l, left_on="src", right_on="node")
+        return pa.table(
+            {
+                "node": pa.array(m["dst"].to_numpy()),
+                "label": pa.array(m["label"].to_numpy()),
+            }
         )
 
-        def to_cand(tbl: pa.Table) -> pa.Table:
-            return pa.table(
-                {"node": tbl["dst"], "label": tbl["label"]}
-            )
-
-        cand = prop.map_batches(to_cand, batch_format="pyarrow", batch_size=None)
+    prev_sum = None
+    for _ in range(max_iters):
+        labels_tagged = labels.map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        cand = hash_exchange2(
+            edges, labels_tagged, "_shard", "_shard", n_shards, prop_shard
+        )
         # min-combine via the repo's hash exchange (segment-min per shard)
         # rather than Ray's sort-based groupby: no per-round global sort,
         # and no schema-less empty blocks in the loop state
