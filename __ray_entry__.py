@@ -3717,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_compact": _events_compact,
         "term_cooccurrence": textfn.term_cooccurrence_query,
         "users_intersect": _users_intersect,
+        "image_tile_stats": multimodal.image_tile_stats_query,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3818,6 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         "events_compact": EVENTS_COMPACT_ORACLE,
         "term_cooccurrence": textfn.TERM_COOC_ORACLE,
         "users_intersect": USERS_INTERSECT_ORACLE,
+        "image_tile_stats": multimodal.IMAGE_TILE_STATS_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -482,3 +482,85 @@ SELECT doc_id,
        AS BIGINT) AS n_frames
 FROM documents
 """
+
+
+class TileStats:
+    """Actor-pool stage: PNG payload -> per-quadrant integer pixel sums
+    (channel 0). The spatial-analytics counterpart of DecodeImage: decode
+    once per image, then 2x2 quadrant sums via array slicing — the shape a
+    real vision-preproc pipeline uses for region pooling. Exact integers,
+    so the distributed result hashes against SQL."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_qy, out_qx, out_sum, out_n = [], [], [], [], []
+        for i, did in enumerate(ids):
+            raw = payload[i].as_py()
+            h, w, c, px = decode_png(raw)
+            g = px[:, :, 0].astype(np.int64)
+            hy, wx = h // 2, w // 2
+            for qy, (y0, y1) in enumerate(((0, hy), (hy, h))):
+                for qx, (x0, x1) in enumerate(((0, wx), (wx, w))):
+                    blk = g[y0:y1, x0:x1]
+                    out_id.append(did); out_qy.append(qy); out_qx.append(qx)
+                    out_sum.append(int(blk.sum())); out_n.append(blk.size)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_id, dtype=np.int64)),
+                "qy": pa.array(np.array(out_qy, dtype=np.int64)),
+                "qx": pa.array(np.array(out_qx, dtype=np.int64)),
+                "px_sum": pa.array(np.array(out_sum, dtype=np.int64)),
+                "n_px": pa.array(np.array(out_n, dtype=np.int64)),
+            }
+        )
+
+
+def image_tile_stats_query(sf_dir: str):
+    """Per-quadrant pixel sums over REAL gradient PNGs: payload pixel
+    (y, x) = (doc_id + x + y) % 256 in every channel — the whole image is
+    SQL-reconstructible, so region pooling over an actual codec roundtrip
+    gets an exact oracle (IMAGE_TILE_STATS_ORACLE)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            w = 8 + int(did) % 24
+            h = 8 + (int(did) % 7) * 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((int(did) + xx + yy) % 256).astype(np.uint8)
+            payloads.append(encode_png(np.repeat(g[:, :, None], 3, axis=2)))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        TileStats,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+IMAGE_TILE_STATS_ORACLE = """
+WITH q AS (SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) t(qy, qx)),
+d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
+      FROM documents),
+cells AS (
+  SELECT d.doc_id, q.qy, q.qx,
+         CASE WHEN q.qy = 0 THEN 0 ELSE h // 2 END AS y0,
+         CASE WHEN q.qy = 0 THEN h // 2 ELSE h END AS y1,
+         CASE WHEN q.qx = 0 THEN 0 ELSE w // 2 END AS x0,
+         CASE WHEN q.qx = 0 THEN w // 2 ELSE w END AS x1
+  FROM d CROSS JOIN q)
+SELECT doc_id, CAST(qy AS BIGINT) AS qy, CAST(qx AS BIGINT) AS qx,
+       CAST(sum((doc_id + xs.x + ys.y) % 256) AS BIGINT) AS px_sum,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM cells, unnest(range(y0, y1)) AS ys(y), unnest(range(x0, x1)) AS xs(x)
+GROUP BY 1, 2, 3
+"""
