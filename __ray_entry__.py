@@ -3718,6 +3718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": textfn.term_cooccurrence_query,
         "users_intersect": _users_intersect,
         "image_tile_stats": multimodal.image_tile_stats_query,
+        "audio_window_energy": multimodal.audio_window_energy_query,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3820,6 +3821,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence": textfn.TERM_COOC_ORACLE,
         "users_intersect": USERS_INTERSECT_ORACLE,
         "image_tile_stats": multimodal.IMAGE_TILE_STATS_ORACLE,
+        "audio_window_energy": multimodal.AUDIO_WINDOW_ENERGY_ORACLE,
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1

@@ -564,3 +564,78 @@ SELECT doc_id, CAST(qy AS BIGINT) AS qy, CAST(qx AS BIGINT) AS qx,
 FROM cells, unnest(range(y0, y1)) AS ys(y), unnest(range(x0, x1)) AS xs(x)
 GROUP BY 1, 2, 3
 """
+
+
+AUDIO_WIN = 400
+AUDIO_LEN = 1600
+
+
+class WindowEnergy:
+    """Actor-pool stage: WAV payload -> exact integer energy per fixed
+    window (sum of squared int16 samples). The audio analog of TileStats:
+    decode once, then a reshape + one vectorized square-sum per window —
+    the region-pooling shape of a real audio-preproc stage, in exact
+    integers so it hashes against SQL."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_w, out_e = [], [], []
+        for i, did in enumerate(ids):
+            rate, ch, x = decode_wav(payload[i].as_py())
+            k = np.round(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+            n_win = len(k) // AUDIO_WIN
+            e = (k[: n_win * AUDIO_WIN].reshape(n_win, AUDIO_WIN) ** 2).sum(axis=1)
+            out_id.append(np.full(n_win, did, dtype=np.int64))
+            out_w.append(np.arange(n_win, dtype=np.int64))
+            out_e.append(e)
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "energy": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "win": pa.array(np.concatenate(out_w)),
+                "energy": pa.array(np.concatenate(out_e)),
+            }
+        )
+
+
+def audio_window_energy_query(sf_dir: str):
+    """Windowed audio energy over REAL WAV payloads: integer sawtooth
+    samples k(n) = ((doc_id*7 + n) % 200) - 100 quantize exactly through
+    the 16-bit PCM encode -> decode roundtrip, so per-window sum(k^2) has
+    an exact SQL dual (AUDIO_WINDOW_ENERGY_ORACLE) — codec + pooling both
+    verified."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.arange(AUDIO_LEN, dtype=np.int64)
+        payloads = []
+        for did in ids:
+            k = ((int(did) * 7 + n) % 200) - 100
+            payloads.append(encode_wav(k / 32767.0, rate=8000))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        WindowEnergy,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+AUDIO_WINDOW_ENERGY_ORACLE = f"""
+SELECT doc_id, CAST(n // {AUDIO_WIN} AS BIGINT) AS win,
+       CAST(sum(((doc_id * 7 + n) % 200 - 100) * ((doc_id * 7 + n) % 200 - 100))
+            AS BIGINT) AS energy
+FROM documents, unnest(range(0, {AUDIO_LEN})) AS t(n)
+GROUP BY 1, 2
+"""
