@@ -2517,6 +2517,100 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+VORONOI_CENTERS = [
+    (15.0, 40.0), (80.0, -30.0), (150.0, 10.0),
+    (210.0, 60.0), (280.0, -55.0), (340.0, 5.0),
+]
+REGION_TAG_RADIUS = 35.0
+
+
+def _centers_xyz():
+    from spatialindex_ray import geom
+
+    cs = [geom.Cone(ra, dec, REGION_TAG_RADIUS) for ra, dec in VORONOI_CENTERS]
+    return np.array([c.center for c in cs]), np.array([c.cosrad for c in cs])
+
+
+def _region_tag(sf_dir):
+    """MULTI-REGION TAGGING (catalog cross-match shape): every doc emits one
+    row per containing region from a broadcast region SET — K vectorized
+    dot-product masks in one pass over the stream (no per-region rescan);
+    overlapping regions produce multiple tags, uncovered docs none."""
+    import ray
+
+    centers, cosr = _centers_xyz()
+    enc = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        z = tbl["z"].to_numpy(zero_copy_only=False)
+        p = np.stack([x, y, z], axis=1)
+        dots = p @ centers.T                        # (n, K)
+        hit = dots >= cosr[None, :]
+        rows, ks = np.nonzero(hit)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[rows].astype(np.int64)),
+             "region_id": pa.array(ks.astype(np.int64))}
+        )
+
+    return enc.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def _region_tag_oracle():
+    centers, cosr = _centers_xyz()
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({k} AS BIGINT) AS region_id FROM n "
+        f"WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cosr[k])}"
+        for k, c in enumerate(centers)
+    )
+    return _xyz_sql() + arms
+
+
+def _voronoi_assign(sf_dir):
+    """NEAREST-CENTER (Voronoi / one k-means step) assignment: each doc to
+    the max-dot-product center of a broadcast K-center set, ties to the
+    lowest center id (np.argmax first-max rule = the SQL CASE ascending
+    test). One matmul per batch; K counts aggregate downstream if needed."""
+    import ray
+
+    centers, _ = _centers_xyz()
+    enc = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        z = tbl["z"].to_numpy(zero_copy_only=False)
+        p = np.stack([x, y, z], axis=1)
+        dots = p @ centers.T
+        best = np.argmax(dots, axis=1)
+        return pa.table(
+            {"doc_id": pa.array(tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)),
+             "center_id": pa.array(best.astype(np.int64))}
+        )
+
+    return enc.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def _voronoi_oracle():
+    centers, _ = _centers_xyz()
+    dcols = ",\n    ".join(
+        f"x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} AS d{k}"
+        for k, c in enumerate(centers)
+    )
+    m = "greatest(" + ", ".join(f"d{k}" for k in range(len(centers))) + ")"
+    case = "\n       ".join(
+        f"WHEN d{k} = m THEN {k}" for k in range(len(centers))
+    )
+    return (
+        _xyz_sql()
+        + f""", d AS (SELECT doc_id, {dcols} FROM n),
+dm AS (SELECT *, {m} AS m FROM d)
+SELECT doc_id, CAST(CASE {case} END AS BIGINT) AS center_id FROM dm"""
+    )
+
+
 CURATION_MIN_CHARS = 200
 
 
@@ -3719,6 +3813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_intersect": _users_intersect,
         "image_tile_stats": multimodal.image_tile_stats_query,
         "audio_window_energy": multimodal.audio_window_energy_query,
+        "region_tag": _region_tag,
+        "voronoi_assign": _voronoi_assign,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
         # --- approximate sketches: rows-only checks, property/recall tests ---
@@ -3822,6 +3918,8 @@ def oracle_sql() -> dict[str, str]:
         "users_intersect": USERS_INTERSECT_ORACLE,
         "image_tile_stats": multimodal.IMAGE_TILE_STATS_ORACLE,
         "audio_window_energy": multimodal.AUDIO_WINDOW_ENERGY_ORACLE,
+        "region_tag": _region_tag_oracle(),
+        "voronoi_assign": _voronoi_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
