@@ -408,6 +408,36 @@ WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= {_d(thr
     )
 
 
+def _crossmatch_best(sf_dir):
+    """Best-match self-crossmatch: each doc's nearest OTHER doc within
+    JOIN_RADIUS_DEG. radius_join's coarse-routed pair stream reduced by a
+    distributed per-left-id top-1 (ops.crossmatch_best) — the argmin join
+    every catalog-merge pipeline needs; nothing driver-side."""
+    ds = _docs_encoded(sf_dir)
+    return ops.crossmatch_best(ds, ds, JOIN_RADIUS_DEG, k=1, n_shards=64)
+
+
+def _crossmatch_best_oracle():
+    s = math.sin(JOIN_RADIUS_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    return (
+        _xyz_sql()
+        + f""",
+pr AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS dist2
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)})
+SELECT left_id, right_id,
+       CAST(row_number() OVER (
+         PARTITION BY left_id ORDER BY dist2, right_id) AS BIGINT) AS rank
+FROM pr QUALIFY rank <= 1
+"""
+    )
+
+
 def _knn_query(sf_dir):
     ds = _docs_encoded(sf_dir)
     return ops.knn(ds, KNN_QUERIES, KNN_K)
@@ -776,6 +806,45 @@ def _cell_counts(sf_dir):
         return tbl.rename_columns(["cell", "n_rows"])
 
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _cell_rollup(sf_dir):
+    """Hierarchical tree rollup: per-cell counts at HTM level 4 aggregated
+    to their level-2 parents by id arithmetic (each parent sums its 16
+    descendants: id >> 4) — the reference's tree-consistency invariant
+    (A2/A3, tree.c node totals) expressed as one extra tiny shuffle over
+    already-aggregated (cell, n) rows; the full point set is touched once.
+    Oracle re-walks the level-4 encoder in SQL and rolls up the same way."""
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+    counts = ops.cell_counts(ds, "htm20", out_level=4)
+
+    def parent(tbl: pa.Table) -> pa.Table:
+        cell = tbl["cell"].to_numpy(zero_copy_only=False)
+        n = tbl["sum(partial_count)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell2": pa.array(cell >> np.int64(4)),
+                "partial": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    out = (
+        counts.map_batches(parent, batch_format="pyarrow", batch_size=None)
+        .groupby("cell2")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["cell2", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+CELL_ROLLUP_ORACLE = (
+    _xyz_sql()
+    + _htm_encode_sql_fragment(4)
+    + "\nSELECT id >> 4 AS cell2, count(*) AS n_rows FROM lvl4 GROUP BY 1"
+)
 
 
 def _cell_counts_s2(sf_dir):
@@ -1527,6 +1596,167 @@ sz AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2)
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(max(n) AS BIGINT) AS longest_session_events
 FROM sz GROUP BY user_id
+"""
+
+
+def _events_deltas(sf_dir):
+    """LAG window: per user ordered by (ts, event_id), each event's value
+    delta and time gap vs the previous event (rows with a predecessor
+    only). One vectorized per-shard lexsort pass (sessionize pattern);
+    only (event_id, user_id, ts, value) shuffles; float64 subtraction is
+    bit-exact vs the SQL dual."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "value": tbl["value"],
+            }
+        )
+
+    def deltas_shard(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "delta_value": pa.array([], type=pa.float64()),
+                    "gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        t = ts[order]
+        v = val[order]
+        e = eid[order]
+        has_prev = np.zeros(len(u), dtype=bool)
+        has_prev[1:] = u[1:] == u[:-1]
+        i = np.flatnonzero(has_prev)
+        return pa.table(
+            {
+                "event_id": pa.array(e[i]),
+                "user_id": pa.array(u[i]),
+                "delta_value": pa.array(v[i] - v[i - 1]),
+                "gap_us": pa.array(t[i] - t[i - 1]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, deltas_shard)
+
+
+EVENTS_DELTAS_ORACLE = """
+WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, value - pv AS delta_value, ts_us - pt AS gap_us
+FROM t WHERE pt IS NOT NULL
+"""
+
+
+def _user_type_islands(sf_dir):
+    """Gaps-and-islands (SCD/change-detection window): maximal runs of
+    consecutive same-type events per user, ordered by (ts, event_id). One
+    row per island: (user_id, island_seq, event_type, start_ts_us,
+    n_events). The run detection dictionary-encodes event_type once and
+    compares int codes — no per-row string compares; shuffle carries only
+    the four narrow columns."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def islands_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "island_seq": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "start_ts_us": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        t = ts[order]
+        c = codes[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.concatenate([starts, [len(u)]]))
+        iu = u[starts]
+        user_head = np.ones(len(starts), dtype=bool)
+        user_head[1:] = iu[1:] != iu[:-1]
+        seq_base = np.flatnonzero(user_head)
+        run_id = np.cumsum(user_head) - 1
+        island_seq = np.arange(len(starts), dtype=np.int64) - seq_base[run_id] + 1
+        return pa.table(
+            {
+                "user_id": pa.array(iu),
+                "island_seq": pa.array(island_seq),
+                "event_type": et.take(pa.array(order[starts])),
+                "start_ts_us": pa.array(t[starts]),
+                "n_events": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, islands_shard)
+
+
+USER_TYPE_ISLANDS_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT user_id, event_type, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM t)
+SELECT user_id, CAST(isl AS BIGINT) AS island_seq, min(event_type) AS event_type,
+       CAST(min(ts_us) AS BIGINT) AS start_ts_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM i GROUP BY user_id, isl
 """
 
 
@@ -3496,6 +3726,164 @@ FROM c, unnest(range(0, nc)) AS u(i)
 """
 
 
+SPAN_W = 8
+
+
+def _span_dedup(sf_dir):
+    """Span-level exact dedup + reconstruction — the C4/CCNet line-dedup
+    operator expressed over consecutive SPAN_W-token spans (the synthetic
+    corpus has no newlines): each distinct span text survives only at its
+    first corpus occurrence (min (doc_id, span_id)); every doc is then
+    re-assembled from its surviving spans. Returns (doc_id, n_spans,
+    clean_text) for docs retaining >= 1 span.
+
+    Scale shape: spans are cut vectorized (one Arrow whitespace split, a
+    LargeListArray re-slice over the flat token buffer, pc.binary_join —
+    no per-row Python). The keep-first pass hash-exchanges on a 64-bit
+    SHA-1 of the span text — the span payload crosses the wire once, which
+    is irreducible (it IS the data being deduplicated); widen the key to
+    the full 160-bit digest at >= 10^11 spans where 64-bit birthday
+    collisions appear. Reassembly exchanges only the surviving spans,
+    keyed by doc_id. Both shard reduces are vectorized lexsort + run-head
+    scans (the sessionize pattern); the driver holds nothing."""
+    import ray
+
+    from spatialindex_ray.functions.text import _token_segments
+    from spatialindex_ray.kernels import hashing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    W = SPAN_W
+    n_shards = 32
+
+    def cut_spans(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        flat, offsets = _token_segments(tbl["text"])
+        n = offsets[1:] - offsets[:-1]
+        nspan = (n + W - 1) // W  # 0 spans for empty docs
+        row = np.repeat(np.arange(len(n), dtype=np.int64), nspan)
+        if len(row) == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "span_id": pa.array([], type=pa.int64()),
+                    "h": pa.array([], type=pa.int64()),
+                    "span_text": pa.array([], type=pa.string()),
+                }
+            )
+        starts_cum = np.concatenate([[0], np.cumsum(nspan)[:-1]])
+        sid = np.arange(len(row), dtype=np.int64) - np.repeat(starts_cum, nspan)
+        # span j of doc i covers flat tokens [off_i + j*W, off_i + min((j+1)W, n_i))
+        # — consecutive spans tile the flat buffer, so one offsets vector
+        # re-slices it as a list array with zero copying of token bytes.
+        ends = offsets[:-1][row] + np.minimum((sid + 1) * W, n[row])
+        bounds = np.concatenate([[0], ends]).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(pa.array(bounds), flat)
+        span_text = pc.binary_join(lst, " ")
+        h = (hashing.sha1_pairs_of_column(span_text)[:, 0] >> np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(h % np.int64(n_shards)),
+                "doc_id": pa.array(ids[row]),
+                "span_id": pa.array(sid),
+                "h": pa.array(h),
+                "span_text": span_text,
+            }
+        )
+
+    spans = ds.map_batches(cut_spans, batch_format="pyarrow", batch_size=None)
+
+    def first_per_span(tbl: pa.Table) -> pa.Table:
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "span_id": pa.array([], type=pa.int64()),
+                    "span_text": pa.array([], type=pa.string()),
+                }
+            )
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        s = tbl["span_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d, h))
+        hh = h[order]
+        head = np.ones(len(hh), dtype=bool)
+        head[1:] = hh[1:] != hh[:-1]
+        keep = order[head]
+        kd = d[keep]
+        return pa.table(
+            {
+                "shard": pa.array(kd % np.int64(n_shards)),
+                "doc_id": pa.array(kd),
+                "span_id": pa.array(s[keep]),
+                "span_text": tbl["span_text"].take(pa.array(keep)),
+            }
+        )
+
+    kept = ops.hash_exchange(spans, "shard", n_shards, first_per_span)
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_spans": pa.array([], type=pa.int64()),
+                    "clean_text": pa.array([], type=pa.string()),
+                }
+            )
+        s = tbl["span_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        dd = d[order]
+        head = np.concatenate([[True], dd[1:] != dd[:-1]])
+        run_starts = np.flatnonzero(head)
+        bounds = np.concatenate([run_starts, [len(dd)]]).astype(np.int64)
+        texts = tbl["span_text"].take(pa.array(order))
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pa.LargeListArray.from_arrays(pa.array(bounds), texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(dd[run_starts]),
+                "n_spans": pa.array(bounds[1:] - bounds[:-1]),
+                "clean_text": pc.binary_join(lst, " "),
+            }
+        )
+
+    return ops.hash_exchange(kept, "shard", n_shards, reassemble)
+
+
+SPAN_DEDUP_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+dn AS (
+  SELECT doc_id, arr, CAST(length(arr) AS BIGINT) AS n FROM d),
+s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_id,
+         array_to_string(
+           list_slice(arr, i * {SPAN_W} + 1, LEAST(n, (i + 1) * {SPAN_W})),
+           ' ') AS span_text
+  FROM dn, unnest(range(0, (n + {SPAN_W} - 1) // {SPAN_W})) AS u(i)),
+k AS (
+  SELECT doc_id, span_id, span_text,
+         row_number() OVER (
+           PARTITION BY span_text ORDER BY doc_id, span_id) AS rn
+  FROM s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       string_agg(span_text, ' ' ORDER BY span_id) AS clean_text
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 TOP_DOCS_K = 3
 
 
@@ -3817,6 +4205,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_assign": _voronoi_assign,
         "events_value_bands": _events_value_bands,
         "cms_user_counts": _cms_user_counts,
+        "crossmatch_best": _crossmatch_best,
+        "span_dedup": _span_dedup,
+        "events_deltas": _events_deltas,
+        "user_type_islands": _user_type_islands,
+        "cell_rollup": _cell_rollup,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -3922,6 +4315,11 @@ def oracle_sql() -> dict[str, str]:
         "voronoi_assign": _voronoi_oracle(),
         "events_value_bands": _events_value_bands_oracle(),
         "cms_user_counts": _cms_user_counts_oracle(),
+        "crossmatch_best": _crossmatch_best_oracle(),
+        "span_dedup": SPAN_DEDUP_ORACLE,
+        "events_deltas": EVENTS_DELTAS_ORACLE,
+        "user_type_islands": USER_TYPE_ISLANDS_ORACLE,
+        "cell_rollup": CELL_ROLLUP_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

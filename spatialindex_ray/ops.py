@@ -459,8 +459,13 @@ def radius_join(
     hpx_col="hpx20",
     hpx_level=20,
     exchange: str = "flat",
+    with_dist2: bool = False,
 ):
     """Distributed point-point radius join (engine addition per north_rule).
+
+    ``with_dist2=True`` appends the squared secant distance column
+    ``dist2`` to each emitted pair (bit-exact float64 ``dx*dx+dy*dy+dz*dz``
+    — reproducible in SQL for argmin duals); used by ``crossmatch_best``.
 
     Correctness plan: candidates are (probe, build) rows where the build
     point's own HEALPix cell at ``order`` lies in the probe's 3x3 neighbor
@@ -539,12 +544,13 @@ def radius_join(
     builds = right_ds.map_batches(key_right, batch_format="pyarrow", batch_size=None)
     both = probes.union(builds)
 
-    empty = pa.table(
-        {
-            left_id: pa.array([], type=pa.int64()),
-            right_id: pa.array([], type=pa.int64()),
-        }
-    )
+    empty_cols = {
+        left_id: pa.array([], type=pa.int64()),
+        right_id: pa.array([], type=pa.int64()),
+    }
+    if with_dist2:
+        empty_cols["dist2"] = pa.array([], type=pa.float64())
+    empty = pa.table(empty_cols)
 
     def join_shard(tbl: pa.Table) -> pa.Table:
         side = tbl["side"].to_numpy(zero_copy_only=False)
@@ -585,13 +591,15 @@ def radius_join(
         dx = xs[cand_p] - xs[cand_b]
         dy = ys[cand_p] - ys[cand_b]
         dz = zs[cand_p] - zs[cand_b]
-        m = dx * dx + dy * dy + dz * dz <= thresh
-        return pa.table(
-            {
-                left_id: pa.array(ids[cand_p[m]]),
-                right_id: pa.array(ids[cand_b[m]]),
-            }
-        )
+        d2 = dx * dx + dy * dy + dz * dz
+        m = d2 <= thresh
+        cols = {
+            left_id: pa.array(ids[cand_p[m]]),
+            right_id: pa.array(ids[cand_b[m]]),
+        }
+        if with_dist2:
+            cols["dist2"] = pa.array(d2[m])
+        return pa.table(cols)
 
     # ``exchange="two_level"`` routes the same shard stream through the
     # M*G + S piece topology (hash_exchange_two_level) — identical pairs by
@@ -600,6 +608,49 @@ def radius_join(
     if exchange == "two_level":
         return hash_exchange_two_level(both, "shard", n_shards, join_shard)
     return hash_exchange(both, "shard", n_shards, join_shard)
+
+
+def crossmatch_best(
+    left_ds,
+    right_ds,
+    radius_deg: float,
+    *,
+    k: int = 1,
+    exclude_self: bool = True,
+    id_col="doc_id",
+    **join_kwargs,
+):
+    """Best-match crossmatch: for every left point, the k nearest right
+    points within ``radius_deg`` (the astronomy-catalog crossmatch the
+    reference's cone machinery serves one query at a time; here it runs as
+    one distributed pass — reference cone predicate: htm_s2cone
+    /root/reference/src/htmCone.c semantics applied per-pair).
+
+    Shape at scale: ``radius_join(with_dist2=True)`` streams candidate
+    pairs (coarse-cell-routed, ~1.3x probe duplication, payloads never
+    shuffle), then ``topk_reduce(as_dataset=True)`` merges per-left-id
+    partials distributedly — per-batch k-truncating combiner, one groupby
+    on left_id — so no stage ever materializes the pair stream and the
+    driver holds nothing. Output Dataset (left_id, right_id, rank), rank
+    1..k by (dist2, right_id) ascending; fully deterministic (float64
+    dist2 is bit-exact reproducible in SQL).
+
+    ``exclude_self`` drops the trivial left_id == right_id pair for
+    self-crossmatch (same table on both sides)."""
+    pairs = radius_join(
+        left_ds, right_ds, radius_deg, id_col=id_col, with_dist2=True,
+        **join_kwargs,
+    )
+    if exclude_self:
+
+        def drop_self(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.invert(pc.equal(tbl["left_id"], tbl["right_id"])))
+
+        pairs = pairs.map_batches(drop_self, batch_format="pyarrow", batch_size=None)
+    return topk_reduce(
+        pairs, k, key_col="left_id", id_col="right_id", score_col="dist2",
+        ascending=True, as_dataset=True,
+    )
 
 
 # ------------------------------------------------------------------- kNN
@@ -638,6 +689,7 @@ def topk_reduce(
     score_col: str,
     ascending: bool = True,
     fan_in_rows: int = 65536,
+    as_dataset: bool = False,
 ):
     """Distributed merge of per-block top-k partials (the scale-safe
     replacement for ``take_all()`` + a driver pandas sort, VERDICT r2 item
@@ -646,7 +698,12 @@ def topk_reduce(
     the final top-k and dense 1..k ranks — the driver materializes only the
     final Q*k rows, independent of input block count.
 
-    Returns a pyarrow Table (key_col, id_col, rank) with rank int64."""
+    Returns a pyarrow Table (key_col, id_col, rank) with rank int64.
+
+    ``as_dataset=True`` returns the grouped result as a streaming Dataset
+    instead of a driver-materialized table — REQUIRED when the key count is
+    data-sized (e.g. ``crossmatch_best``, one key per left row) rather than
+    query-sized (kNN, a handful of probe points)."""
 
     def combine(tbl: pa.Table) -> pa.Table:
         return _topk_table(tbl, k, key_col, id_col, score_col, ascending)
@@ -670,6 +727,8 @@ def topk_reduce(
         )
 
     out = combined.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    if as_dataset:
+        return out
     tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
         return pa.table(

@@ -7,7 +7,8 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 NAMES = ["radius_join", "knn", "minhash_near_dup", "events_window_agg",
-         "sessionize_events", "orders_customer_join"]
+         "sessionize_events", "orders_customer_join", "crossmatch_best",
+         "span_dedup"]
 
 
 def _run(name):

@@ -1040,3 +1040,44 @@ def test_new_ops_shard_count_invariance(ray_session):
         )
 
     assert wr(2).equals(wr(11))
+
+
+def test_crossmatch_best_brute_and_invariance(ray_session):
+    """crossmatch_best == brute-force per-left (dist2, right_id) argmin
+    within the radius (self pair excluded), rank 1..k; and the result is
+    n_shards-invariant (salt-independence rule for exchanges)."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    ids = np.arange(400, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=20)
+    radius = 3.0
+
+    def run(ns):
+        return (
+            ops.crossmatch_best(enc, enc, radius, k=2, n_shards=ns)
+            .to_pandas()
+            .sort_values(["left_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    got = run(8)
+    assert got.equals(run(23))
+
+    lon, lat = ops.positions_from_id(ids)
+    xyz = ops.xyz_from_lonlat(lon, lat)
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(axis=2)
+    s = math.sin(radius * 0.5 * ops.RAD)
+    thresh = 4.0 * s * s
+    exp_rows = []
+    for i in range(len(ids)):
+        cand = [
+            (d2[i, j], j) for j in range(len(ids)) if j != i and d2[i, j] <= thresh
+        ]
+        for rank, (_, j) in enumerate(sorted(cand)[:2], start=1):
+            exp_rows.append((int(ids[i]), int(ids[j]), rank))
+    got_rows = list(map(tuple, got[["left_id", "right_id", "rank"]].to_numpy()))
+    assert sorted(got_rows) == sorted(exp_rows)
