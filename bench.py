@@ -254,6 +254,9 @@ def run_suite() -> dict:
         "dedup_clusters", "dedup_canonical", "dedup_triangles",
         "events_pivot", "orders_ranked", "corpus_stratified",
         "embedding_centroids", "events_cume", "events_gap_fill",
+        # round-3 eighth-wave operators
+        "crossmatch_best", "span_dedup", "events_deltas",
+        "user_type_islands", "cell_rollup",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)
