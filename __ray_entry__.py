@@ -1139,6 +1139,141 @@ GROUP BY r_name
 """
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1997-07-01"
+Q3_K = 10
+
+
+def _q3_shipping(sf_dir):
+    """TPC-H Q3 shape: segment-filtered customers -> orders placed before
+    the cutoff -> line items shipped after it; per-order revenue in exact
+    integer units (price cents x (10000 - discount bps), so the float-sum
+    order never matters), then the global top-K by (revenue desc, orderkey)
+    via the distributed topk_reduce (driver sees K rows).
+
+    Join plan at scale: the segment-filtered customer side is dimension-
+    sized -> broadcast map-side join into orders; orders x lineitem are
+    both fact-sized -> default two-sided hash exchange on the order key.
+    Filters are applied AT the read (predicate columns only, date pruned
+    before either join)."""
+    import ray
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def seg(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.equal(tbl["c_mktsegment"], Q3_SEGMENT)).select(
+            ["c_custkey"]
+        )
+
+    cust = cust.map_batches(seg, batch_format="pyarrow", batch_size=None)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def open_orders(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pa.scalar(cutoff, tbl["o_orderdate"].type)
+        return tbl.filter(pc.less(tbl["o_orderdate"], c)).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    orders = orders.map_batches(open_orders, batch_format="pyarrow", batch_size=None)
+    seg_orders = ops.equi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", broadcast="right"
+    ).select_columns(["o_orderkey"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def shipped_late(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pa.scalar(cutoff, tbl["l_shipdate"].type)
+        t = tbl.filter(pc.greater(tbl["l_shipdate"], c))
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "unit": pa.array(cents * (10000 - bps)),
+            }
+        )
+
+    li = li.map_batches(shipped_late, batch_format="pyarrow", batch_size=None)
+    j = ops.equi_join(li, seg_orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        keys = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+        unit = tbl["unit"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        head = np.ones(len(sk), dtype=bool)
+        head[1:] = sk[1:] != sk[:-1]
+        cs = np.concatenate([[0], np.cumsum(unit[order])])
+        starts = np.flatnonzero(head)
+        bounds = np.concatenate([starts, [len(sk)]])
+        return pa.table(
+            {
+                "l_orderkey": pa.array(sk[starts]),
+                "partial": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+            }
+        )
+
+    rev = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .sum("partial")
+    )
+
+    def to_parts(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array(np.ones(len(tbl), dtype=np.int64)),
+                "l_orderkey": tbl["l_orderkey"],
+                "revenue_unit": tbl["sum(partial)"],
+            }
+        )
+
+    parts = rev.map_batches(to_parts, batch_format="pyarrow", batch_size=None)
+    top = ops.topk_reduce(
+        parts, Q3_K, key_col="one", id_col="l_orderkey",
+        score_col="revenue_unit", ascending=False, keep_score=True,
+    )
+    return top.select(["l_orderkey", "revenue_unit", "rank"])
+
+
+Q3_ORACLE = f"""
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = '{Q3_SEGMENT}'),
+o AS (SELECT o_orderkey FROM orders JOIN c ON o_custkey = c_custkey
+      WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'),
+r AS (SELECT l_orderkey,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             AS BIGINT) AS revenue_unit
+      FROM lineitem JOIN o ON l_orderkey = o_orderkey
+      WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+      GROUP BY l_orderkey)
+SELECT l_orderkey, revenue_unit,
+       CAST(row_number() OVER (ORDER BY revenue_unit DESC, l_orderkey)
+            AS BIGINT) AS rank
+FROM r QUALIFY rank <= {Q3_K}
+"""
+
+
 def _revenue_rollup(sf_dir):
     """Hierarchical ROLLUP aggregate: order counts + integer-cents revenue at
     (region, nation), per-region subtotal, and grand total — the finest
@@ -4210,6 +4345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_deltas": _events_deltas,
         "user_type_islands": _user_type_islands,
         "cell_rollup": _cell_rollup,
+        "q3_shipping": _q3_shipping,
+        "image_ahash": multimodal.image_ahash_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -4320,6 +4457,8 @@ def oracle_sql() -> dict[str, str]:
         "events_deltas": EVENTS_DELTAS_ORACLE,
         "user_type_islands": USER_TYPE_ISLANDS_ORACLE,
         "cell_rollup": CELL_ROLLUP_ORACLE,
+        "q3_shipping": Q3_ORACLE,
+        "image_ahash": multimodal.IMAGE_AHASH_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

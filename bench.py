@@ -256,7 +256,7 @@ def run_suite() -> dict:
         "embedding_centroids", "events_cume", "events_gap_fill",
         # round-3 eighth-wave operators
         "crossmatch_best", "span_dedup", "events_deltas",
-        "user_type_islands", "cell_rollup",
+        "user_type_islands", "cell_rollup", "q3_shipping", "image_ahash",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)

@@ -516,29 +516,35 @@ class TileStats:
         )
 
 
+def _synth_gradient_pngs(tbl: pa.Table) -> pa.Table:
+    """Deterministic REAL-codec image payloads: pixel (y, x) = (doc_id + x
+    + y) % 256 in every channel, w = 8 + doc_id % 24, h = 8 + (doc_id % 7)
+    * 3 — the whole image is SQL-reconstructible, so ops over an actual
+    PNG roundtrip get exact oracles."""
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for did in ids:
+        w = 8 + int(did) % 24
+        h = 8 + (int(did) % 7) * 3
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((int(did) + xx + yy) % 256).astype(np.uint8)
+        payloads.append(encode_png(np.repeat(g[:, :, None], 3, axis=2)))
+    return pa.table(
+        {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+    )
+
+
 def image_tile_stats_query(sf_dir: str):
-    """Per-quadrant pixel sums over REAL gradient PNGs: payload pixel
-    (y, x) = (doc_id + x + y) % 256 in every channel — the whole image is
-    SQL-reconstructible, so region pooling over an actual codec roundtrip
-    gets an exact oracle (IMAGE_TILE_STATS_ORACLE)."""
+    """Per-quadrant pixel sums over REAL gradient PNGs (see
+    _synth_gradient_pngs): region pooling over an actual codec roundtrip
+    with an exact oracle (IMAGE_TILE_STATS_ORACLE)."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
-    def synth(tbl: pa.Table) -> pa.Table:
-        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-        payloads = []
-        for did in ids:
-            w = 8 + int(did) % 24
-            h = 8 + (int(did) % 7) * 3
-            yy, xx = np.mgrid[0:h, 0:w]
-            g = ((int(did) + xx + yy) % 256).astype(np.uint8)
-            payloads.append(encode_png(np.repeat(g[:, :, None], 3, axis=2)))
-        return pa.table(
-            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
-        )
-
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+    return ds.map_batches(
+        _synth_gradient_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(
         TileStats,
         batch_format="pyarrow",
         batch_size=256,
@@ -638,4 +644,84 @@ SELECT doc_id, CAST(n // {AUDIO_WIN} AS BIGINT) AS win,
             AS BIGINT) AS energy
 FROM documents, unnest(range(0, {AUDIO_LEN})) AS t(n)
 GROUP BY 1, 2
+"""
+
+
+class AHash:
+    """Actor-pool stage: PNG payload -> 64-bit average hash (the classic
+    image near-dup fingerprint): the image is pooled to an 8x8 grid of
+    integer block sums (integral-image corner arithmetic, one vectorized
+    pass per image) and bit (by, bx) is set when its block mean exceeds
+    the global mean — compared EXACTLY via the cross-multiplication
+    block_sum * total_n > total_sum * block_n, so the distributed result
+    hashes against SQL despite the codec roundtrip. Bits pack little-index
+    -first into a uint64 viewed as int64."""
+
+    _IDX = (np.arange(8)[:, None] * 8 + np.arange(8)[None, :]).astype(np.uint64)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(ids), dtype=np.uint64)
+        for i in range(len(ids)):
+            raw = payload[i].as_py()
+            h, w, c, px = decode_png(raw)
+            g = px[:, :, 0].astype(np.int64)
+            ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+            np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+            ys = (np.arange(9) * h) // 8
+            xs = (np.arange(9) * w) // 8
+            corners = ii[np.ix_(ys, xs)]
+            bs = (
+                corners[1:, 1:] - corners[:-1, 1:]
+                - corners[1:, :-1] + corners[:-1, :-1]
+            )
+            bn = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+            ts, tn = int(ii[h, w]), h * w
+            bits = (bs * tn > ts * bn).astype(np.uint64)
+            out[i] = (bits << self._IDX).sum(dtype=np.uint64)
+        return pa.table(
+            {"doc_id": pa.array(ids), "ahash": pa.array(out.view(np.int64))}
+        )
+
+
+def image_ahash_query(sf_dir: str):
+    """64-bit average-hash fingerprints over REAL gradient PNGs (see
+    _synth_gradient_pngs) — the multimodal near-dup key: identical gradient
+    patterns (same dims + same doc_id % 256 phase) collide, so grouping by
+    ahash IS the image-dedup bucketing. Exact-integer construction gives it
+    a full SQL oracle even through the codec roundtrip."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        _synth_gradient_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        AHash,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+IMAGE_AHASH_ORACLE = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
+           FROM documents),
+tot AS (SELECT doc_id, sum((doc_id + xs.x + ys.y) % 256) AS ts, count(*) AS tn
+        FROM d, unnest(range(0, h)) ys(y), unnest(range(0, w)) xs(x)
+        GROUP BY doc_id),
+blk AS (SELECT d.doc_id, byi.by, bxi.bx,
+          sum((doc_id + xs.x + ys.y) % 256) AS bs, count(*) AS bn
+        FROM d, unnest(range(0, 8)) byi(by), unnest(range(0, 8)) bxi(bx),
+             unnest(range(byi.by * h // 8, (byi.by + 1) * h // 8)) ys(y),
+             unnest(range(bxi.bx * w // 8, (bxi.bx + 1) * w // 8)) xs(x)
+        GROUP BY 1, 2, 3),
+bits AS (SELECT blk.doc_id, by * 8 + bx AS idx,
+           CASE WHEN bs * tn > ts * bn THEN 1 ELSE 0 END AS bit
+         FROM blk JOIN tot USING (doc_id))
+SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+                           WHEN idx = 63 THEN (-9223372036854775807 - 1)
+                           ELSE 1::BIGINT << idx END) AS ahash
+FROM bits GROUP BY doc_id
 """

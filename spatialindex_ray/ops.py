@@ -690,6 +690,7 @@ def topk_reduce(
     ascending: bool = True,
     fan_in_rows: int = 65536,
     as_dataset: bool = False,
+    keep_score: bool = False,
 ):
     """Distributed merge of per-block top-k partials (the scale-safe
     replacement for ``take_all()`` + a driver pandas sort, VERDICT r2 item
@@ -718,13 +719,14 @@ def topk_reduce(
         ids = top[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, scores if ascending else -scores))
         top = top.take(pa.array(order))
-        return pa.table(
-            {
-                key_col: top[key_col],
-                id_col: top[id_col],
-                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-            }
-        )
+        cols = {
+            key_col: top[key_col],
+            id_col: top[id_col],
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        }
+        if keep_score:
+            cols[score_col] = top[score_col]
+        return pa.table(cols)
 
     out = combined.groupby(key_col).map_groups(final, batch_format="pyarrow")
     if as_dataset:
