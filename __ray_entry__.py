@@ -1895,6 +1895,94 @@ FROM i GROUP BY user_id, isl
 """
 
 
+def _type_transitions(sf_dir):
+    """Event-sequence mining: global first-order Markov transition counts —
+    for each user's (ts, event_id)-ordered stream, count consecutive
+    (src_type -> dst_type) pairs over the whole corpus. Per-shard lag via
+    one lexsort (dictionary-encoded codes, no string compares), per-shard
+    pair counts via one bincount over src_code * K + dst_code, then a tiny
+    (types x types) groupby-sum — nothing bigger than the transition
+    matrix leaves any shard."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def trans_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "src_type": pa.array([], type=pa.string()),
+                    "dst_type": pa.array([], type=pa.string()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dct.dictionary
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        c = codes[order]
+        has_prev = np.zeros(len(u), dtype=bool)
+        has_prev[1:] = u[1:] == u[:-1]
+        i = np.flatnonzero(has_prev)
+        kk = len(vocab)
+        pair = c[i - 1] * kk + c[i]
+        cnt = np.bincount(pair, minlength=kk * kk)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "src_type": vocab.take(pa.array(nz // kk)),
+                "dst_type": vocab.take(pa.array(nz % kk)),
+                "partial": pa.array(cnt[nz]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, trans_shard)
+        .groupby(["src_type", "dst_type"])
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["src_type", "dst_type", "n_trans"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+TYPE_TRANSITIONS_ORACLE = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS src_type, event_type AS dst_type,
+       CAST(count(*) AS BIGINT) AS n_trans
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 ELLIPSE = dict(ra=150.0, dec=20.0, a=25.0, b=12.0, angle=40.0, level=7)
 WINDOW_US = 3_600_000_000  # 1 hour
 
@@ -4097,6 +4185,56 @@ def _corpus_sample_oracle():
     return CORPUS_SAMPLE_ORACLE.format(sm=sm)
 
 
+WSAMPLE_N = 64
+
+
+def _corpus_weighted_sample(sf_dir):
+    """Deterministic WEIGHTED sample: key = (splitmix64(doc_id) / 2) /
+    weight with weight = n_chars, keep the WSAMPLE_N smallest keys — longer
+    documents get proportionally smaller keys, so selection probability
+    scales with length (the integer-division analog of
+    Efraimidis-Spirakis A-Res keys, chosen over u^(1/w) because integer
+    arithmetic is bit-exact in both NumPy and SQL — pow() is not). Same
+    scale shape as corpus_sample: stateless map + constant-key topk_reduce;
+    driver sees exactly n rows."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def key(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(tbl["n_chars"].to_numpy(zero_copy_only=False), 1)
+        h = (ops._splitmix64(ids) >> np.uint64(1)).view(np.int64)
+        return pa.table(
+            {
+                "all": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "doc_id": pa.array(ids),
+                "wkey": pa.array(h // w),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    top = ops.topk_reduce(
+        keyed, WSAMPLE_N, key_col="all", id_col="doc_id", score_col="wkey",
+        keep_score=True,
+    )
+    return top.select(["doc_id", "wkey", "rank"])
+
+
+def _corpus_weighted_sample_oracle():
+    sm = _sql_splitmix64("CAST(doc_id AS HUGEINT)")
+    return f"""
+WITH h AS (SELECT doc_id,
+    ({sm} // 2) // GREATEST(n_chars, 1) AS wkey
+  FROM documents)
+SELECT doc_id, CAST(wkey AS BIGINT) AS wkey,
+  CAST(row_number() OVER (ORDER BY wkey, doc_id) AS BIGINT) AS rank
+FROM h QUALIFY rank <= {WSAMPLE_N}
+"""
+
+
 # --------------------------------------------------- wave 6: bands / CMS
 VALUE_BANDS = [(i, 50.0 * i, 50.0 * i + 75.0) for i in range(10)]
 
@@ -4347,6 +4485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_rollup": _cell_rollup,
         "q3_shipping": _q3_shipping,
         "image_ahash": multimodal.image_ahash_query,
+        "type_transitions": _type_transitions,
+        "corpus_weighted_sample": _corpus_weighted_sample,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -4459,6 +4599,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup": CELL_ROLLUP_ORACLE,
         "q3_shipping": Q3_ORACLE,
         "image_ahash": multimodal.IMAGE_AHASH_ORACLE,
+        "type_transitions": TYPE_TRANSITIONS_ORACLE,
+        "corpus_weighted_sample": _corpus_weighted_sample_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
