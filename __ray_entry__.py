@@ -438,6 +438,56 @@ FROM pr QUALIFY rank <= 1
     )
 
 
+def _pagerank_spatial(sf_dir):
+    """Integer PageRank over the spatial proximity graph: directed edges =
+    all ordered doc pairs within JOIN_RADIUS_DEG (self-loops dropped), 3
+    power iterations in exact int64 arithmetic (ops.pagerank_int) — a
+    density-centrality score with a bit-exact SQL dual unrolled over the
+    same radius-join edge set."""
+    import ray
+
+    enc = _docs_encoded(sf_dir)
+    pairs = ops.radius_join(enc, enc, JOIN_RADIUS_DEG, n_shards=64)
+
+    def drop_self(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.invert(pc.equal(tbl["left_id"], tbl["right_id"])))
+
+    edges = pairs.map_batches(drop_self, batch_format="pyarrow", batch_size=None)
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return ops.pagerank_int(edges, nodes, iters=3)
+
+
+def _pagerank_spatial_oracle():
+    s = math.sin(JOIN_RADIUS_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    sql = (
+        _xyz_sql()
+        + f""",
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)}),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents)"""
+    )
+    for k in range(1, 4):
+        p = f"r{k-1}"
+        sql += f""",
+s{k} AS (SELECT e.dst AS node, sum({p}.r // deg.d) AS s
+  FROM edges e JOIN deg ON deg.src = e.src JOIN {p} ON {p}.node = e.src
+  GROUP BY e.dst),
+r{k} AS (SELECT n0.node,
+    CAST(150000 + (COALESCE(s{k}.s, 0) * 17) // 20 AS BIGINT) AS r
+  FROM r0 n0 LEFT JOIN s{k} USING (node))"""
+    return sql + "\nSELECT node AS doc_id, r AS pr_units FROM r3"
+
+
 def _knn_query(sf_dir):
     ds = _docs_encoded(sf_dir)
     return ops.knn(ds, KNN_QUERIES, KNN_K)
@@ -4487,6 +4537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash": multimodal.image_ahash_query,
         "type_transitions": _type_transitions,
         "corpus_weighted_sample": _corpus_weighted_sample,
+        "pagerank_spatial": _pagerank_spatial,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -4601,6 +4652,7 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash": multimodal.IMAGE_AHASH_ORACLE,
         "type_transitions": TYPE_TRANSITIONS_ORACLE,
         "corpus_weighted_sample": _corpus_weighted_sample_oracle(),
+        "pagerank_spatial": _pagerank_spatial_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

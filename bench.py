@@ -257,7 +257,7 @@ def run_suite() -> dict:
         # round-3 eighth-wave operators
         "crossmatch_best", "span_dedup", "events_deltas",
         "user_type_islands", "cell_rollup", "q3_shipping", "image_ahash",
-        "type_transitions", "corpus_weighted_sample",
+        "type_transitions", "corpus_weighted_sample", "pagerank_spatial",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)

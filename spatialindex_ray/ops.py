@@ -2183,6 +2183,199 @@ def cluster_canonical(
     return hash_exchange(tagged, "_shard", n_shards, per_shard)
 
 
+def pagerank_int(
+    edges_ds,
+    nodes_ds,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    node_col: str = "doc_id",
+    iters: int = 3,
+    n_shards: int = 32,
+    r0: int = 1_000_000,
+    base: int = 150_000,
+    damp_num: int = 17,
+    damp_den: int = 20,
+):
+    """Integer PageRank: power iteration in EXACT int64 arithmetic — the
+    fixed-point analog of ``r <- (1-d)*r0 + d * A^T (r / outdeg)`` with
+    d = damp_num/damp_den and every division floored. All quantities are
+    64-bit integers, so the distributed result is bit-identical to a SQL
+    dual unrolled over the same edge set (no float summation-order
+    hazard). Directed edges as given (callers symmetrize for undirected
+    graphs); dangling mass is dropped (simplified PageRank); nodes with no
+    in-edges settle at ``base``. int64 headroom: per-node sums stay under
+    max_indegree * r0 — scale r0 down for graphs beyond ~10^12 in-edges
+    per node times units.
+
+    Scale shape per iteration (x ``iters``): one two-sided exchange joins
+    the (node, rank, outdeg) vector onto the src-partitioned edge set
+    (only (dst, contrib) pairs leave), one exchange sums contribs by dst,
+    one two-sided exchange left-joins the sums back onto the node vector.
+    Edges (pre-tagged by src) and the degree-carrying node vector
+    materialize ONCE and are re-split each round — the
+    connected_components pattern."""
+    import pandas as pd
+
+    def as_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(a),
+                "dst": pa.array(b),
+                "_shard": pa.array(((a % np.int64(n_shards)) + n_shards) % n_shards),
+            }
+        )
+
+    edges = edges_ds.map_batches(
+        as_edges, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def deg_shard(tbl: pa.Table) -> pa.Table:
+        t = _drop_shard(tbl)
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+            )
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        s.sort()
+        heads = np.concatenate(([True], s[1:] != s[:-1]))
+        idx = np.flatnonzero(heads)
+        sizes = np.diff(np.append(idx, len(s)))
+        return pa.table(
+            {"node": pa.array(s[idx]), "deg": pa.array(sizes.astype(np.int64))}
+        )
+
+    degs = hash_exchange(edges, "_shard", n_shards, deg_shard)
+
+    def as_nodes(tbl: pa.Table) -> pa.Table:
+        n = tbl[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(n)})
+
+    nodes = nodes_ds.map_batches(as_nodes, batch_format="pyarrow", batch_size=None)
+
+    def attach_deg(tn: pa.Table, td: pa.Table) -> pa.Table:
+        if "node" not in tn.schema.names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        n = _drop_shard(tn).to_pandas()
+        d = _drop_shard(td).to_pandas()
+        if "node" not in d.columns:
+            d = pd.DataFrame({"node": [], "deg": []})
+        m = n.merge(d, on="node", how="left")
+        deg = m["deg"].fillna(0).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(m["node"].to_numpy(dtype=np.int64)),
+                "r": pa.array(np.full(len(m), r0, dtype=np.int64)),
+                "deg": pa.array(np.asarray(deg, dtype=np.int64)),
+            }
+        )
+
+    nodes_tagged = nodes.map_batches(
+        _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+    )
+    degs_tagged = degs.map_batches(
+        _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+    )
+    ranks = hash_exchange2(
+        nodes_tagged, degs_tagged, "_shard", "_shard", n_shards, attach_deg
+    ).materialize()
+
+    def contrib_shard(te: pa.Table, tl: pa.Table) -> pa.Table:
+        if "src" not in te.schema.names or "node" not in tl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        e = _drop_shard(te).to_pandas()
+        l = _drop_shard(tl).to_pandas()
+        l = l[l["deg"] > 0]
+        m = e.merge(l, left_on="src", right_on="node")
+        c = m["r"].to_numpy(dtype=np.int64) // m["deg"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(m["dst"].to_numpy(dtype=np.int64)),
+                "c": pa.array(c),
+            }
+        )
+
+    def sum_shard(tbl: pa.Table) -> pa.Table:
+        t = _drop_shard(tbl)
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(n, kind="stable")
+        ns, cs = n[order], c[order]
+        heads = np.concatenate(([True], ns[1:] != ns[:-1]))
+        idx = np.flatnonzero(heads)
+        csum = np.concatenate([[0], np.cumsum(cs)])
+        bounds = np.append(idx, len(ns))
+        return pa.table(
+            {
+                "node": pa.array(ns[idx]),
+                "s": pa.array(csum[bounds[1:]] - csum[bounds[:-1]]),
+            }
+        )
+
+    def update_shard(tl: pa.Table, ts: pa.Table) -> pa.Table:
+        if "node" not in tl.schema.names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        l = _drop_shard(tl).to_pandas()
+        srt = _drop_shard(ts).to_pandas()
+        if "node" not in srt.columns:
+            srt = pd.DataFrame({"node": [], "s": []})
+        m = l[["node", "deg"]].merge(srt, on="node", how="left")
+        s = np.asarray(m["s"].fillna(0), dtype=np.int64) if "s" in m else np.zeros(
+            len(m), dtype=np.int64
+        )
+        r = base + (s * damp_num) // damp_den
+        return pa.table(
+            {
+                "node": pa.array(m["node"].to_numpy(dtype=np.int64)),
+                "r": pa.array(r.astype(np.int64)),
+                "deg": pa.array(m["deg"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    for _ in range(iters):
+        ranks_tagged = ranks.map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        contrib = hash_exchange2(
+            edges, ranks_tagged, "_shard", "_shard", n_shards, contrib_shard
+        )
+        contrib_tagged = contrib.map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        sums = hash_exchange(contrib_tagged, "_shard", n_shards, sum_shard)
+        sums_tagged = sums.map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        ranks = hash_exchange2(
+            ranks_tagged, sums_tagged, "_shard", "_shard", n_shards, update_shard
+        ).materialize()
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({node_col: tbl["node"], "pr_units": tbl["r"]})
+
+    return ranks.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
 # ----------------------------------------------------------------- pivot
 def pivot(
     ds,
