@@ -488,6 +488,159 @@ r{k} AS (SELECT n0.node,
     return sql + "\nSELECT node AS doc_id, r AS pr_units FROM r3"
 
 
+def _neighbor_counts(sf_dir):
+    """Per-point spatial density: for every doc, the number of OTHER docs
+    within JOIN_RADIUS_DEG (the classic fixed-radius density estimator /
+    degree of the proximity graph), zero-neighbor docs included. Partial
+    counts collapse inside each join shard batch before one tiny groupby;
+    the zero-fill is a broadcast-right left join of the (small) aggregated
+    counts onto the doc id column."""
+    import ray
+
+    enc = _docs_encoded(sf_dir)
+    pairs = ops.radius_join(enc, enc, JOIN_RADIUS_DEG, n_shards=64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.invert(pc.equal(tbl["left_id"], tbl["right_id"])))
+        ids = t["left_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"left_id": pa.array(uniq), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        pairs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("left_id")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        # Ray groupby can emit zero-row EMPTY-SCHEMA blocks — normalize them
+        # so the broadcast join's schema union stays consistent
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "n_cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["left_id", "n_cnt"])
+
+    counts = counts.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    j = ops.equi_join(
+        docs, counts, on="doc_id", right_on="left_id", how="left",
+        broadcast="right",
+    )
+
+    def fill(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.fill_null(tbl["n_cnt"], 0).cast(pa.int64())
+        return pa.table({"doc_id": tbl["doc_id"], "n_neighbors": n})
+
+    return j.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
+def _neighbor_counts_oracle():
+    s = math.sin(JOIN_RADIUS_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    return (
+        _xyz_sql()
+        + f""",
+c AS (
+  SELECT a.doc_id AS id, count(*) AS cnt
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)}
+  GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_neighbors
+FROM documents d LEFT JOIN c ON d.doc_id = c.id
+"""
+    )
+
+
+def _user_top_type(sf_dir):
+    """Per-group MODE: each user's most frequent event_type (ties broken by
+    type ascending — fully deterministic). Two-level: per-batch partial
+    (user, type) counts -> one groupby-sum -> per-user argmax inside a
+    user-keyed exchange (rows per shard = users x types, already tiny)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "partial"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "event_type"])
+        .sum("partial")
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        t = tbl.rename_columns(["user_id", "event_type", "n"])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        t = t.combine_chunks()
+        return t.append_column(
+            "shard", pa.array(((uid % n_shards) + n_shards) % n_shards)
+        )
+
+    def argmax_shard(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "top_type": pa.array([], type=pa.string()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        df = tbl.select(["user_id", "event_type", "n"]).to_pandas()
+        df = df.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("user_id", as_index=False).head(1)
+        return pa.table(
+            {
+                "user_id": pa.array(top["user_id"].to_numpy(dtype=np.int64)),
+                "top_type": pa.array(top["event_type"].astype(str).to_numpy()),
+                "n_events": pa.array(top["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    keyed_ds = counts.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, argmax_shard)
+
+
+USER_TOP_TYPE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n_events
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+"""
+
+
 def _knn_query(sf_dir):
     ds = _docs_encoded(sf_dir)
     return ops.knn(ds, KNN_QUERIES, KNN_K)
@@ -4538,6 +4691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_transitions": _type_transitions,
         "corpus_weighted_sample": _corpus_weighted_sample,
         "pagerank_spatial": _pagerank_spatial,
+        "neighbor_counts": _neighbor_counts,
+        "user_top_type": _user_top_type,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -4653,6 +4808,8 @@ def oracle_sql() -> dict[str, str]:
         "type_transitions": TYPE_TRANSITIONS_ORACLE,
         "corpus_weighted_sample": _corpus_weighted_sample_oracle(),
         "pagerank_spatial": _pagerank_spatial_oracle(),
+        "neighbor_counts": _neighbor_counts_oracle(),
+        "user_top_type": USER_TOP_TYPE_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

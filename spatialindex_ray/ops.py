@@ -1035,7 +1035,13 @@ def equi_join(
         small_ds, big_ds = (
             (left_ds, right_ds) if broadcast == "left" else (right_ds, left_ds)
         )
-        small_tbl = pa.concat_tables(ray.get(small_ds.to_arrow_refs()))
+        blocks = ray.get(small_ds.to_arrow_refs())
+        # upstream groupbys can emit zero-row EMPTY-SCHEMA blocks that poison
+        # the concat — keep real blocks, else the widest empty for the schema
+        good = [b for b in blocks if b.num_rows > 0]
+        if not good:
+            good = [max(blocks, key=lambda b: b.num_columns)]
+        small_tbl = pa.concat_tables(good)
         ref = ray.put(small_tbl)
 
         def join_batch(tbl: pa.Table) -> pa.Table:
