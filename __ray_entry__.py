@@ -2777,6 +2777,131 @@ FROM e GROUP BY window_id, event_type
 DEDUP_URL_MOD = 10000
 
 
+def _incremental_dedup(sf_dir):
+    """Incremental-crawl dedup: docs split deterministically into an OLD
+    corpus (doc_id % 5 != 0, the already-indexed crawl) and a NEW batch
+    (doc_id % 5 == 0); keep each new doc only if its exact text appears
+    nowhere in the old corpus AND it is the first (min doc_id) among new
+    docs with that text. Only (content-hash, doc_id) pairs ever shuffle —
+    the anti-join against the old index and the self-dedup both run on the
+    64-bit SHA-1 key (widen to 128 bits at >= 10^11 docs). The incremental
+    shape every recurring-crawl pipeline needs: the old side streams once,
+    no re-deduplication of the full corpus."""
+    import ray
+
+    from spatialindex_ray.kernels import hashing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hashed(tbl: pa.Table) -> pa.Table:
+        hs = (
+            hashing.sha1_pairs_of_column(tbl["text"])[:, 0] >> np.uint64(1)
+        ).astype(np.int64)
+        return pa.table({"h": pa.array(hs), "doc_id": tbl["doc_id"]})
+
+    hds = ds.map_batches(hashed, batch_format="pyarrow", batch_size=None)
+
+    def new_side(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids % 5 == 0))
+
+    def old_side(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids % 5 != 0))
+
+    new_ds = hds.map_batches(new_side, batch_format="pyarrow", batch_size=None)
+    old_ds = hds.map_batches(old_side, batch_format="pyarrow", batch_size=None)
+    fresh = ops.equi_join(new_ds, old_ds, on="h", how="anti")
+    out = fresh.groupby("h").min("doc_id")
+
+    def project(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "min(doc_id)" not in tbl.schema.names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": tbl["min(doc_id)"]})
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+INCREMENTAL_DEDUP_ORACLE = """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+old AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)
+SELECT min(doc_id) AS doc_id
+FROM newd WHERE text NOT IN (SELECT text FROM old)
+GROUP BY text
+"""
+
+
+def _snapshot_diff(sf_dir):
+    """Snapshot reconciliation (CDC diff): two deterministic views of
+    orders — A drops o_orderkey % 3 = 0; B drops % 5 = 0 and bumps the
+    integer-cents price by 1 where % 7 = 0 — diffed by key into
+    'removed' (A only), 'added' (B only), 'changed' (both, cents differ);
+    unchanged rows are dropped at the source. Both views derive from the
+    SAME source row here, so the whole diff is a pure map over one pruned
+    read — zero shuffle (the two-independent-sources variant is
+    ops.equi_join(how="outer"), exercised by customer_orders_outer)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def views(tbl: pa.Table) -> pa.Table:
+        k = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        in_a = k % 3 != 0
+        in_b = k % 5 != 0
+        bump = (k % 7 == 0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k),
+                "a_cents": pa.array(np.where(in_a, cents, -1)),
+                "b_cents": pa.array(np.where(in_b, cents + bump, -1)),
+            }
+        )
+
+    v = ds.map_batches(views, batch_format="pyarrow", batch_size=None)
+
+    def status(tbl: pa.Table) -> pa.Table:
+        k = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        a = tbl["a_cents"].to_numpy(zero_copy_only=False)
+        b = tbl["b_cents"].to_numpy(zero_copy_only=False)
+        removed = (a >= 0) & (b < 0)
+        added = (b >= 0) & (a < 0)
+        changed = (a >= 0) & (b >= 0) & (a != b)
+        keep = removed | added | changed
+        st = np.where(removed, "removed", np.where(added, "added", "changed"))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep]),
+                "status": pa.array(st[keep]),
+            }
+        )
+
+    return v.map_batches(status, batch_format="pyarrow", batch_size=None)
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH src AS (SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders),
+a AS (SELECT o_orderkey, cents FROM src WHERE o_orderkey % 3 <> 0),
+b AS (SELECT o_orderkey,
+        cents + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS cents
+      FROM src WHERE o_orderkey % 5 <> 0)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL OR a.cents <> b.cents
+"""
+
+
 def _dedup_rows_salted(sf_dir):
     """Row dedup by (cell, url) with hot-cell salting, over a SKEWED url
     multiplicity derived from doc_id: url_id = floor(sqrt(doc_id % 10000))
@@ -4693,6 +4818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_spatial": _pagerank_spatial,
         "neighbor_counts": _neighbor_counts,
         "user_top_type": _user_top_type,
+        "incremental_dedup": _incremental_dedup,
+        "snapshot_diff": _snapshot_diff,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -4810,6 +4937,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_spatial": _pagerank_spatial_oracle(),
         "neighbor_counts": _neighbor_counts_oracle(),
         "user_top_type": USER_TOP_TYPE_ORACLE,
+        "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
+        "snapshot_diff": SNAPSHOT_DIFF_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -258,7 +258,8 @@ def run_suite() -> dict:
         "crossmatch_best", "span_dedup", "events_deltas",
         "user_type_islands", "cell_rollup", "q3_shipping", "image_ahash",
         "type_transitions", "corpus_weighted_sample", "pagerank_spatial",
-        "neighbor_counts", "user_top_type",
+        "neighbor_counts", "user_top_type", "incremental_dedup",
+        "snapshot_diff",
     ]:
         t0 = time.time()
         res = qs[name](SF_DIR)
