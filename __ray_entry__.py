@@ -1050,6 +1050,117 @@ CELL_ROLLUP_ORACLE = (
 )
 
 
+def _cell_bbox(sf_dir):
+    """Per-cell bounding boxes: min/max lon/lat of the members of every
+    HTM level-4 cell — the spatial-extent aggregate a tile server or
+    footprint catalog needs. min/max are order-independent, so float
+    results hash exactly against SQL. Per-batch partials collapse to one
+    row per (cell in batch) before a cell-keyed exchange min/max."""
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+    n_shards = 16
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cells = tbl["htm20"].to_numpy(zero_copy_only=False) >> np.int64(32)
+        lon = tbl["lon"].to_numpy(zero_copy_only=False)
+        lat = tbl["lat"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cells, kind="stable")
+        c = cells[order]
+        heads = np.concatenate(([True], c[1:] != c[:-1]))
+        idx = np.flatnonzero(heads)
+        bounds = np.append(idx, len(c))
+        lo_ln = np.minimum.reduceat(lon[order], idx)
+        hi_ln = np.maximum.reduceat(lon[order], idx)
+        lo_lt = np.minimum.reduceat(lat[order], idx)
+        hi_lt = np.maximum.reduceat(lat[order], idx)
+        return pa.table(
+            {
+                "shard": pa.array(((c[idx] % n_shards) + n_shards) % n_shards),
+                "cell": pa.array(c[idx]),
+                "min_lon": pa.array(lo_ln),
+                "max_lon": pa.array(hi_ln),
+                "min_lat": pa.array(lo_lt),
+                "max_lat": pa.array(hi_lt),
+            }
+        )
+
+    def merge_shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "cell" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    "min_lon": pa.array([], type=pa.float64()),
+                    "max_lon": pa.array([], type=pa.float64()),
+                    "min_lat": pa.array([], type=pa.float64()),
+                    "max_lat": pa.array([], type=pa.float64()),
+                }
+            )
+        c = tbl["cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        heads = np.concatenate(([True], cs[1:] != cs[:-1]))
+        idx = np.flatnonzero(heads)
+        cols = {"cell": pa.array(cs[idx])}
+        for name, fn in (
+            ("min_lon", np.minimum), ("max_lon", np.maximum),
+            ("min_lat", np.minimum), ("max_lat", np.maximum),
+        ):
+            v = tbl[name].to_numpy(zero_copy_only=False)[order]
+            cols[name] = pa.array(fn.reduceat(v, idx))
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(parts, "shard", n_shards, merge_shard)
+
+
+CELL_BBOX_ORACLE = (
+    _xyz_sql()
+    + _htm_encode_sql_fragment(4)
+    + """
+SELECT id AS cell, min(n.lon) AS min_lon, max(n.lon) AS max_lon,
+       min(n.lat) AS min_lat, max(n.lat) AS max_lat
+FROM lvl4 JOIN n USING (doc_id) GROUP BY id
+"""
+)
+
+
+TILE_TOP_K = 3
+
+
+def _tile_top_docs(sf_dir):
+    """Spatial group-ranking: the TILE_TOP_K longest docs (n_chars desc,
+    doc_id asc) per raster tile — tiling + the distributed per-group top-k
+    in one pipeline; tile count is bounded so topk_reduce's driver result
+    is plan-sized."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None)
+    tiled = ops.tile_assign(enc, TILE_DEG)
+    return ops.topk_reduce(
+        tiled, TILE_TOP_K, key_col="tile_id", id_col="doc_id",
+        score_col="n_chars", ascending=False,
+    )
+
+
+def _tile_top_docs_oracle():
+    nx = int(math.ceil(360.0 / TILE_DEG))
+    return f"""
+WITH p AS ({_POS_SQL}),
+t AS (
+  SELECT p.doc_id,
+         CAST(floor((lat + 90.0) / {_d(TILE_DEG)}) AS BIGINT) * {nx}
+         + CAST(floor(lon / {_d(TILE_DEG)}) AS BIGINT) AS tile_id,
+         d.n_chars
+  FROM p JOIN documents d ON p.doc_id = d.doc_id)
+SELECT tile_id, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY tile_id ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM t QUALIFY rank <= {TILE_TOP_K}
+"""
+
+
 def _cell_counts_s2(sf_dir):
     """Per-cell counts at S2 level _S2_COUNT_LEVEL (canonical uint64 ids
     viewed as int64). The oracle walks the S2 encoder in DuckDB: cube-face
@@ -4820,6 +4931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_type": _user_top_type,
         "incremental_dedup": _incremental_dedup,
         "snapshot_diff": _snapshot_diff,
+        "cell_bbox": _cell_bbox,
+        "tile_top_docs": _tile_top_docs,
+        "normalized_dedup": textfn.normalized_dedup_query,
+        "vocab_coverage": textfn.vocab_coverage_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -4939,6 +5054,10 @@ def oracle_sql() -> dict[str, str]:
         "user_top_type": USER_TOP_TYPE_ORACLE,
         "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
         "snapshot_diff": SNAPSHOT_DIFF_ORACLE,
+        "cell_bbox": CELL_BBOX_ORACLE,
+        "tile_top_docs": _tile_top_docs_oracle(),
+        "normalized_dedup": textfn.NORMALIZED_DEDUP_ORACLE,
+        "vocab_coverage": textfn.VOCAB_COVERAGE_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -240,9 +240,15 @@ def run_suite() -> dict:
             pass
         results[name] = round(time.time() - t0, 3)
 
-    # extended (round-2 third-wave) operators — timed separately, NOT part
-    # of the headline suite total so BASELINE comparability is preserved
+    # extended (round-2+ wave) operators — timed separately, NOT part
+    # of the headline suite total so BASELINE comparability is preserved.
+    # Cumulative budget (BENCH_EXTENDED_BUDGET_S, default 900 s) guards the
+    # driver's bench run against throttled-host stalls: once exceeded, the
+    # remaining entries record -1.0 ("skipped, over budget") instead of
+    # risking a timeout that would lose the whole BENCH_r{N} record.
     extended: dict[str, float] = {}
+    ext_budget = float(os.environ.get("BENCH_EXTENDED_BUDGET_S", "900"))
+    ext_t0 = time.time()
     for name in [
         "events_quantiles", "events_sliding_window", "events_user_hll",
         "events_orders_asof", "revenue_by_region", "top_terms",
@@ -259,8 +265,12 @@ def run_suite() -> dict:
         "user_type_islands", "cell_rollup", "q3_shipping", "image_ahash",
         "type_transitions", "corpus_weighted_sample", "pagerank_spatial",
         "neighbor_counts", "user_top_type", "incremental_dedup",
-        "snapshot_diff",
+        "snapshot_diff", "cell_bbox", "tile_top_docs", "normalized_dedup",
+        "vocab_coverage",
     ]:
+        if time.time() - ext_t0 > ext_budget:
+            extended[name] = -1.0  # skipped: extended budget exhausted
+            continue
         t0 = time.time()
         res = qs[name](SF_DIR)
         try:

@@ -739,3 +739,115 @@ SELECT a.term AS term_a, b.term AS term_b,
 FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
 """
+
+
+def normalized_dedup_query(sf_dir: str):
+    """Canonicalized exact dedup: lower-case, strip non-[a-z0-9 ] chars,
+    collapse runs of spaces, trim — then keep min doc_id per distinct
+    NORMALIZED text. Catches case/punctuation near-identicals that byte
+    dedup misses. All string work is vectorized Arrow kernels (RE2
+    regexes — the same engine DuckDB uses, so the SQL dual is exact);
+    only the 64-bit hash of the normalized text shuffles."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def norm_hash(tbl: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(tbl["text"])
+        t = pc.replace_substring_regex(t, "[^a-z0-9 ]+", "")
+        t = pc.replace_substring_regex(t, " +", " ")
+        t = pc.utf8_trim_whitespace(t)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        hs = (hashing.sha1_pairs_of_column(t)[:, 0] >> np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table({"h": pa.array(hs), "doc_id": tbl["doc_id"]})
+
+    out = (
+        ds.map_batches(norm_hash, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .min("doc_id")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "min(doc_id)" not in tbl.schema.names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": tbl["min(doc_id)"]})
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+NORMALIZED_DEDUP_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '',
+              'g'), ' +', ' ', 'g')) AS nt
+  FROM documents)
+SELECT min(doc_id) AS doc_id FROM n GROUP BY nt
+"""
+
+
+VOCAB_K = 100
+
+
+def vocab_coverage_query(sf_dir: str, k: int = VOCAB_K):
+    """Vocabulary coverage per doc: how many of a doc's tokens fall in the
+    corpus-global top-k vocabulary. Two-phase DERIVED-BROADCAST pipeline:
+    phase 1 computes the top-k terms (top_terms_query machinery,
+    deterministic (n desc, term) tie-break) — a PLAN-SIZED artifact that
+    legitimately materializes at the driver and broadcasts via ray.put;
+    phase 2 counts member tokens per doc with one Arrow is_in over the
+    flat token array + a segment sum. Exact integers (doc_id, n_tok,
+    n_in_vocab)."""
+    import ray
+
+    vocab_tbl = pa.concat_tables(
+        b for b in top_terms_query(sf_dir, k).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    vocab_ref = ray.put(vocab_tbl["term"].combine_chunks())
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def coverage(tbl: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        flat, offsets = _token_segments(tbl["text"])
+        member = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        n_in = _segment_sum(member.astype(np.int64), offsets).astype(np.int64)
+        n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_tok": pa.array(n_tok),
+                "n_in_vocab": pa.array(n_in),
+            }
+        )
+
+    return ds.map_batches(coverage, batch_format="pyarrow", batch_size=None)
+
+
+VOCAB_COVERAGE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+top AS (SELECT tok FROM cnt
+        QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= {VOCAB_K}),
+cov AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN top.tok IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_in_vocab
+  FROM toks t LEFT JOIN top ON t.tok = top.tok
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab
+FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+"""

@@ -1081,3 +1081,43 @@ def test_crossmatch_best_brute_and_invariance(ray_session):
             exp_rows.append((int(ids[i]), int(ids[j]), rank))
     got_rows = list(map(tuple, got[["left_id", "right_id", "rank"]].to_numpy()))
     assert sorted(got_rows) == sorted(exp_rows)
+
+
+def test_pagerank_int_shard_invariance_and_brute(ray_session):
+    """pagerank_int is n_shards-invariant and matches a local integer
+    power iteration exactly (int64 fixed-point, floor divisions)."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 60, size=(120, 2))
+    pairs = sorted({(int(a), int(b)) for a, b in raw if a != b})
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([a for a, _ in pairs], pa.int64()),
+                "right_id": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(60), pa.int64())}))
+
+    def run(ns):
+        return (
+            ops.pagerank_int(edges, nodes, iters=3, n_shards=ns)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a = run(4)
+    assert a.equals(run(11))
+
+    deg = np.zeros(60, dtype=np.int64)
+    for s, _ in pairs:
+        deg[s] += 1
+    r = np.full(60, 1_000_000, dtype=np.int64)
+    for _ in range(3):
+        s = np.zeros(60, dtype=np.int64)
+        for u, v in pairs:
+            s[v] += r[u] // deg[u]
+        r = 150_000 + (s * 17) // 20
+    assert a["pr_units"].to_numpy().tolist() == r.tolist()
