@@ -641,6 +641,137 @@ QUALIFY row_number() OVER (
 """
 
 
+def _reciprocal_best(sf_dir):
+    """Mutual nearest neighbors: pairs where each doc is the OTHER's best
+    match within JOIN_RADIUS_DEG — the reciprocal-best blocking primitive
+    record-linkage pipelines use (far higher precision than one-sided best
+    match). Composition: crossmatch_best(k=1) materialized once (one row
+    per matched doc), then a composite-key self equi-join on the swapped
+    (left, right) pair; left_id < right_id keeps each mutual pair once."""
+    ds = _docs_encoded(sf_dir)
+    best = (
+        ops.crossmatch_best(ds, ds, JOIN_RADIUS_DEG, k=1, n_shards=64)
+        .select_columns(["left_id", "right_id"])
+        .materialize()
+    )
+    j = ops.equi_join(
+        best, best, on=["left_id", "right_id"],
+        right_on=["right_id", "left_id"],
+    )
+
+    def ordered(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.select(["left_id", "right_id"]).filter(
+            pc.less(tbl["left_id"], tbl["right_id"])
+        )
+
+    return j.map_batches(ordered, batch_format="pyarrow", batch_size=None)
+
+
+def _reciprocal_best_oracle():
+    s = math.sin(JOIN_RADIUS_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    return (
+        _xyz_sql()
+        + f""",
+pr AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS dist2
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)}),
+best AS (
+  SELECT left_id, right_id FROM (
+    SELECT left_id, right_id,
+           row_number() OVER (PARTITION BY left_id ORDER BY dist2, right_id)
+             AS rk
+    FROM pr) WHERE rk = 1)
+SELECT a.left_id, a.right_id
+FROM best a JOIN best b ON a.left_id = b.right_id AND a.right_id = b.left_id
+WHERE a.left_id < a.right_id
+"""
+    )
+
+
+def _events_trimmed(sf_dir):
+    """Robust aggregation: per event_type, the 10%-trimmed sum — drop the
+    lowest and highest floor(n/10) values (rank by (value, event_id),
+    fully deterministic) and report kept-count + exact integer-micro sum
+    (floats only ever ROUND once per row; the aggregate is int64, so no
+    summation-order hazard). One type-keyed exchange; per-shard lexsort +
+    rank-window mask + segment sums — types are few, values co-locate."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        t = tbl.combine_chunks()
+        return ops._shard_tagger("event_type", n_shards)(t)
+
+    def trim_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "n_kept": pa.array([], type=pa.int64()),
+                    "sum_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        et = tbl["event_type"].combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dct.dictionary
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        micro = np.round(val * 1_000_000.0).astype(np.int64)
+        order = np.lexsort((eid, val, codes))
+        c = codes[order]
+        m = micro[order]
+        heads = np.concatenate(([True], c[1:] != c[:-1]))
+        starts = np.flatnonzero(heads)
+        ends = np.append(starts[1:], len(c))
+        n = ends - starts
+        rank = np.arange(len(c)) - np.repeat(starts, n)
+        t10 = np.repeat(n // 10, n)
+        nn = np.repeat(n, n)
+        keep = (rank >= t10) & (rank < nn - t10)
+        kept_m = np.where(keep, m, 0)
+        cs = np.concatenate([[0], np.cumsum(kept_m)])
+        csk = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        return pa.table(
+            {
+                "event_type": vocab.take(pa.array(c[starts])),
+                "n_kept": pa.array(csk[ends] - csk[starts]),
+                "sum_micro": pa.array(cs[ends] - cs[starts]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "_shard", n_shards, trim_shard)
+
+
+EVENTS_TRIMMED_ORACLE = """
+WITH r AS (
+  SELECT event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS micro,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(micro) AS BIGINT) AS sum_micro
+FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+GROUP BY event_type
+"""
+
+
 def _knn_query(sf_dir):
     ds = _docs_encoded(sf_dir)
     return ops.knn(ds, KNN_QUERIES, KNN_K)
@@ -4935,6 +5066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_top_docs": _tile_top_docs,
         "normalized_dedup": textfn.normalized_dedup_query,
         "vocab_coverage": textfn.vocab_coverage_query,
+        "reciprocal_best": _reciprocal_best,
+        "events_trimmed": _events_trimmed,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5058,6 +5191,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_top_docs": _tile_top_docs_oracle(),
         "normalized_dedup": textfn.NORMALIZED_DEDUP_ORACLE,
         "vocab_coverage": textfn.VOCAB_COVERAGE_ORACLE,
+        "reciprocal_best": _reciprocal_best_oracle(),
+        "events_trimmed": EVENTS_TRIMMED_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -266,7 +266,7 @@ def run_suite() -> dict:
         "type_transitions", "corpus_weighted_sample", "pagerank_spatial",
         "neighbor_counts", "user_top_type", "incremental_dedup",
         "snapshot_diff", "cell_bbox", "tile_top_docs", "normalized_dedup",
-        "vocab_coverage",
+        "vocab_coverage", "reciprocal_best", "events_trimmed",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
