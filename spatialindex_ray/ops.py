@@ -1062,12 +1062,7 @@ def equi_join(
         return big_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
-        ldf = _drop_shard(ta).to_pandas()
-        rdf = _drop_shard(tb).to_pandas()
-        merged = ldf.merge(
-            rdf, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
-        )
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return _merge_shard(ta, tb, on, right_on, how)
 
     left = left_ds.map_batches(_shard_tagger(on, n_shards), batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(_shard_tagger(right_on, n_shards), batch_format="pyarrow", batch_size=None)
@@ -1078,6 +1073,32 @@ def _drop_shard(t: pa.Table) -> pa.Table:
     """Strip the exchange's ``_shard`` tag; tolerate a schema-less empty
     block (Ray groupby artifact) that never got tagged."""
     return t.drop(["_shard"]) if "_shard" in t.schema.names else t
+
+
+def _merge_shard(ta: pa.Table, tb: pa.Table, on, right_on, how) -> pa.Table:
+    """One shard's pandas hash merge, schema-safe: a side whose EVERY
+    upstream piece was a zero-row EMPTY-SCHEMA block (Ray groupby artifact)
+    arrives with no columns at all — pandas merge would raise KeyError on
+    the key. Inner/semi with a truly-empty side emits nothing; a left/outer
+    join with a schema-less RIGHT returns the left rows unchanged (no right
+    column exists anywhere to null-fill — every shard sees the same, so the
+    output schema stays consistent), and symmetrically for right/outer."""
+    lt, rt = _drop_shard(ta), _drop_shard(tb)
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    l_ok = all(k in lt.schema.names for k in lkeys)
+    r_ok = all(k in rt.schema.names for k in rkeys)
+    if not l_ok or not r_ok:
+        if not l_ok and how in ("right", "outer") and r_ok:
+            return rt
+        if not r_ok and how in ("left", "outer") and l_ok:
+            return lt
+        return pa.table({})
+    merged = lt.to_pandas().merge(
+        rt.to_pandas(), left_on=on, right_on=right_on, how=how,
+        suffixes=("", "_r"),
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def _shard_tagger(key_name: str, n_shards: int):
@@ -1328,12 +1349,7 @@ def _salted_join(left_ds, right_ds, on, right_on, how, n_shards, hot_keys, n_sal
         )
 
     def join_shard(ta: pa.Table, tb: pa.Table) -> pa.Table:
-        ldf = _drop_shard(ta).to_pandas()
-        rdf = _drop_shard(tb).to_pandas()
-        merged = ldf.merge(
-            rdf, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
-        )
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return _merge_shard(ta, tb, on, right_on, how)
 
     left = left_ds.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
