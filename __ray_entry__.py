@@ -2428,6 +2428,122 @@ FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
 """
 
 
+DEBOUNCE_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events_debounce(sf_dir):
+    """Event debouncing (stream throttling): keep an event only if it is
+    the user's FIRST of its type or arrived more than DEBOUNCE_GAP_US
+    after the previous same-(user, type) event — the gap-since-previous
+    rule (vectorizable and SQL-dual-exact, unlike gap-since-last-KEPT
+    which is a sequential chain). One user-keyed exchange; per-shard
+    lexsort over (user, type-code, ts, event_id) + one gap mask."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def debounce_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table({"event_id": pa.array([], type=pa.int64())})
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(
+            tbl["event_type"].combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, codes, uid))
+        u, c, t, e = uid[order], codes[order], ts[order], eid[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (c[1:] == c[:-1])
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = ~same[1:] | ((t[1:] - t[:-1]) > DEBOUNCE_GAP_US)
+        return pa.table({"event_id": pa.array(np.sort(e[keep]))})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, debounce_shard)
+
+
+EVENTS_DEBOUNCE_ORACLE = f"""
+WITH t AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pt
+  FROM events)
+SELECT event_id FROM t WHERE pt IS NULL OR ts_us - pt > {DEBOUNCE_GAP_US}
+"""
+
+
+NTILE_K = 4
+
+
+def _events_ntile(sf_dir):
+    """Equi-depth bucketing: per event_type, assign each event its
+    NTILE-style quartile by (value, event_id) rank — bucket = ((rank-1)*k)
+    // n + 1 (the exact-integer formula, used identically in the SQL dual
+    instead of ntile()'s remainder-to-front rule). Rides window_rank: one
+    exchange, one lexsort per shard, partition sizes carried along."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    ranked = ops.window_rank(
+        ds, part_col="event_type", order_col="value", tiebreak_col="event_id",
+        rank_col="rk", part_size_col="n", n_shards=16,
+    )
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "rk" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "ntile": pa.array([], type=pa.int64()),
+                }
+            )
+        rk = tbl["rk"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "event_type": tbl["event_type"],
+                "ntile": pa.array((rk - 1) * NTILE_K // n + 1),
+            }
+        )
+
+    return ranked.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_NTILE_ORACLE = f"""
+WITH r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_id, event_type,
+       CAST((rk - 1) * {NTILE_K} // n + 1 AS BIGINT) AS ntile
+FROM r
+"""
+
+
 ELLIPSE = dict(ra=150.0, dec=20.0, a=25.0, b=12.0, angle=40.0, level=7)
 WINDOW_US = 3_600_000_000  # 1 hour
 
@@ -5068,6 +5184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": textfn.vocab_coverage_query,
         "reciprocal_best": _reciprocal_best,
         "events_trimmed": _events_trimmed,
+        "events_debounce": _events_debounce,
+        "events_ntile": _events_ntile,
+        "table_fingerprint": textfn.table_fingerprint_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5193,6 +5312,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": textfn.VOCAB_COVERAGE_ORACLE,
         "reciprocal_best": _reciprocal_best_oracle(),
         "events_trimmed": EVENTS_TRIMMED_ORACLE,
+        "events_debounce": EVENTS_DEBOUNCE_ORACLE,
+        "events_ntile": EVENTS_NTILE_ORACLE,
+        "table_fingerprint": textfn.TABLE_FINGERPRINT_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

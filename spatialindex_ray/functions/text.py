@@ -851,3 +851,94 @@ SELECT d.doc_id,
        CAST(COALESCE(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab
 FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
 """
+
+
+def table_fingerprint_query(sf_dir: str):
+    """Order-invariant whole-table integrity fingerprint — the artifact a
+    resumable pipeline records per stage to verify a retried/recomputed
+    partition reproduced identical content regardless of row order or
+    partitioning: n_rows + XOR and wrapping-SUM (mod 2^64) of each row's
+    64-bit polynomial text fingerprint (fingerprint_batch values). XOR
+    alone cancels duplicate pairs, SUM alone misses swaps — together with
+    the count they make an order/partition-invariant check that is exact
+    in integer arithmetic on both sides. Per-batch partials are one row
+    each; a single reduce folds them (combiners are XOR/ADD — associative
+    and commutative, so any tree shape gives the same answer)."""
+    import ray
+
+    from .. import ops as _ops
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        fps = hashing.poly_hash64_of_column(tbl["text"], base=_FP_BASE)
+        return pa.table(
+            {
+                "shard": pa.array([0], type=pa.int64()),
+                "n_rows": pa.array([len(fps)], type=pa.int64()),
+                "xor_fp": pa.array(
+                    np.array([np.bitwise_xor.reduce(fps)] if len(fps) else [0],
+                             dtype=np.uint64).view(np.int64)
+                ),
+                "sum_fp": pa.array(
+                    np.array([np.sum(fps, dtype=np.uint64)], dtype=np.uint64)
+                    .view(np.int64)
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "n_rows" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "n_rows": pa.array([0], type=pa.int64()),
+                    "xor_fp": pa.array([0], type=pa.int64()),
+                    "sum_fp": pa.array([0], type=pa.int64()),
+                }
+            )
+        x = tbl["xor_fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        s = tbl["sum_fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "n_rows": pa.array(
+                    [int(tbl["n_rows"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "xor_fp": pa.array(
+                    np.array([np.bitwise_xor.reduce(x)], dtype=np.uint64)
+                    .view(np.int64)
+                ),
+                "sum_fp": pa.array(
+                    np.array([np.sum(s, dtype=np.uint64)], dtype=np.uint64)
+                    .view(np.int64)
+                ),
+            }
+        )
+
+    return _ops.hash_exchange(parts, "shard", 1, fold)
+
+
+TABLE_FINGERPRINT_ORACLE = f"""
+WITH h AS (
+  SELECT CASE WHEN length(text) = 0 THEN CAST(1 AS HUGEINT)
+         ELSE list_reduce(
+           list_prepend(CAST(1 AS HUGEINT),
+             list_transform(string_split(text, ''),
+                            c -> CAST(unicode(c) AS HUGEINT))),
+           (a, b) -> (a * {int(_FP_BASE)} + b) % 18446744073709551616)
+    END AS hv
+  FROM documents),
+f AS (
+  SELECT hv,
+         CAST(hv - CASE WHEN hv >= 9223372036854775808
+                        THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS hi
+  FROM h)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(bit_xor(hi), 0) AS BIGINT) AS xor_fp,
+       CAST((sum(hv) % 18446744073709551616)
+            - CASE WHEN (sum(hv) % 18446744073709551616) >= 9223372036854775808
+                   THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sum_fp
+FROM f
+"""

@@ -392,6 +392,9 @@ def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
 
     @ray.remote
     def _reduce(*parts):
+        # n_shards == 1: Ray does NOT unpack a num_returns=1 task's tuple,
+        # so each part arrives as a 1-tuple of Table — unwrap it
+        parts = tuple(p[0] if isinstance(p, tuple) else p for p in parts)
         nonempty = [p for p in parts if len(p)]
         if not nonempty:
             # empty shard: hand shard_fn the widest-schema empty slice so
@@ -898,6 +901,9 @@ def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
 
     @ray.remote
     def _reduce(n_a, *parts):
+        # n_shards == 1: unwrap the 1-tuples a num_returns=1 task returns
+        parts = tuple(p[0] if isinstance(p, tuple) else p for p in parts)
+
         def cat(ps):
             # drop schema-less empties (groupby artifacts); if ALL pieces
             # are schema-less the side is truly empty — keep one so the
