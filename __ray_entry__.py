@@ -2070,6 +2070,41 @@ FROM events GROUP BY event_type
 """
 
 
+def _hll_registers(sf_dir):
+    """The HLL sketch's REGISTER STATE per event type — (event_type, reg,
+    max_rho) — which is EXACT integer data even though the cardinality
+    estimate derived from it is approximate: the oracle recomputes
+    splitmix64, the register index (top b bits) and rho (leading-zero
+    count via bin()-string length) in SQL and must match bit-for-bit.
+    This closes the sketch-verification loop: events_user_hll stays the
+    honest approximate estimate; its underlying state is oracled here."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return ops.hll_registers(ds, "event_type", "user_id")
+
+
+def _hll_registers_oracle():
+    b = ops._HLL_B
+    sm = _sql_splitmix64("CAST(user_id AS HUGEINT)")
+    reg_div = 1 << (64 - b)
+    mul = 1 << b
+    sentinel = (1 << b) - 1
+    return f"""
+WITH h AS (SELECT event_type, {sm} AS hv FROM events),
+r AS (SELECT event_type,
+        CAST(hv // {reg_div} AS BIGINT) AS reg,
+        CAST(64 - length(bin(CAST((hv * {mul}) % 18446744073709551616
+                                  + {sentinel} AS UBIGINT))) + 1
+             AS BIGINT) AS rho
+      FROM h)
+SELECT event_type, reg, CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY 1, 2
+"""
+
+
 def _events_user_hll(sf_dir):
     """Approximate distinct users per event type via a mergeable HyperLogLog
     sketch (ops.hll_distinct) — the sketch-aggregate pattern for cardinality
@@ -5187,6 +5222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": _events_debounce,
         "events_ntile": _events_ntile,
         "table_fingerprint": textfn.table_fingerprint_query,
+        "hll_registers": _hll_registers,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5315,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
         "events_debounce": EVENTS_DEBOUNCE_ORACLE,
         "events_ntile": EVENTS_NTILE_ORACLE,
         "table_fingerprint": textfn.TABLE_FINGERPRINT_ORACLE,
+        "hll_registers": _hll_registers_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

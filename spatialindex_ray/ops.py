@@ -1773,14 +1773,30 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def hll_distinct(ds, group_col: str, key_col: str, b: int = _HLL_B):
-    """Approximate per-group COUNT(DISTINCT key) via a HyperLogLog sketch —
-    the mergeable-sketch pattern: per-batch partial registers, one
-    groupby-max shuffle of (group, register, rho) bounded by
-    groups x 2^b rows (never by row count), final estimate per group.
-    Standard error ~ 1.04/sqrt(2^b). Flajolet small-range (linear counting)
-    correction included; accuracy vs exact asserted in tests."""
-    m = 1 << b
+def hll_registers(ds, group_col: str, key_col: str, b: int = _HLL_B):
+    """The HyperLogLog REGISTER STATE per group — (group, reg, max_rho) —
+    exposed as its own operator because the registers are exact integers:
+    a SQL dual can recompute them bit-for-bit (splitmix64 + leading-zero
+    count), making the sketch itself oracle-verifiable even though the
+    cardinality ESTIMATE derived from it is approximate. Same partial +
+    groupby-max shuffle as hll_distinct, bounded by groups x 2^b rows."""
+    regs = _hll_partial_registers(ds, group_col, key_col, b)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "reg": pa.array([], pa.int64()),
+                    "max_rho": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns([group_col, "reg", "max_rho"])
+
+    return regs.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _hll_partial_registers(ds, group_col: str, key_col: str, b: int):
 
     def partial(tbl: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1811,11 +1827,23 @@ def hll_distinct(ds, group_col: str, key_col: str, b: int = _HLL_B):
         g = df.groupby([group_col, "reg"], as_index=False)["rho"].max()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    regs = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby([group_col, "reg"])
         .max("rho")
     )
+
+
+def hll_distinct(ds, group_col: str, key_col: str, b: int = _HLL_B):
+    """Approximate per-group COUNT(DISTINCT key) via a HyperLogLog sketch —
+    the mergeable-sketch pattern: per-batch partial registers, one
+    groupby-max shuffle of (group, register, rho) bounded by
+    groups x 2^b rows (never by row count), final estimate per group.
+    Standard error ~ 1.04/sqrt(2^b). Flajolet small-range (linear counting)
+    correction included; accuracy vs exact asserted in tests. The register
+    state itself is exact and SQL-dual-verifiable — see hll_registers."""
+    m = 1 << b
+    regs = _hll_partial_registers(ds, group_col, key_col, b)
 
     def estimate(df):
         import pandas as pd
