@@ -4673,7 +4673,7 @@ FROM c, unnest(range(0, nc)) AS u(i)
 SPAN_W = 8
 
 
-def _span_dedup(sf_dir):
+def _span_dedup(sf_dir, n_shards: int = 32):
     """Span-level exact dedup + reconstruction — the C4/CCNet line-dedup
     operator expressed over consecutive SPAN_W-token spans (the synthetic
     corpus has no newlines): each distinct span text survives only at its
@@ -4699,7 +4699,6 @@ def _span_dedup(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     W = SPAN_W
-    n_shards = 32
 
     def cut_spans(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

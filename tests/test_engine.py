@@ -1121,3 +1121,16 @@ def test_pagerank_int_shard_invariance_and_brute(ray_session):
             s[v] += r[u] // deg[u]
         r = 150_000 + (s * 17) // 20
     assert a["pr_units"].to_numpy().tolist() == r.tolist()
+
+
+def test_span_dedup_shard_invariance(ray_session):
+    """span_dedup output must not depend on the exchange shard count."""
+    import __ray_entry__ as entry
+
+    def run(ns):
+        return (
+            entry._span_dedup(SF, n_shards=ns)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    assert run(8).equals(run(19))
