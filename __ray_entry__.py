@@ -5222,6 +5222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _events_ntile,
         "table_fingerprint": textfn.table_fingerprint_query,
         "hll_registers": _hll_registers,
+        "video_scene_cuts": multimodal.video_scene_cuts_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5351,6 +5352,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ntile": EVENTS_NTILE_ORACLE,
         "table_fingerprint": textfn.TABLE_FINGERPRINT_ORACLE,
         "hll_registers": _hll_registers_oracle(),
+        "video_scene_cuts": multimodal.VIDEO_SCENE_CUTS_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

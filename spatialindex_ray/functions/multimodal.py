@@ -725,3 +725,93 @@ SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
                            ELSE 1::BIGINT << idx END) AS ahash
 FROM bits GROUP BY doc_id
 """
+
+
+SCENE_FRAME_BYTES = 64
+SCENE_CUT_THRESHOLD = 3000
+
+
+class FrameDiff:
+    """Actor-pool stage: byte-stream payload -> scene-cut count. Frames are
+    consecutive SCENE_FRAME_BYTES-byte windows (trailing partial frame
+    dropped); a cut is a consecutive-frame pair whose integer byte-sum
+    difference exceeds SCENE_CUT_THRESHOLD — the cheap luminance-delta
+    shot-boundary heuristic, in exact integers so the distributed result
+    hashes against SQL. Decode + reshape + one vectorized diff per
+    payload."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        F = SCENE_FRAME_BYTES
+        n_cuts = np.zeros(len(ids), dtype=np.int64)
+        n_full = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            raw = np.frombuffer(payload[i].as_py(), dtype=np.uint8)
+            k = len(raw) // F
+            n_full[i] = k
+            if k < 2:
+                continue
+            sums = raw[: k * F].reshape(k, F).astype(np.int64).sum(axis=1)
+            n_cuts[i] = int(
+                (np.abs(np.diff(sums)) > SCENE_CUT_THRESHOLD).sum()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_frames_full": pa.array(n_full),
+                "n_cuts": pa.array(n_cuts),
+            }
+        )
+
+
+def video_scene_cuts_query(sf_dir: str):
+    """Scene-cut detection over deterministic per-doc byte streams (byte j
+    of doc d = (d*13 + j) % 251, length 256 + d % 1000 — position-stable
+    per doc regardless of batching, unlike the length-only video_frames
+    synth). The whole frame-sum/diff arithmetic is SQL-reconstructible, so
+    the shot-boundary pipeline gets an exact oracle."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            n = 256 + int(did) % 1000
+            j = np.arange(n, dtype=np.int64)
+            payloads.append(((int(did) * 13 + j) % 251).astype(np.uint8).tobytes())
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        FrameDiff,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+VIDEO_SCENE_CUTS_ORACLE = f"""
+WITH d AS (SELECT doc_id, 256 + doc_id % 1000 AS len FROM documents),
+f AS (SELECT doc_id, len // {SCENE_FRAME_BYTES} AS k FROM d),
+s AS (
+  SELECT f.doc_id, fr.i AS frame_i,
+         sum((f.doc_id * 13 + fr.i * {SCENE_FRAME_BYTES} + b.j) % 251) AS fsum
+  FROM f, unnest(range(0, k)) AS fr(i),
+       unnest(range(0, {SCENE_FRAME_BYTES})) AS b(j)
+  GROUP BY 1, 2),
+dd AS (
+  SELECT doc_id, frame_i, fsum,
+         lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_i) AS prev
+  FROM s)
+SELECT f.doc_id, CAST(f.k AS BIGINT) AS n_frames_full,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cuts
+FROM f LEFT JOIN (
+  SELECT doc_id, count(*) AS n FROM dd
+  WHERE prev IS NOT NULL AND abs(fsum - prev) > {SCENE_CUT_THRESHOLD}
+  GROUP BY doc_id) c ON f.doc_id = c.doc_id
+"""
