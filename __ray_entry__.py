@@ -2463,6 +2463,229 @@ FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
 """
 
 
+FOLLOWUP_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def _signup_no_purchase(sf_dir):
+    """Temporal ANTI-join: signup events with NO purchase by the same user
+    inside the following 24 h — the churn/abandonment complement of
+    funnel_conversion (an anti shape merge_asof cannot express). One
+    user-keyed two-sided exchange; per shard the purchases' timestamps
+    sort once and each user's signups answer with two vectorized
+    searchsorteds (window occupancy test) — no pair materialization."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_shards = 32
+
+    def keyed_signups(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.equal(tbl["event_type"], "signup"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "o_orderkey": t["event_id"],
+                "key": t["user_id"],
+                "t_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def keyed_purchases(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.equal(tbl["event_type"], "purchase"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "key": t["user_id"],
+                "e_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def anti_shard(to: pa.Table, te: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64())})
+        if to.num_rows == 0 or "o_orderkey" not in to.schema.names:
+            return empty
+        ok = to["o_orderkey"].to_numpy(zero_copy_only=False)
+        okey = to["key"].to_numpy(zero_copy_only=False)
+        ots = to["t_us"].to_numpy(zero_copy_only=False)
+        if te.num_rows == 0 or "e_us" not in te.schema.names:
+            return pa.table({"event_id": pa.array(np.sort(ok))})
+        ekey = te["key"].to_numpy(zero_copy_only=False)
+        ets = te["e_us"].to_numpy(zero_copy_only=False)
+        eorder = np.lexsort((ets, ekey))
+        ek, et = ekey[eorder], ets[eorder]
+        # orders grouped by user; per USER run (not per order) one pair of
+        # vectorized searchsorteds over that user's sorted event slice —
+        # the Python loop is bounded by distinct users in the shard
+        oorder = np.lexsort((ots, okey))
+        ok_s, okey_s, ots_s = ok[oorder], okey[oorder], ots[oorder]
+        runs = np.flatnonzero(
+            np.concatenate(([True], okey_s[1:] != okey_s[:-1]))
+        )
+        bounds = np.append(runs, len(okey_s))
+        has = np.zeros(len(ok_s), dtype=bool)
+        for ri in range(len(runs)):
+            a, z = bounds[ri], bounds[ri + 1]
+            u = okey_s[a]
+            elo = np.searchsorted(ek, u, side="left")
+            ehi = np.searchsorted(ek, u, side="right")
+            if elo == ehi:
+                continue
+            sl = et[elo:ehi]
+            lo_t = np.searchsorted(sl, ots_s[a:z], side="right")
+            hi_t = np.searchsorted(
+                sl, ots_s[a:z] + FOLLOWUP_WINDOW_US, side="right"
+            )
+            has[a:z] = hi_t > lo_t
+        return pa.table({"event_id": pa.array(np.sort(ok_s[~has]))})
+
+    o = ev.map_batches(keyed_signups, batch_format="pyarrow", batch_size=None)
+    e = ev.map_batches(keyed_purchases, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange2(o, e, "shard", "shard", n_shards, anti_shard)
+
+
+SIGNUP_NO_PURCHASE_ORACLE = f"""
+SELECT s.event_id FROM events s
+WHERE s.event_type = 'signup' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+    AND epoch_us(p.ts) > epoch_us(s.ts)
+    AND epoch_us(p.ts) <= epoch_us(s.ts) + {FOLLOWUP_WINDOW_US})
+"""
+
+
+def _dup_size_hist(sf_dir):
+    """Two-level aggregation: histogram of exact-duplicate GROUP SIZES
+    (how many texts appear once, twice, ...) — the dedup-audit summary.
+    Level 1: per-hash counts (partial value_counts -> groupby-sum); level
+    2: counts of counts (another partial -> tiny groupby); the second
+    shuffle is bounded by the number of DISTINCT sizes."""
+    import ray
+
+    from spatialindex_ray.kernels import hashing
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def hash_batch(tbl: pa.Table) -> pa.Table:
+        hs = (
+            hashing.sha1_pairs_of_column(tbl["text"])[:, 0] >> np.uint64(1)
+        ).astype(np.int64)
+        uniq, cnt = np.unique(hs, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    per_hash = (
+        ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .sum("partial")
+    )
+
+    def size_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {
+                    "group_size": pa.array([], type=pa.int64()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        sizes = tbl.column(1).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "group_size": pa.array(uniq.astype(np.int64)),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        per_hash.map_batches(size_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("group_size")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {
+                    "group_size": pa.array([], type=pa.int64()),
+                    "n_groups": pa.array([], type=pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["group_size", "n_groups"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+DUP_SIZE_HIST_ORACLE = """
+WITH g AS (SELECT text, CAST(count(*) AS BIGINT) AS group_size
+           FROM documents GROUP BY text)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY group_size
+"""
+
+
+def _revenue_share(sf_dir):
+    """Percent-of-total window: each region's share of global revenue in
+    exact parts-per-million (share_ppm = region_cents * 1e6 // total) —
+    the ratio-to-report aggregate with zero float hazard. The per-region
+    cents reuse the broadcast-join rollup; the single global total rides
+    along as one broadcast scalar."""
+    import ray
+
+    base = _revenue_by_region(sf_dir).materialize()
+    total = int(
+        sum(
+            b["revenue_cents"].to_numpy(zero_copy_only=False).sum()
+            for b in base.iter_batches(batch_format="pyarrow", batch_size=None)
+            if "revenue_cents" in b.schema.names
+        )
+    )
+
+    def share(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "revenue_cents" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "r_name": pa.array([], type=pa.string()),
+                    "revenue_cents": pa.array([], type=pa.int64()),
+                    "share_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        cents = tbl["revenue_cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": tbl["r_name"],
+                "revenue_cents": tbl["revenue_cents"],
+                "share_ppm": pa.array(cents * 1_000_000 // total),
+            }
+        )
+
+    return base.map_batches(share, batch_format="pyarrow", batch_size=None)
+
+
+REVENUE_SHARE_ORACLE = """
+WITH r AS (
+  SELECT r_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name)
+SELECT r_name, revenue_cents,
+       CAST(revenue_cents * 1000000 // (SELECT sum(revenue_cents) FROM r)
+            AS BIGINT) AS share_ppm
+FROM r
+"""
+
+
 DEBOUNCE_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -5223,6 +5446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_fingerprint": textfn.table_fingerprint_query,
         "hll_registers": _hll_registers,
         "video_scene_cuts": multimodal.video_scene_cuts_query,
+        "signup_no_purchase": _signup_no_purchase,
+        "dup_size_hist": _dup_size_hist,
+        "revenue_share": _revenue_share,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5353,6 +5579,9 @@ def oracle_sql() -> dict[str, str]:
         "table_fingerprint": textfn.TABLE_FINGERPRINT_ORACLE,
         "hll_registers": _hll_registers_oracle(),
         "video_scene_cuts": multimodal.VIDEO_SCENE_CUTS_ORACLE,
+        "signup_no_purchase": SIGNUP_NO_PURCHASE_ORACLE,
+        "dup_size_hist": DUP_SIZE_HIST_ORACLE,
+        "revenue_share": REVENUE_SHARE_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -268,7 +268,8 @@ def run_suite() -> dict:
         "snapshot_diff", "cell_bbox", "tile_top_docs", "normalized_dedup",
         "vocab_coverage", "reciprocal_best", "events_trimmed",
         "events_debounce", "events_ntile", "table_fingerprint",
-        "hll_registers", "video_scene_cuts",
+        "hll_registers", "video_scene_cuts", "signup_no_purchase",
+        "dup_size_hist", "revenue_share",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
