@@ -2686,6 +2686,163 @@ FROM r
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def _kmeans_int(sf_dir):
+    """Iterative ML on Ray Data with a bit-exact SQL dual: k-means over the
+    embeddings table in EXACT integer micro-units — vectors quantize once
+    to round(v * 1e6) int64; distances are integer sums of squares; the
+    argmin tie-breaks to the lowest centroid id (np.argmin first-hit ==
+    SQL ORDER BY d2, cid); centroid updates are TRUNCATING integer means
+    (DuckDB // truncates toward zero — mirrored explicitly, numpy floors);
+    clusters that lose all members drop out. KMEANS_ITERS unrolled
+    iterations, deterministic init (centroids = vec_id 0..K-1).
+
+    Scale shape per iteration: centroids (K x dim ints — plan-sized)
+    broadcast via ray.put; each batch computes one vectorized (B, K, dim)
+    distance block and collapses to K x dim partial sums + K counts; one
+    tiny groupby; the driver holds only the K x dim centroid state —
+    the canonical distributed k-means loop."""
+    import ray
+
+    def quantize(tbl: pa.Table) -> pa.Table:
+        emb = tbl["embedding"].combine_chunks()
+        # float32 storage -> float64 FIRST (DuckDB widens to DOUBLE before
+        # the multiply; numpy float32 * scalar would stay float32)
+        flat = np.round(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1_000_000.0
+        ).astype(np.int64)
+        m = flat.reshape(len(tbl), KMEANS_DIM)
+        return pa.table(
+            {
+                "vec_id": tbl["vec_id"],
+                "m": pa.array(list(m), type=pa.list_(pa.int64(), KMEANS_DIM)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow", batch_size=None).materialize()
+
+    # deterministic init: the first K vec_ids' quantized vectors
+    init_rows = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sel = ids < KMEANS_K
+        if sel.any():
+            mm = b["m"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ).reshape(len(ids), KMEANS_DIM)
+            for i in np.flatnonzero(sel):
+                init_rows.append((int(ids[i]), mm[i].copy()))
+    init_rows.sort()
+    cids = np.array([r[0] for r in init_rows], dtype=np.int64)
+    cents = np.stack([r[1] for r in init_rows])
+
+    def assign_batch(tbl: pa.Table, cids, cents) -> tuple:
+        mm = tbl["m"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).reshape(len(tbl), KMEANS_DIM)
+        d2 = ((mm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)  # first hit == lowest centroid id on ties
+        return mm, a
+
+    for _ in range(KMEANS_ITERS):
+        cref = ray.put((cids, cents))
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            ci, ce = ray.get(cref)
+            mm, a = assign_batch(tbl, ci, ce)
+            k = len(ci)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, KMEANS_DIM), dtype=np.int64)
+            np.add.at(sums, a, mm)
+            rows = np.flatnonzero(cnt > 0)
+            return pa.table(
+                {
+                    "cid": pa.array(ci[rows]),
+                    "cnt": pa.array(cnt[rows]),
+                    "s": pa.array(
+                        list(sums[rows]), type=pa.list_(pa.int64(), KMEANS_DIM)
+                    ),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        agg: dict[int, tuple] = {}
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows == 0 or "cid" not in b.schema.names:
+                continue
+            bc = b["cid"].to_numpy(zero_copy_only=False)
+            bn = b["cnt"].to_numpy(zero_copy_only=False)
+            bs = b["s"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ).reshape(len(bc), KMEANS_DIM)
+            for i in range(len(bc)):
+                c = int(bc[i])
+                if c in agg:
+                    n0, s0 = agg[c]
+                    agg[c] = (n0 + int(bn[i]), s0 + bs[i])
+                else:
+                    agg[c] = (int(bn[i]), bs[i].copy())
+        new_cids = np.array(sorted(agg), dtype=np.int64)
+        new_cents = np.empty((len(new_cids), KMEANS_DIM), dtype=np.int64)
+        for j, c in enumerate(new_cids):
+            n, s = agg[int(c)]
+            # DuckDB // truncates toward zero; numpy floors — mirror trunc
+            new_cents[j] = np.where(s >= 0, s // n, -((-s) // n))
+        cids, cents = new_cids, new_cents
+
+    cref = ray.put((cids, cents))
+
+    def final_assign(tbl: pa.Table) -> pa.Table:
+        ci, ce = ray.get(cref)
+        _, a = assign_batch(tbl, ci, ce)
+        return pa.table(
+            {"vec_id": tbl["vec_id"], "cluster_id": pa.array(ci[a])}
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow", batch_size=None)
+
+
+def _kmeans_int_oracle():
+    k, dim = KMEANS_K, KMEANS_DIM
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, CAST(d.i AS BIGINT) AS i,
+         CAST(round(embedding[d.i + 1] * 1000000) AS BIGINT) AS m
+  FROM embeddings, unnest(range(0, {dim})) AS d(i)),
+c0 AS (SELECT vec_id AS cid, i, m FROM q WHERE vec_id < {k})"""
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+a{it} AS (
+  SELECT q.vec_id, c.cid, sum((q.m - c.m) * (q.m - c.m)) AS d2
+  FROM q JOIN {prev} c USING (i) GROUP BY 1, 2),
+s{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM a{it}) WHERE rk = 1),
+c{it} AS (
+  SELECT s.cid, q.i, CAST(sum(q.m) // count(*) AS BIGINT) AS m
+  FROM q JOIN s{it} s USING (vec_id) GROUP BY 1, 2)"""
+        prev = f"c{it}"
+    sql += f""",
+af AS (
+  SELECT q.vec_id, c.cid, sum((q.m - c.m) * (q.m - c.m)) AS d2
+  FROM q JOIN {prev} c USING (i) GROUP BY 1, 2)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM af) WHERE rk = 1"""
+    return sql
+
+
 DEBOUNCE_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -5449,6 +5606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_no_purchase": _signup_no_purchase,
         "dup_size_hist": _dup_size_hist,
         "revenue_share": _revenue_share,
+        "kmeans_int": _kmeans_int,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5582,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "signup_no_purchase": SIGNUP_NO_PURCHASE_ORACLE,
         "dup_size_hist": DUP_SIZE_HIST_ORACLE,
         "revenue_share": REVENUE_SHARE_ORACLE,
+        "kmeans_int": _kmeans_int_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
