@@ -2686,6 +2686,89 @@ FROM r
 """
 
 
+DBSCAN_R_DEG = 5.0
+DBSCAN_MINPTS = 3
+
+
+def _dbscan_core(sf_dir):
+    """DBSCAN core-point clustering on the sphere: core = docs with >=
+    DBSCAN_MINPTS other docs within DBSCAN_R_DEG; clusters = connected
+    components of the core-core proximity graph (border/noise points
+    excluded by spec — the core skeleton IS DBSCAN's cluster structure).
+    Pure composition of engine primitives, no new shuffle machinery:
+    radius_join (coarse-routed pair stream, materialized once and consumed
+    three times), one tiny count groupby, two exchange semi-joins, and
+    connected_components min-label propagation."""
+    import ray
+
+    enc = _docs_encoded(sf_dir)
+    pairs = ops.radius_join(enc, enc, DBSCAN_R_DEG, n_shards=64)
+
+    def drop_self(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.invert(pc.equal(tbl["left_id"], tbl["right_id"])))
+
+    pairs = pairs.map_batches(
+        drop_self, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["left_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"left_id": pa.array(uniq), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        pairs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("left_id")
+        .sum("partial")
+    )
+
+    def core_only(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        ids = tbl.column(0).to_numpy(zero_copy_only=False)
+        n = tbl.column(1).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[n >= DBSCAN_MINPTS])})
+
+    core = counts.map_batches(
+        core_only, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    e1 = ops.equi_join(pairs, core, on="left_id", right_on="doc_id", how="semi")
+    e2 = ops.equi_join(e1, core, on="right_id", right_on="doc_id", how="semi")
+    return ops.connected_components(e2, core, node_col="doc_id")
+
+
+def _dbscan_core_oracle():
+    s = math.sin(DBSCAN_R_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    body = (
+        _xyz_sql()
+        + f""",
+pr AS (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)}),
+cnt AS (SELECT l AS id, count(*) AS c FROM pr GROUP BY 1),
+core AS (SELECT id FROM cnt WHERE c >= {DBSCAN_MINPTS}),
+e AS (SELECT l AS a, r AS b FROM pr
+      WHERE l IN (SELECT id FROM core) AND r IN (SELECT id FROM core)),
+walk(node, reach) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+    )
+    return body.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 KMEANS_K = 4
 KMEANS_ITERS = 2
 KMEANS_DIM = 64
@@ -5607,6 +5690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_hist": _dup_size_hist,
         "revenue_share": _revenue_share,
         "kmeans_int": _kmeans_int,
+        "dbscan_core": _dbscan_core,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5741,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_size_hist": DUP_SIZE_HIST_ORACLE,
         "revenue_share": REVENUE_SHARE_ORACLE,
         "kmeans_int": _kmeans_int_oracle(),
+        "dbscan_core": _dbscan_core_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
