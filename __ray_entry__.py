@@ -2686,6 +2686,90 @@ FROM r
 """
 
 
+def _anomaly_days(sf_dir):
+    """Burst/anomaly detection: per event_type, the days whose event count
+    strictly exceeds the type's median daily count (exact LOWER median —
+    integer selection, no float percentile; the synthetic stream is
+    near-uniform, so a 2x-median rule would be vacuously empty). Daily counts pre-aggregate per batch;
+    the (types x days) count table is CALENDAR-BOUNDED (plan-sized at any
+    corpus scale), so the median thresholds legitimately compute at the
+    driver and broadcast back into the filter."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "day_num": day,
+            }
+        )
+        g = df.groupby(["event_type", "day_num"], as_index=False).size()
+        g = g.rename(columns={"size": "partial"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "day_num"])
+        .sum("partial")
+    ).materialize()
+
+    import pandas as pd
+
+    frames = [
+        b.to_pandas()
+        for b in daily.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    dc = pd.concat(frames, ignore_index=True)
+    dc.columns = ["event_type", "day_num", "n"]
+    med = {
+        t: int(np.sort(sub["n"].to_numpy())[(len(sub) - 1) // 2])
+        for t, sub in dc.groupby("event_type")
+    }
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "day_num": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        t = tbl.rename_columns(["event_type", "day_num", "n_events"])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        thr = np.array([med[x] for x in et], dtype=np.int64)
+        return t.filter(pa.array(n > thr))
+
+    return daily.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+ANOMALY_DAYS_ORACLE = """
+WITH dc AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, n AS med FROM (
+    SELECT event_type, n,
+           row_number() OVER (PARTITION BY event_type ORDER BY n) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dc) WHERE rk = (cnt + 1) // 2)
+SELECT dc.event_type, dc.day_num, dc.n AS n_events
+FROM dc JOIN med USING (event_type)
+WHERE dc.n > med.med
+"""
+
+
 DBSCAN_R_DEG = 5.0
 DBSCAN_MINPTS = 3
 
@@ -5691,6 +5775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share": _revenue_share,
         "kmeans_int": _kmeans_int,
         "dbscan_core": _dbscan_core,
+        "top_bigrams": textfn.top_bigrams_query,
+        "anomaly_days": _anomaly_days,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5826,6 +5912,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_share": REVENUE_SHARE_ORACLE,
         "kmeans_int": _kmeans_int_oracle(),
         "dbscan_core": _dbscan_core_oracle(),
+        "top_bigrams": textfn.TOP_BIGRAMS_ORACLE,
+        "anomaly_days": ANOMALY_DAYS_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

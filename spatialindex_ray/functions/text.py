@@ -942,3 +942,74 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sum_fp
 FROM f
 """
+
+
+TOP_BIGRAMS_K = 20
+
+
+def top_bigrams_query(sf_dir: str, k: int = TOP_BIGRAMS_K):
+    """Global top-k token BIGRAMS (collocation mining): adjacent-token
+    pairs within each doc, counted corpus-wide, ties broken by bigram
+    text. Bigram strings build vectorized — one elementwise binary join
+    over the flat token array shifted by one, with cross-document seams
+    masked out via the row offsets; per-batch value_counts shrink the
+    shuffle to near-vocabulary-squared-but-observed size before the keyed
+    aggregate."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat, offsets = _token_segments(tbl["text"])
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "partial_n": pa.array([], type=pa.int64()),
+                }
+            )
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        )
+        # drop seams: position i pairs token i with i+1 — invalid when i+1
+        # is the first token of the next doc (i+1 in offsets[1:-1])
+        keep = np.ones(len(pairs), dtype=bool)
+        seam = offsets[1:-1] - 1
+        keep[seam[(seam >= 0) & (seam < len(pairs))]] = False
+        pairs = pairs.filter(pa.array(keep))
+        vc = pairs.value_counts()
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bigram")
+        .sum("partial_n")
+    )
+    out = counts.sort(["sum(partial_n)", "bigram"], descending=[True, False]).limit(k)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["bigram", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+TOP_BIGRAMS_ORACLE = rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+g AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM w, unnest(range(1, greatest(CAST(length(ws) AS BIGINT), 1))) AS t(i))
+SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
+"""
