@@ -2686,6 +2686,63 @@ FROM r
 """
 
 
+BFS_ITERS = 3
+
+
+def _bfs_hops(sf_dir):
+    """Bounded-depth BFS over the spatial proximity graph: minimum hop
+    count (<= BFS_ITERS) from the seed set doc_id % 100 == 0, over directed
+    edges = ordered doc pairs within JOIN_RADIUS_DEG (self-loops dropped).
+    The third iterative-graph operator family (CC = components, PageRank =
+    weighted propagation, BFS = distance), all sharing the pre-tagged
+    materialized-edges exchange loop; exact integers, unrolled SQL dual."""
+    import ray
+
+    enc = _docs_encoded(sf_dir)
+    pairs = ops.radius_join(enc, enc, JOIN_RADIUS_DEG, n_shards=64)
+
+    def drop_self(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.invert(pc.equal(tbl["left_id"], tbl["right_id"])))
+
+    edges = pairs.map_batches(drop_self, batch_format="pyarrow", batch_size=None)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def seed_filter(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids % 100 == 0))
+
+    seeds = docs.map_batches(seed_filter, batch_format="pyarrow", batch_size=None)
+    return ops.bfs_hops(edges, seeds, iters=BFS_ITERS)
+
+
+def _bfs_hops_oracle():
+    s = math.sin(JOIN_RADIUS_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    sql = (
+        _xyz_sql()
+        + f""",
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)}),
+r0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS h
+       FROM documents WHERE doc_id % 100 = 0)"""
+    )
+    for k in range(1, BFS_ITERS + 1):
+        p = f"r{k-1}"
+        sql += f""",
+n{k} AS (SELECT e.dst AS node, {p}.h + 1 AS h
+  FROM e JOIN {p} ON e.src = {p}.node),
+r{k} AS (SELECT node, CAST(min(h) AS BIGINT) AS h FROM (
+  SELECT * FROM {p} UNION ALL SELECT * FROM n{k}) GROUP BY node)"""
+    return sql + f"\nSELECT node AS doc_id, h AS hops FROM r{BFS_ITERS}"
+
+
 def _anomaly_days(sf_dir):
     """Burst/anomaly detection: per event_type, the days whose event count
     strictly exceeds the type's median daily count (exact LOWER median —
@@ -5777,6 +5834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_core": _dbscan_core,
         "top_bigrams": textfn.top_bigrams_query,
         "anomaly_days": _anomaly_days,
+        "bfs_hops": _bfs_hops,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5914,6 +5972,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_core": _dbscan_core_oracle(),
         "top_bigrams": textfn.TOP_BIGRAMS_ORACLE,
         "anomaly_days": ANOMALY_DAYS_ORACLE,
+        "bfs_hops": _bfs_hops_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -2432,6 +2432,98 @@ def pagerank_int(
     return ranks.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+def bfs_hops(
+    edges_ds,
+    seeds_ds,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    node_col: str = "doc_id",
+    iters: int = 3,
+    n_shards: int = 32,
+):
+    """Bounded-depth BFS: minimum hop count from a SEED SET over a directed
+    edge list, ``iters`` expansion rounds (nodes further than ``iters``
+    hops are absent — callers choose the bound; an unbounded variant is
+    connected_components' convergence loop). Exact integers, so the result
+    is bit-identical to an unrolled SQL dual.
+
+    Scale shape per round (the CC/pagerank pattern): edges pre-tagged by
+    src and materialized ONCE; one two-sided exchange joins the current
+    (node, hop) frontier onto the edge partition (only (dst, hop+1) pairs
+    leave), then a min-combine exchange merges them into the label set —
+    only (node, hop) pairs ever shuffle."""
+    import pandas as pd
+
+    def as_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(a),
+                "dst": pa.array(b),
+                "_shard": pa.array(((a % np.int64(n_shards)) + n_shards) % n_shards),
+            }
+        )
+
+    edges = edges_ds.map_batches(
+        as_edges, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def as_seeds(tbl: pa.Table) -> pa.Table:
+        n = tbl[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(n), "hop": pa.array(np.zeros(len(n), np.int64))}
+        )
+
+    labels = seeds_ds.map_batches(
+        as_seeds, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def expand_shard(te: pa.Table, tl: pa.Table) -> pa.Table:
+        if "src" not in te.schema.names or "node" not in tl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "hop": pa.array([], pa.int64())}
+            )
+        e = _drop_shard(te).to_pandas()
+        l = _drop_shard(tl).to_pandas()
+        m = e.merge(l, left_on="src", right_on="node")
+        return pa.table(
+            {
+                "node": pa.array(m["dst"].to_numpy(dtype=np.int64)),
+                "hop": pa.array(m["hop"].to_numpy(dtype=np.int64) + 1),
+            }
+        )
+
+    def min_by_node(tbl: pa.Table) -> pa.Table:
+        t = _drop_shard(tbl)
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "hop": pa.array([], pa.int64())}
+            )
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["hop"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, n))
+        n, h = n[order], h[order]
+        heads = np.concatenate(([True], n[1:] != n[:-1]))
+        return pa.table({"node": pa.array(n[heads]), "hop": pa.array(h[heads])})
+
+    for _ in range(iters):
+        lt = labels.map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        cand = hash_exchange2(edges, lt, "_shard", "_shard", n_shards, expand_shard)
+        tagged = labels.union(cand).map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        labels = hash_exchange(tagged, "_shard", n_shards, min_by_node).materialize()
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({node_col: tbl["node"], "hops": tbl["hop"]})
+
+    return labels.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
 # ----------------------------------------------------------------- pivot
 def pivot(
     ds,
