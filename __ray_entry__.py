@@ -2686,6 +2686,110 @@ FROM r
 """
 
 
+def _embedding_simhash_oracle():
+    sm = _sql_splitmix64("CAST(bb.b * 64 + ii.i AS HUGEINT)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(d.i AS BIGINT) AS i,
+         CAST(round(embedding[d.i + 1] * 1000000) AS BIGINT) AS m
+  FROM embeddings, unnest(range(0, 64)) AS d(i)),
+w AS (
+  SELECT CAST(bb.b AS BIGINT) AS b, CAST(ii.i AS BIGINT) AS i,
+         CASE WHEN ({sm}) % 2 = 1 THEN 1 ELSE -1 END AS w
+  FROM unnest(range(0, 64)) AS bb(b), unnest(range(0, 64)) AS ii(i)),
+bits AS (
+  SELECT q.vec_id, w.b,
+         CASE WHEN sum(q.m * w.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM q JOIN w USING (i) GROUP BY 1, 2)
+SELECT vec_id,
+       bit_or(CASE WHEN bit = 0 THEN 0
+                   WHEN b = 63 THEN (-9223372036854775807 - 1)
+                   ELSE 1::BIGINT << b END) AS esimhash
+FROM bits GROUP BY vec_id
+"""
+
+
+def _top_doc_texts(sf_dir):
+    """Winner-payload retrieval: the TOP_DOCS_K longest docs per language
+    WITH their text payloads — the step after any group-top-k: the winner
+    id list (langs x k, plan-sized) broadcasts into a semi-join so the
+    wide text column is only ever read for the winners; payloads never
+    shuffle."""
+    import ray
+
+    top = ops.topk_reduce(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ),
+        TOP_DOCS_K, key_col="lang", id_col="doc_id", score_col="n_chars",
+        ascending=False,
+    )
+    winner_ids = set(top["doc_id"].to_pylist())
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
+    )
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, np.fromiter(winner_ids, dtype=np.int64))
+        return tbl.filter(pa.array(mask))
+
+    return docs.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def _top_doc_texts_oracle():
+    # evaluated at oracle_sql() call time (TOP_DOCS_K is defined later in
+    # this module)
+    return f"""
+SELECT doc_id, lang, n_chars, text FROM (
+  SELECT doc_id, lang, n_chars, text,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= {TOP_DOCS_K}
+"""
+
+
+def _fk_violations(sf_dir):
+    """Referential-integrity audit: orphan counts per foreign-key edge —
+    orders.o_custkey -> customer, lineitem.l_orderkey -> orders,
+    events.user_id -> customer. Each check is an ANTI semi-join counting
+    only (the right side reduces to its distinct keys); output one row per
+    edge so the audit is plan-sized regardless of corpus size."""
+    import ray
+
+    def count_orphans(left, key, right, rkey):
+        l = ray.data.read_parquet(f"{sf_dir}/{left}.parquet", columns=[key])
+        r = ray.data.read_parquet(f"{sf_dir}/{right}.parquet", columns=[rkey])
+        return ops.equi_join(l, r, on=key, right_on=rkey, how="anti").count()
+
+    rows = [
+        ("orders.o_custkey->customer", count_orphans("orders", "o_custkey", "customer", "c_custkey")),
+        ("lineitem.l_orderkey->orders", count_orphans("lineitem", "l_orderkey", "orders", "o_orderkey")),
+        ("events.user_id->customer", count_orphans("events", "user_id", "customer", "c_custkey")),
+    ]
+    return pa.table(
+        {
+            "fk_edge": pa.array([r[0] for r in rows]),
+            "n_orphans": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+FK_VIOLATIONS_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'events.user_id->customer',
+       CAST(count(*) AS BIGINT)
+FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 BFS_ITERS = 3
 
 
@@ -5835,6 +5939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": textfn.top_bigrams_query,
         "anomaly_days": _anomaly_days,
         "bfs_hops": _bfs_hops,
+        "top_doc_texts": _top_doc_texts,
+        "fk_violations": _fk_violations,
+        "embedding_simhash": ann.embedding_simhash_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -5973,6 +6080,9 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": textfn.TOP_BIGRAMS_ORACLE,
         "anomaly_days": ANOMALY_DAYS_ORACLE,
         "bfs_hops": _bfs_hops_oracle(),
+        "top_doc_texts": _top_doc_texts_oracle(),
+        "fk_violations": FK_VIOLATIONS_ORACLE,
+        "embedding_simhash": _embedding_simhash_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

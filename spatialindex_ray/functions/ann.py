@@ -193,3 +193,53 @@ def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _finish_topk(parts, qids, k)
+
+
+SIMHASH_BITS = 64
+_EMB_DIM = 64
+
+
+def _simhash_planes():
+    """Deterministic ±1 hyperplane matrix (SIMHASH_BITS x dim): sign of bit
+    (b, i) = parity of splitmix64(b*dim + i) — reproducible in SQL, so the
+    whole LSH key has an exact dual."""
+    from .. import ops as _ops
+
+    idx = np.arange(SIMHASH_BITS * _EMB_DIM, dtype=np.int64)
+    bits = (_ops._splitmix64(idx) & np.uint64(1)).astype(np.int64)
+    return (2 * bits - 1).reshape(SIMHASH_BITS, _EMB_DIM)
+
+
+def embedding_simhash_query(sf_dir: str):
+    """64-bit SimHash over the embeddings table in EXACT integer
+    arithmetic — the LSH bucketing key for embedding near-dup at scale,
+    and (unlike the SHA-1-token text simhash) fully SQL-oracle-verifiable:
+    vectors quantize to int64 micro-units, hyperplane signs derive from
+    splitmix64 parity, bit b = [dot(m, w_b) > 0], bits pack little-index-
+    first into a uint64 viewed int64. One broadcast (64 x dim int8-scale)
+    matrix; per batch a single integer matmul — pure map, no shuffle."""
+    import ray
+
+    planes = _simhash_planes()
+
+    def sim(tbl: pa.Table) -> pa.Table:
+        emb = tbl["embedding"].combine_chunks()
+        m = np.round(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1_000_000.0
+        ).astype(np.int64).reshape(len(tbl), _EMB_DIM)
+        dots = m @ planes.T  # (N, 64) int64
+        bits = (dots > 0).astype(np.uint64)
+        idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        packed = (bits << idx[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "vec_id": tbl["vec_id"],
+                "esimhash": pa.array(packed.view(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(sim, batch_format="pyarrow", batch_size=None)
