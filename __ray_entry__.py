@@ -2709,6 +2709,33 @@ FROM bits GROUP BY vec_id
 """
 
 
+def _esimhash_near_dup_oracle():
+    sm = _sql_splitmix64("CAST(bb.b * 64 + ii.i AS HUGEINT)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(d.i AS BIGINT) AS i,
+         CAST(round(embedding[d.i + 1] * 1000000) AS BIGINT) AS m
+  FROM embeddings, unnest(range(0, 64)) AS d(i)),
+w AS (
+  SELECT CAST(bb.b AS BIGINT) AS b, CAST(ii.i AS BIGINT) AS i,
+         CASE WHEN ({sm}) % 2 = 1 THEN 1 ELSE -1 END AS w
+  FROM unnest(range(0, 64)) AS bb(b), unnest(range(0, 64)) AS ii(i)),
+bits AS (
+  SELECT q.vec_id, w.b,
+         CASE WHEN sum(q.m * w.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM q JOIN w USING (i) GROUP BY 1, 2),
+hsh AS (
+  SELECT vec_id,
+         bit_or(CASE WHEN bit = 0 THEN 0
+                     WHEN b = 63 THEN (-9223372036854775807 - 1)
+                     ELSE 1::BIGINT << b END) AS esimhash
+  FROM bits GROUP BY vec_id)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id
+FROM hsh a JOIN hsh b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.esimhash, b.esimhash)) <= {ann.ESIM_HAM_T}
+"""
+
+
 def _top_doc_texts(sf_dir):
     """Winner-payload retrieval: the TOP_DOCS_K longest docs per language
     WITH their text payloads — the step after any group-top-k: the winner
@@ -5942,6 +5969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_texts": _top_doc_texts,
         "fk_violations": _fk_violations,
         "embedding_simhash": ann.embedding_simhash_query,
+        "esimhash_near_dup": ann.esimhash_near_dup_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -6083,6 +6111,7 @@ def oracle_sql() -> dict[str, str]:
         "top_doc_texts": _top_doc_texts_oracle(),
         "fk_violations": FK_VIOLATIONS_ORACLE,
         "embedding_simhash": _embedding_simhash_oracle(),
+        "esimhash_near_dup": _esimhash_near_dup_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -243,3 +243,146 @@ def embedding_simhash_query(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ds.map_batches(sim, batch_format="pyarrow", batch_size=None)
+
+
+ESIM_HAM_T = 14
+_ESIM_BANDS = 16
+_ESIM_BAND_BITS = 4
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64
+        )
+
+
+def esimhash_near_dup_query(sf_dir: str, ham_t: int = ESIM_HAM_T):
+    """LSH near-dup JOIN over the exact-integer embedding SimHash — and,
+    uniquely among the LSH paths here, LOSSLESS by construction: with 16
+    bands of 4 bits, any pair within hamming distance <= 15 leaves at
+    least one band untouched (pigeonhole), so banding recalls 100% of
+    qualifying pairs and the result equals the full O(n^2) SQL dual
+    exactly (threshold 14 here — random 64-bit hashes sit at ~32, the
+    planted near-dup embeddings at 12-14). Scale shape: only (band_key, vec_id, hash) triples shuffle;
+    candidate pairs generate inside band buckets and verify with a SWAR
+    popcount; pairs dedupe across bands via one groupby."""
+    import ray
+
+    from .. import ops as _ops
+
+    hashes = embedding_simhash_query(sf_dir)
+    n_shards = 16
+
+    def band_keys(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "esimhash" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "bkey": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        h = tbl["esimhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        keys, vids, hs = [], [], []
+        for b in range(_ESIM_BANDS):
+            band = (h >> np.uint64(b * _ESIM_BAND_BITS)) & np.uint64((1 << _ESIM_BAND_BITS) - 1)
+            keys.append((band.astype(np.int64) << np.int64(5)) | np.int64(b))
+            vids.append(ids)
+            hs.append(h.view(np.int64))
+        bkey = np.concatenate(keys)
+        shard = (
+            (_ops._splitmix64(bkey) % np.uint64(n_shards)).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "bkey": pa.array(bkey),
+                "vec_id": pa.array(np.concatenate(vids)),
+                "h": pa.array(np.concatenate(hs)),
+            }
+        )
+
+    def pairs_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "bkey" not in tbl.schema.names:
+            return empty
+        bk = tbl["bkey"].to_numpy(zero_copy_only=False)
+        vid = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        h = tbl["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((vid, bk))
+        bk, vid, h = bk[order], vid[order], h[order]
+        heads = np.concatenate(([True], bk[1:] != bk[:-1]))
+        starts = np.flatnonzero(heads)
+        bounds = np.append(starts, len(bk))
+        L, R = [], []
+        for gi in range(len(starts)):
+            a, z = bounds[gi], bounds[gi + 1]
+            if z - a < 2:
+                continue
+            ii, jj = np.triu_indices(z - a, k=1)
+            d = _popcount64(h[a + ii] ^ h[a + jj])
+            m = d <= ham_t
+            L.append(vid[a + ii[m]])
+            R.append(vid[a + jj[m]])
+        if not L:
+            return empty
+        return pa.table(
+            {
+                "left_id": pa.array(np.concatenate(L)),
+                "right_id": pa.array(np.concatenate(R)),
+            }
+        )
+
+    cand = _ops.hash_exchange(
+        hashes.map_batches(band_keys, batch_format="pyarrow", batch_size=None),
+        "shard", n_shards, pairs_shard,
+    )
+
+    # dedupe pairs found by multiple bands — exchange + per-shard distinct
+    # (not Ray groupby, whose zero-row blocks would drop the output schema
+    # when no pair qualifies)
+    def tag_pairs(tbl: pa.Table) -> pa.Table:
+        l = tbl["left_id"].to_numpy(zero_copy_only=False)
+        r = tbl["right_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = _ops._splitmix64(l * np.int64(1_000_003) + r)
+        return tbl.append_column(
+            "shard", pa.array((key % np.uint64(n_shards)).astype(np.int64))
+        )
+
+    def distinct_shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "left_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        l = tbl["left_id"].to_numpy(zero_copy_only=False)
+        r = tbl["right_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, l))
+        ls, rs = l[order], r[order]
+        heads = np.concatenate(
+            ([True], (ls[1:] != ls[:-1]) | (rs[1:] != rs[:-1]))
+        )
+        return pa.table(
+            {"left_id": pa.array(ls[heads]), "right_id": pa.array(rs[heads])}
+        )
+
+    tagged = cand.map_batches(tag_pairs, batch_format="pyarrow", batch_size=None)
+    return _ops.hash_exchange(tagged, "shard", n_shards, distinct_shard)
