@@ -2817,6 +2817,147 @@ FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
 """
 
 
+def _basket_pairs(sf_dir):
+    """Market-basket pair counting: baskets are (user, day); for every
+    unordered pair of DISTINCT event types co-occurring in a basket, the
+    number of baskets containing both — the frequent-itemset (pairs)
+    primitive. Distinct triples pre-reduce per batch, one basket-keyed
+    exchange, per-shard pair explode over tiny per-basket runs, pair
+    counts bincount to a (types x types) table — nothing bigger than
+    types^2 leaves any shard."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    n_shards = 16
+
+    def triples(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "day_num": day,
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day_num", "event_type"])
+        .count()
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "day_num": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl["day_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            key = ops._splitmix64(u * np.int64(100_003) + d)
+        return pa.table(
+            {
+                "shard": pa.array((key % np.uint64(n_shards)).astype(np.int64)),
+                "user_id": pa.array(u),
+                "day_num": pa.array(d),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def pairs_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        d = tbl["day_num"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dct.dictionary
+        kk = len(vocab)
+        # sort by basket then TYPE STRING (not code) so within-run pair
+        # order (a < b) matches the SQL a.event_type < b.event_type rule
+        svocab = np.argsort(np.array(vocab.to_pylist()))
+        rankof = np.empty(kk, dtype=np.int64)
+        rankof[svocab] = np.arange(kk)
+        order = np.lexsort((rankof[codes], d, u))
+        us, ds_, cs = u[order], d[order], codes[order]
+        heads = np.concatenate(([True], (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])))
+        starts = np.flatnonzero(heads)
+        bounds = np.append(starts, len(us))
+        cnt = np.zeros(kk * kk, dtype=np.int64)
+        for gi in range(len(starts)):
+            a, z = bounds[gi], bounds[gi + 1]
+            if z - a < 2:
+                continue
+            run = cs[a:z]
+            ii, jj = np.triu_indices(z - a, k=1)
+            np.add.at(cnt, run[ii] * kk + run[jj], 1)
+        nz = np.flatnonzero(cnt)
+        if len(nz) == 0:
+            return empty
+        return pa.table(
+            {
+                "type_a": vocab.take(pa.array(nz // kk)),
+                "type_b": vocab.take(pa.array(nz % kk)),
+                "partial": pa.array(cnt[nz]),
+            }
+        )
+
+    keyed_ds = distinct.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, pairs_shard)
+        .groupby(["type_a", "type_b"])
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_baskets": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["type_a", "type_b", "n_baskets"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+BASKET_PAIRS_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+         event_type
+  FROM events)
+SELECT a.event_type AS type_a, b2.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_baskets
+FROM b a JOIN b b2
+  ON a.user_id = b2.user_id AND a.day_num = b2.day_num
+ AND a.event_type < b2.event_type
+GROUP BY 1, 2
+"""
+
+
 BFS_ITERS = 3
 
 
@@ -5970,6 +6111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": _fk_violations,
         "embedding_simhash": ann.embedding_simhash_query,
         "esimhash_near_dup": ann.esimhash_near_dup_query,
+        "basket_pairs": _basket_pairs,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -6112,6 +6254,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_violations": FK_VIOLATIONS_ORACLE,
         "embedding_simhash": _embedding_simhash_oracle(),
         "esimhash_near_dup": _esimhash_near_dup_oracle(),
+        "basket_pairs": BASKET_PAIRS_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
