@@ -2817,6 +2817,104 @@ FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
 """
 
 
+OHLC_BUCKET_US = 21_600_000_000  # 6 h
+
+
+def _events_ohlc(sf_dir):
+    """Time-series resampling: OHLC bars per (event_type, 6-hour bucket) —
+    open/close are the first/last values by (ts, event_id), high/low the
+    extremes, plus the bar's event count. All outputs are SELECTED or
+    order-independent floats (no accumulation), so they hash exactly
+    against SQL. One bucket-keyed exchange; per shard a single lexsort +
+    run head/tail gather serves every bar in the shard."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts", "value"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        b = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // OHLC_BUCKET_US
+        return pa.table(
+            {
+                "shard": pa.array(((b % n_shards) + n_shards) % n_shards),
+                "bucket": pa.array(b),
+                "event_id": tbl["event_id"],
+                "event_type": tbl["event_type"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "value": tbl["value"],
+            }
+        )
+
+    def ohlc_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if tbl.num_rows == 0 or "bucket" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "open": pa.array([], pa.float64()),
+                    "high": pa.array([], pa.float64()),
+                    "low": pa.array([], pa.float64()),
+                    "close": pa.array([], pa.float64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        b = tbl["bucket"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vocab = pc.dictionary_encode(et).dictionary
+        order = np.lexsort((eid, ts, b, codes))
+        c, bb, vv = codes[order], b[order], v[order]
+        heads = np.concatenate(([True], (c[1:] != c[:-1]) | (bb[1:] != bb[:-1])))
+        starts = np.flatnonzero(heads)
+        ends = np.append(starts[1:], len(c)) - 1
+        n = np.append(starts[1:], len(c)) - starts
+        high = np.maximum.reduceat(vv, starts)
+        low = np.minimum.reduceat(vv, starts)
+        return pa.table(
+            {
+                "event_type": vocab.take(pa.array(c[starts])),
+                "bucket": pa.array(bb[starts]),
+                "open": pa.array(vv[starts]),
+                "high": pa.array(high),
+                "low": pa.array(low),
+                "close": pa.array(vv[ends]),
+                "n_events": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, ohlc_shard)
+
+
+EVENTS_OHLC_ORACLE = f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // {OHLC_BUCKET_US} AS BIGINT) AS bucket,
+         value, ts, event_id
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type, bucket) AS n
+  FROM t)
+SELECT event_type, bucket,
+       max(CASE WHEN rk = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rk = n THEN value END) AS close,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
 def _basket_pairs(sf_dir):
     """Market-basket pair counting: baskets are (user, day); for every
     unordered pair of DISTINCT event types co-occurring in a basket, the
@@ -6112,6 +6210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_simhash": ann.embedding_simhash_query,
         "esimhash_near_dup": ann.esimhash_near_dup_query,
         "basket_pairs": _basket_pairs,
+        "events_ohlc": _events_ohlc,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -6255,6 +6354,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_simhash": _embedding_simhash_oracle(),
         "esimhash_near_dup": _esimhash_near_dup_oracle(),
         "basket_pairs": BASKET_PAIRS_ORACLE,
+        "events_ohlc": EVENTS_OHLC_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -271,7 +271,7 @@ def run_suite() -> dict:
         "hll_registers", "video_scene_cuts", "signup_no_purchase",
         "dup_size_hist", "revenue_share", "kmeans_int", "dbscan_core", "top_bigrams", "anomaly_days", "bfs_hops", "top_doc_texts",
         "fk_violations", "embedding_simhash", "esimhash_near_dup",
-        "basket_pairs",
+        "basket_pairs", "events_ohlc",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
