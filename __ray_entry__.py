@@ -6046,6 +6046,633 @@ FROM probes p
 
 
 # ------------------------------------------------------------------ contract
+# ------------------------------------------------------------------ wave 18
+GH_ENC_PRECISION = 6     # 30-bit geohash for the per-doc encode check
+GH_ENC_LIMIT = 400
+GH_COUNT_PRECISION = 2   # 10-bit cells for the aggregate counts
+
+
+def _geohash_sql_expr(precision: int) -> str:
+    """DuckDB dual of kernels/geohash.py: re-walk the closed-form encoder
+    (floor-scaled coords, unrolled bit interleave, base-32 substr gather)
+    bit-for-bit. Expects columns lon/lat in scope; yields a VARCHAR expr."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_expr = (
+        f"LEAST(GREATEST(CAST(floor((CASE WHEN lon >= {_d(180.0)} THEN lon - {_d(360.0)} "
+        f"ELSE lon END + {_d(180.0)}) / {_d(360.0)} * {_d(float(1 << nlon))}) AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    lat_expr = (
+        f"LEAST(GREATEST(CAST(floor((lat + {_d(90.0)}) / {_d(180.0)} * "
+        f"{_d(float(1 << nlat))}) AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    terms = []
+    for b in range(nbits):  # MSB-first alternation lon,lat,lon,...
+        src = "lonb" if b % 2 == 0 else "latb"
+        srcbit = (nlon - 1 - b // 2) if b % 2 == 0 else (nlat - 1 - b // 2)
+        terms.append(f"(({src} // {1 << srcbit}) % 2) * {1 << (nbits - 1 - b)}")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((code // {1 << (5 * (precision - 1 - c))}) % 32 AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT {code} AS code FROM "
+        f"(SELECT {lon_expr} AS lonb, {lat_expr} AS latb)))"
+    )
+
+
+def _geohash_encode(sf_dir):
+    """Per-doc geohash-6 strings (bounded subset): validates all 30 bits of
+    the closed-form encoder against the SQL dual char-for-char. Pure
+    embarrassingly-parallel map — the geohash analog of the HTM/HPX/S2
+    encode checks."""
+    import ray
+
+    from spatialindex_ray.kernels import geohash as ghk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def enc(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.less(tbl["doc_id"], GH_ENC_LIMIT))
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        gh = ghk.geohash_strings(lon, lat, GH_ENC_PRECISION)
+        return pa.table(
+            {"doc_id": pa.array(ids), "geohash": pa.array(gh, type=pa.string())}
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
+def _geohash_encode_oracle() -> str:
+    return (
+        _xyz_sql()
+        + f"SELECT doc_id, {_geohash_sql_expr(GH_ENC_PRECISION)} AS geohash "
+        f"FROM n WHERE doc_id < {GH_ENC_LIMIT}"
+    )
+
+
+def _cell_counts_geohash(sf_dir):
+    """Per-cell doc counts on the geohash-2 grid (1024 cells): per-batch
+    partial counts + one tiny groupby-sum — same shape as cell_counts_htm4
+    but over the base-32 curve family."""
+    import ray
+
+    from spatialindex_ray.kernels import geohash as ghk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        gh = ghk.geohash_strings(lon, lat, GH_COUNT_PRECISION)
+        u, c = np.unique(gh, return_counts=True)
+        return pa.table(
+            {
+                "geohash": pa.array(u, type=pa.string()),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("geohash")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["geohash", "n_docs"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _cell_counts_geohash_oracle() -> str:
+    return (
+        _xyz_sql()
+        + f"SELECT {_geohash_sql_expr(GH_COUNT_PRECISION)} AS geohash, "
+        "count(*) AS n_docs FROM n GROUP BY 1"
+    )
+
+
+ZBOX = dict(lon_lo=100.0, lon_hi=140.0, lat_lo=-10.0, lat_hi=25.0, level=12)
+
+
+def _zorder_box(sf_dir):
+    """Z-order (Morton) curve box search: the query box decomposes into
+    maximal aligned key ranges on the driver (kernels/geohash.zorder_cover —
+    the Morton analog of the HTM/HPX covers), each batch filters by
+    searchsorted range membership, then the exact box predicate refines.
+    Oracle is the plain predicate — the hash match proves the cover is a
+    true superset and the refine is exact."""
+    import ray
+
+    from spatialindex_ray.kernels import geohash as ghk
+
+    L = ZBOX["level"]
+    scale = float(1 << L)
+    i_lo = int(np.floor(ZBOX["lon_lo"] / 360.0 * scale))
+    i_hi = int(np.floor(ZBOX["lon_hi"] / 360.0 * scale))
+    j_lo = int(np.floor((ZBOX["lat_lo"] + 90.0) / 180.0 * scale))
+    j_hi = int(np.floor((ZBOX["lat_hi"] + 90.0) / 180.0 * scale))
+    ranges = ghk.zorder_cover(i_lo, i_hi, j_lo, j_hi, L)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def search(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        keys = ghk.morton_key(lon, lat, L)
+        m = ops.ranges_mask(keys, ranges)
+        m &= (
+            (lon >= ZBOX["lon_lo"])
+            & (lon < ZBOX["lon_hi"])
+            & (lat >= ZBOX["lat_lo"])
+            & (lat < ZBOX["lat_hi"])
+        )
+        return pa.table({"doc_id": pa.array(ids[m])})
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def _zorder_box_oracle() -> str:
+    return (
+        f"WITH p AS ({_POS_SQL}) SELECT doc_id FROM p "
+        f"WHERE lon >= {_d(ZBOX['lon_lo'])} AND lon < {_d(ZBOX['lon_hi'])} "
+        f"AND lat >= {_d(ZBOX['lat_lo'])} AND lat < {_d(ZBOX['lat_hi'])}"
+    )
+
+
+DIST_BAND_CENTER = (200.0, -30.0)
+DIST_BAND_DEG = 10.0
+
+
+def _distance_bands(sf_dir):
+    """Great-circle distance-band histogram around a center: band k holds
+    docs with angular distance in [k*10deg, (k+1)*10deg). Computed purely on
+    the dot product against precomputed cos thresholds (no inverse trig —
+    asin/acos are SVML-unsafe for bit parity), so the SQL dual is a CASE
+    ladder over the same double literals. Partial bincounts per batch, one
+    18-row groupby-sum."""
+    import ray
+
+    cx, cy, cz = (
+        float(v)
+        for v in ops.xyz_from_lonlat(
+            np.array([DIST_BAND_CENTER[0]]), np.array([DIST_BAND_CENTER[1]])
+        )[0]
+    )
+    thr = [math.cos(math.radians(k * DIST_BAND_DEG)) for k in range(1, 18)]
+    thr_arr = np.array(thr)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        v = ops.xyz_from_lonlat(lon, lat)
+        dot = v[:, 0] * cx + v[:, 1] * cy + v[:, 2] * cz
+        band = (dot[:, None] < thr_arr[None, :]).sum(axis=1).astype(np.int64)
+        cnt = np.bincount(band, minlength=18)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "band": pa.array(nz.astype(np.int64)),
+                "partial": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("band")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["band", "n_docs"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _distance_bands_oracle() -> str:
+    cx, cy, cz = (
+        float(v)
+        for v in ops.xyz_from_lonlat(
+            np.array([DIST_BAND_CENTER[0]]), np.array([DIST_BAND_CENTER[1]])
+        )[0]
+    )
+    thr = [math.cos(math.radians(k * DIST_BAND_DEG)) for k in range(1, 18)]
+    cases = " + ".join(
+        f"(CASE WHEN dot < {_d(t)} THEN 1 ELSE 0 END)" for t in thr
+    )
+    return (
+        _xyz_sql()
+        + f""", d AS (
+  SELECT doc_id, x*{_d(cx)} + y*{_d(cy)} + z*{_d(cz)} AS dot FROM n)
+SELECT CAST({cases} AS BIGINT) AS band, count(*) AS n_docs FROM d GROUP BY 1"""
+    )
+
+
+KNN_GRAPH_LIMIT = 200
+KNN_GRAPH_K = 3
+
+
+def _knn_graph(sf_dir):
+    """kNN-graph construction: for every doc in a bounded query subset, its
+    K nearest OTHER docs over the whole table — the building block for
+    embedding/spatial graph pipelines (mutual-NN, components). Reuses the
+    distributed brute kNN (broadcast query matrix, per-batch partial top-k,
+    topk_reduce) with K+1 then drops the self hit; the driver touches only
+    Q*(K+1) rows, bounded by the query-subset spec."""
+    import pandas as pd
+
+    qids = np.arange(KNN_GRAPH_LIMIT, dtype=np.int64)
+    lon, lat = ops.positions_from_id(qids)
+    qpts = list(zip(qids.tolist(), lon.tolist(), lat.tolist()))
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+    tbl = ops.knn(ds, qpts, KNN_GRAPH_K + 1)
+    df = tbl.to_pandas()
+    df = df[df["doc_id"] != df["query_id"]]
+    df = df.sort_values(["query_id", "rank"])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= KNN_GRAPH_K]
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"].to_numpy()),
+            "neighbor_id": pa.array(df["doc_id"].to_numpy()),
+            "rank": pa.array(df["rank"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def _knn_graph_oracle() -> str:
+    return (
+        _xyz_sql()
+        + f""", q AS (
+  SELECT doc_id AS query_id, x AS qx, y AS qy, z AS qz FROM n
+  WHERE doc_id < {KNN_GRAPH_LIMIT}),
+d AS (
+  SELECT q.query_id, n.doc_id AS neighbor_id,
+    (n.x - q.qx)*(n.x - q.qx) + (n.y - q.qy)*(n.y - q.qy)
+      + (n.z - q.qz)*(n.z - q.qz) AS d2
+  FROM q, n WHERE n.doc_id <> q.query_id),
+r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+  FROM d)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {KNN_GRAPH_K}"""
+    )
+
+
+def _skyline_orders(sf_dir):
+    """2-D skyline (Pareto frontier) of orders maximizing (o_totalprice,
+    order date): union-stable local frontiers per batch, one final pass over
+    the partial frontiers — the driver never sees non-frontier rows."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": tbl["o_orderkey"],
+                "o_totalprice": tbl["o_totalprice"],
+                "date_us": tbl["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    return ops.skyline(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "o_totalprice",
+        "date_us",
+    )
+
+
+SKYLINE_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS date_us FROM orders)
+SELECT * FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.o_totalprice >= a.o_totalprice AND b.date_us >= a.date_us
+    AND (b.o_totalprice > a.o_totalprice OR b.date_us > a.date_us))
+"""
+
+
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _table_profile(sf_dir):
+    """Data-quality profiling of the orders table: per column, row count,
+    null count and EXACT distinct count. n/n_null pre-reduce per batch into
+    6-row partials + one groupby-sum; each distinct count is its own
+    hash-partitioned distinct (per-batch unique -> groupby -> count_rows),
+    so no column's value set ever materializes on the driver."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=PROFILE_COLS)
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in PROFILE_COLS:
+            names.append(c)
+            ns.append(tbl.num_rows)
+            nulls.append(tbl[c].null_count)
+        return pa.table(
+            {
+                "column_name": pa.array(names, type=pa.string()),
+                "n": pa.array(np.array(ns, dtype=np.int64)),
+                "n_null": pa.array(np.array(nulls, dtype=np.int64)),
+            }
+        )
+
+    base = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("column_name")
+        .sum(["n", "n_null"])
+        .to_pandas()
+    )
+
+    distinct = {}
+    for c in PROFILE_COLS:
+        dsc = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=[c])
+
+        def uniq(tbl: pa.Table, col=c) -> pa.Table:
+            arr = tbl[col]
+            if pa.types.is_timestamp(arr.type):
+                arr = arr.cast(pa.int64())
+            u = pa.compute.unique(arr.combine_chunks())
+            return pa.table({col: u})
+
+        distinct[c] = (
+            dsc.map_batches(uniq, batch_format="pyarrow", batch_size=None)
+            .groupby(c)
+            .count()
+            .count()
+        )
+
+    base = base.sort_values("column_name").reset_index(drop=True)
+    return pa.table(
+        {
+            "column_name": pa.array(base["column_name"], type=pa.string()),
+            "n_rows": pa.array(base["sum(n)"].to_numpy().astype(np.int64)),
+            "n_null": pa.array(base["sum(n_null)"].to_numpy().astype(np.int64)),
+            "n_distinct": pa.array(
+                np.array(
+                    [distinct[c] for c in base["column_name"]], dtype=np.int64
+                )
+            ),
+        }
+    )
+
+
+TABLE_PROFILE_ORACLE = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+    f"count(*) - count({c}) AS n_null, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+    for c in PROFILE_COLS
+)
+
+
+def _assoc_rules(sf_dir):
+    """Association rules over (user, day) baskets: for every ORDERED pair of
+    distinct event types (antecedent -> consequent), the co-occurrence
+    count, confidence and lift in exact integer ppm (floor division — the
+    SQL dual uses // on the same integers). Same distinct-triple + basket-
+    keyed exchange as basket_pairs; shard outputs are (types^2 + types + 1)
+    tagged partial rows, so the driver combine is O(types^2), data-size
+    independent."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    n_shards = 16
+
+    def triples(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "day_num": day,
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        shard = ((df["user_id"] * 31 + df["day_num"]) % n_shards + n_shards) % n_shards
+        return pa.table(
+            {
+                "shard": pa.array(shard.to_numpy().astype(np.int64)),
+                "user_id": pa.array(df["user_id"].to_numpy()),
+                "day_num": pa.array(df["day_num"].to_numpy()),
+                "event_type": pa.array(df["event_type"].to_numpy(), type=pa.string()),
+            }
+        )
+
+    def shard_stats(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        df = (
+            tbl.select(["user_id", "day_num", "event_type"])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        # distinct basket count + per-type basket counts
+        n_baskets = len(df[["user_id", "day_num"]].drop_duplicates())
+        tc = df.groupby("event_type").size()
+        # ordered pair counts within each basket
+        m = df.merge(df, on=["user_id", "day_num"])
+        m = m[m["event_type_x"] != m["event_type_y"]]
+        pc_ = m.groupby(["event_type_x", "event_type_y"]).size()
+        rows_kind = (
+            ["total"] + ["type"] * len(tc) + ["pair"] * len(pc_)
+        )
+        rows_a = [""] + list(tc.index) + [a for a, _ in pc_.index]
+        rows_b = [""] + [""] * len(tc) + [b for _, b in pc_.index]
+        rows_n = [n_baskets] + list(tc.values) + list(pc_.values)
+        return pa.table(
+            {
+                "kind": pa.array(rows_kind, type=pa.string()),
+                "type_a": pa.array(rows_a, type=pa.string()),
+                "type_b": pa.array(rows_b, type=pa.string()),
+                "partial": pa.array(np.array(rows_n, dtype=np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
+    stats = ops.hash_exchange(keyed, "shard", n_shards, shard_stats).to_pandas()
+    agg = stats.groupby(["kind", "type_a", "type_b"])["partial"].sum()
+    total = int(agg.get(("total", "", ""), 0))
+    types = {a: int(v) for (k, a, _), v in agg.items() if k == "type"}
+    out = {"antecedent": [], "consequent": [], "n_ab": [], "conf_ppm": [], "lift_ppm": []}
+    for (k, a, b), n_ab in agg.items():
+        if k != "pair":
+            continue
+        n_ab = int(n_ab)
+        out["antecedent"].append(a)
+        out["consequent"].append(b)
+        out["n_ab"].append(n_ab)
+        out["conf_ppm"].append(1_000_000 * n_ab // types[a])
+        out["lift_ppm"].append(1_000_000 * n_ab * total // (types[a] * types[b]))
+    return pa.table(
+        {
+            "antecedent": pa.array(out["antecedent"], type=pa.string()),
+            "consequent": pa.array(out["consequent"], type=pa.string()),
+            "n_ab": pa.array(np.array(out["n_ab"], dtype=np.int64)),
+            "conf_ppm": pa.array(np.array(out["conf_ppm"], dtype=np.int64)),
+            "lift_ppm": pa.array(np.array(out["lift_ppm"], dtype=np.int64)),
+        }
+    )
+
+
+ASSOC_RULES_ORACLE = """
+WITH triples AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num, event_type
+  FROM events),
+tot AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day_num FROM triples)),
+tc AS (SELECT event_type, count(*) AS n FROM triples GROUP BY 1),
+pc AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+  FROM triples a JOIN triples b USING (user_id, day_num)
+  WHERE a.event_type <> b.event_type GROUP BY 1, 2)
+SELECT pc.ta AS antecedent, pc.tb AS consequent, pc.n_ab AS n_ab,
+  (1000000 * pc.n_ab) // ca.n AS conf_ppm,
+  (1000000 * pc.n_ab * tot.n) // (ca.n * cb.n) AS lift_ppm
+FROM pc, tot
+JOIN tc ca ON ca.event_type = pc.ta
+JOIN tc cb ON cb.event_type = pc.tb
+"""
+
+
+def _user_event_paths(sf_dir):
+    """Ordered per-user event-type path strings (first 5 events by ts,
+    '>'-joined) + total event count — the session-path / clickstream
+    primitive (SQL string_agg ... ORDER BY). One user-keyed exchange; per
+    shard a single lexsort + 5 vectorized gathers build every path."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_id": tbl["event_id"],
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def paths(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        su, st = u[order], et[order]
+        heads = np.concatenate([[True], su[1:] != su[:-1]])
+        starts = np.flatnonzero(heads)
+        lens = np.append(starts[1:], len(su)) - starts
+        path = st[starts].astype(object)
+        for j in range(1, 5):
+            has = lens > j
+            idx = np.minimum(starts + j, len(st) - 1)
+            path = np.where(has, path + ">" + st[idx].astype(object), path)
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts]),
+                "path": pa.array(path, type=pa.string()),
+                "n_events": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, paths)
+
+
+USER_EVENT_PATHS_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events),
+c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM r WHERE rk <= 5 GROUP BY user_id)
+SELECT p.user_id, p.path, c.n_events FROM p JOIN c USING (user_id)
+"""
+
+
+PROX_WINDOW_US = 600_000_000  # +/- 10 minutes
+
+
+def _events_near_errors(sf_dir):
+    """Temporal proximity join: per 'error' event, how many 'click' events
+    the same user produced within +/-10 minutes (ops.proximity_count — the
+    stream-stream window-join primitive)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return ops.proximity_count(
+        ds, left_type="error", right_type="click", window_us=PROX_WINDOW_US
+    )
+
+
+EVENTS_NEAR_ERRORS_ORACLE = f"""
+SELECT e.event_id, count(c.event_id) AS n_near
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= {PROX_WINDOW_US}
+WHERE e.event_type = 'error'
+GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -6211,6 +6838,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esimhash_near_dup": ann.esimhash_near_dup_query,
         "basket_pairs": _basket_pairs,
         "events_ohlc": _events_ohlc,
+        # --- wave 18 ---
+        "geohash_encode": _geohash_encode,
+        "cell_counts_geohash": _cell_counts_geohash,
+        "zorder_box_search": _zorder_box,
+        "edit_distance_dup": dedup.edit_distance_query,
+        "distance_bands": _distance_bands,
+        "knn_graph": _knn_graph,
+        "skyline_orders": _skyline_orders,
+        "table_profile": _table_profile,
+        "assoc_rules": _assoc_rules,
+        "user_event_paths": _user_event_paths,
+        "events_near_errors": _events_near_errors,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -6355,6 +6994,17 @@ def oracle_sql() -> dict[str, str]:
         "esimhash_near_dup": _esimhash_near_dup_oracle(),
         "basket_pairs": BASKET_PAIRS_ORACLE,
         "events_ohlc": EVENTS_OHLC_ORACLE,
+        "geohash_encode": _geohash_encode_oracle(),
+        "cell_counts_geohash": _cell_counts_geohash_oracle(),
+        "zorder_box_search": _zorder_box_oracle(),
+        "edit_distance_dup": dedup.EDIT_DISTANCE_ORACLE,
+        "distance_bands": _distance_bands_oracle(),
+        "knn_graph": _knn_graph_oracle(),
+        "skyline_orders": SKYLINE_ORACLE,
+        "table_profile": TABLE_PROFILE_ORACLE,
+        "assoc_rules": ASSOC_RULES_ORACLE,
+        "user_event_paths": USER_EVENT_PATHS_ORACLE,
+        "events_near_errors": EVENTS_NEAR_ERRORS_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -680,3 +680,188 @@ SELECT a.vec_id AS left_id, b.vec_id AS right_id
 FROM sub a JOIN sub b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_TAU}
 """
+
+
+# ------------------------------------------------- edit-distance (lev<=1) join
+EDIT_DOC_LIMIT = 2000   # doc_id < limit keeps the all-pairs oracle tractable
+EDIT_SLUG_LEN = 16      # compare the first 16 chars of each document
+
+
+def _slug_bytes(slugs: np.ndarray) -> np.ndarray:
+    """ASCII slug strings -> zero-padded (n, EDIT_SLUG_LEN+1) uint8 matrix
+    (one spare column so the shift-compare below never goes out of range)."""
+    w = EDIT_SLUG_LEN + 1
+    return (
+        np.array(slugs, dtype=f"S{w}").view(np.uint8).reshape(len(slugs), w)
+    )
+
+
+def _lev_le1_mask(a_slugs: np.ndarray, b_slugs: np.ndarray) -> np.ndarray:
+    """Vectorized Levenshtein(a, b) <= 1 for candidate pairs whose lengths
+    differ by at most 1 (guaranteed by the deletion-neighborhood generator):
+    equal length -> Hamming <= 1; length diff 1 -> the longer string with its
+    first mismatching character deleted equals the shorter. No per-pair
+    Python."""
+    A, B = _slug_bytes(a_slugs), _slug_bytes(b_slugs)
+    la = (A != 0).sum(1)
+    lb = (B != 0).sum(1)
+    diff = la - lb
+    # orient so X is the longer string where lengths differ
+    swap = diff < 0
+    X = np.where(swap[:, None], B, A)
+    Y = np.where(swap[:, None], A, B)
+    mism = X != Y
+    same_len = diff == 0
+    ok_same = mism.sum(1) <= 1
+    # length-diff-1 case: first mismatch index f, then X[f+1:] must equal Y[f:]
+    f = np.argmax(mism, axis=1)  # 0 when no mismatch, but then lengths differ
+    T = X[:, 1:] != Y[:, :-1]
+    S = np.cumsum(T, axis=1)
+    total = S[:, -1]
+    rows = np.arange(len(A))
+    before = np.where(f > 0, S[rows, np.maximum(f - 1, 0)], 0)
+    ok_del = (total - before) == 0
+    return np.where(same_len, ok_same, np.abs(diff) == 1) & np.where(
+        same_len, True, ok_del
+    )
+
+
+def edit_distance_query(sf_dir: str, limit: int = EDIT_DOC_LIMIT):
+    """Edit-distance near-dup join: all doc pairs (left_id < right_id) whose
+    16-char text slugs are within Levenshtein distance 1 — the
+    spelling-variant / single-typo dedup primitive.
+
+    Engine shape (scale path): each slug emits its deletion neighborhood
+    (itself + one-deletion variants, <= 17 signatures); two strings at
+    distance <= 1 ALWAYS share a signature (equal -> identity; indel -> the
+    deleted form IS the other string; substitution at i -> both i-deletions
+    match), so candidates = pairs sharing a signature bucket — one hash
+    exchange, no all-pairs scan. A second pair-keyed exchange dedupes
+    multi-signature candidates, then a vectorized verifier (_lev_le1_mask)
+    removes the false positives that unequal-position deletions admit.
+    Only (sig, doc_id, slug) triples shuffle, never documents."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from .. import ops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_shards = 16
+
+    def sigs(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.less(tbl["doc_id"], limit))
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "slug": pa.array([], pa.string()),
+                }
+            )
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        slug = pc.utf8_slice_codeunits(tbl["text"].combine_chunks(), 0, EDIT_SLUG_LEN)
+        s = pd.Series(slug.to_numpy(zero_copy_only=False), dtype=object)
+        variants = [s]
+        for p in range(EDIT_SLUG_LEN):
+            variants.append(s.str.slice(0, p) + s.str.slice(p + 1))
+        allv = pd.concat(variants, ignore_index=True)
+        sig = ops.hash64_strings(pa.array(allv, type=pa.string())).astype(np.int64)
+        doc = np.tile(ids, EDIT_SLUG_LEN + 1)
+        slug_rep = np.tile(np.asarray(s, dtype=object), EDIT_SLUG_LEN + 1)
+        # distinct (doc, sig): short slugs repeat the identity under p >= len
+        order = np.lexsort((sig, doc))
+        d, g = doc[order], sig[order]
+        keep = np.concatenate([[True], (d[1:] != d[:-1]) | (g[1:] != g[:-1])])
+        d, g, sl = d[keep], g[keep], slug_rep[order][keep]
+        return pa.table(
+            {
+                "shard": pa.array(((g % n_shards) + n_shards) % n_shards),
+                "sig": pa.array(g),
+                "doc_id": pa.array(d),
+                "slug": pa.array(sl, type=pa.string()),
+            }
+        )
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pshard": pa.array([], pa.int64()),
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "left_slug": pa.array([], pa.string()),
+                "right_slug": pa.array([], pa.string()),
+            }
+        )
+        if tbl.num_rows == 0 or "sig" not in tbl.schema.names:
+            return empty
+        sig = tbl["sig"].to_numpy(zero_copy_only=False)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        slug = tbl["slug"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sig))
+        sg, dc, sl = sig[order], doc[order], slug[order]
+        heads = np.concatenate([[True], sg[1:] != sg[:-1]])
+        starts = np.flatnonzero(heads)
+        lens = np.append(starts[1:], len(sg)) - starts
+        # all (i < j) index pairs within each run, vectorized per run size
+        ai, bi = [], []
+        for r in np.unique(lens):
+            if r < 2:
+                continue
+            runs = starts[lens == r]
+            iu, ju = np.triu_indices(int(r), k=1)
+            ai.append((runs[:, None] + iu[None, :]).ravel())
+            bi.append((runs[:, None] + ju[None, :]).ravel())
+        if not ai:
+            return empty
+        ia = np.concatenate(ai)
+        ib = np.concatenate(bi)
+        a, b = dc[ia], dc[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        sa = np.where(a <= b, sl[ia], sl[ib])
+        sb = np.where(a <= b, sl[ib], sl[ia])
+        m = lo != hi
+        pkey = (lo[m] * np.int64(1_000_003) + hi[m]) % n_shards
+        return pa.table(
+            {
+                "pshard": pa.array(((pkey % n_shards) + n_shards) % n_shards),
+                "left_id": pa.array(lo[m]),
+                "right_id": pa.array(hi[m]),
+                "left_slug": pa.array(sa[m], type=pa.string()),
+                "right_slug": pa.array(sb[m], type=pa.string()),
+            }
+        )
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "left_id" not in tbl.schema.names:
+            return _PAIR_SCHEMA.empty_table()
+        a = tbl["left_id"].to_numpy(zero_copy_only=False)
+        b = tbl["right_id"].to_numpy(zero_copy_only=False)
+        sa = tbl["left_slug"].to_numpy(zero_copy_only=False)
+        sb = tbl["right_slug"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        a, b, sa, sb = a[keep], b[keep], sa[keep], sb[keep]
+        ok = _lev_le1_mask(sa, sb)
+        return pa.table(
+            {"left_id": pa.array(a[ok]), "right_id": pa.array(b[ok])}
+        )
+
+    sig_ds = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
+    cand = ops.hash_exchange(sig_ds, "shard", n_shards, bucket_pairs)
+    out = ops.hash_exchange(cand, "pshard", n_shards, verify)
+    return _typed_pairs(out)
+
+
+EDIT_DISTANCE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, substr(text, 1, {EDIT_SLUG_LEN}) AS slug
+  FROM documents WHERE doc_id < {EDIT_DOC_LIMIT})
+SELECT a.doc_id AS left_id, b.doc_id AS right_id
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.slug, b.slug) <= 1
+"""

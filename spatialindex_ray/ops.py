@@ -2740,3 +2740,136 @@ def unpivot(
         return pa.table(out)
 
     return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------- skyline
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maxima set (Pareto frontier, maximize both):
+    row i survives iff no row j has x_j >= x_i AND y_j >= y_i with at least
+    one strict. Duplicate (x, y) points all survive. One lexsort + two
+    segment scans — no pairwise comparisons."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))  # x desc, then y desc
+    xs, ys = x[order], y[order]
+    heads = np.concatenate([[True], xs[1:] != xs[:-1]])
+    grp = np.cumsum(heads) - 1  # dense group id per distinct x, desc order
+    # max y within each x-group (first element of the group: y desc in group)
+    starts = np.flatnonzero(heads)
+    gmax = ys[starts]
+    # best y among all STRICTLY larger x = running max over previous groups
+    prev_best = np.concatenate([[-np.inf], np.maximum.accumulate(gmax)[:-1]])
+    keep_sorted = (ys == gmax[grp]) & (ys > prev_best[grp])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(ds, x_col: str, y_col: str):
+    """Distributed 2-D skyline (maximize x_col and y_col): the maxima set is
+    union-stable — skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B) — so each batch
+    keeps its local frontier (expected O(log n) rows) and one final pass over
+    the concatenated partials computes the global answer. Driver sees only
+    the partial frontiers, never the data. Returns a pyarrow Table with the
+    input schema."""
+
+    def local(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        m = _skyline_mask(
+            tbl[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            tbl[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        return tbl.filter(pa.array(m))
+
+    parts = list(
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return parts[0] if parts else pa.table({})
+    allp = pa.concat_tables(nonempty, promote_options="default")
+    m = _skyline_mask(
+        allp[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        allp[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+    )
+    return allp.filter(pa.array(m))
+
+
+# ------------------------------------------- temporal proximity count join
+def proximity_count(
+    ds,
+    *,
+    left_type: str,
+    right_type: str,
+    window_us: int,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_shards: int = 16,
+):
+    """Stream-stream temporal join primitive: for every row of `left_type`,
+    the COUNT of `right_type` rows of the same user within ±window_us
+    (inclusive). One user-keyed exchange co-locates each user's rows; per
+    shard a composite dense-rank key makes one searchsorted pair serve every
+    probe (no per-row loops, no per-user slicing). Scale shape: only
+    (user, ts, id, is_left) quads shuffle; window membership never explodes
+    rows because the output is a count."""
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(tbl[type_col], value_set=pa.array([left_type, right_type]))
+        t = tbl.filter(m)
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "ts_us": t[ts_col].cast(pa.int64()),
+                "event_id": t[id_col],
+                "is_left": pc.equal(t[type_col], left_type),
+            }
+        )
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_near": pa.array([], pa.int64()),
+                }
+            )
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        is_l = tbl["is_left"].to_numpy(zero_copy_only=False)
+        t0 = ts.min()
+        rel = ts - t0
+        span_u = int(rel.max()) + 2 * window_us + 2
+        # dense user ranks keep the composite key within int64 for any user
+        # id domain; the shard's user count bounds the product.
+        uu = np.unique(u)
+        ur = np.searchsorted(uu, u).astype(np.int64)
+        if (len(uu)) * span_u >= np.iinfo(np.int64).max:
+            raise ValueError("proximity_count: shard key span overflow")
+        comp = ur * span_u + rel
+        rights = np.sort(comp[~is_l])
+        base = ur[is_l] * span_u
+        probe = comp[is_l]
+        lo = np.maximum(probe - window_us, base)
+        hi = np.minimum(probe + window_us, base + span_u - 1)
+        n = np.searchsorted(rights, hi, "right") - np.searchsorted(rights, lo, "left")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_l]),
+                "n_near": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return hash_exchange(keyed_ds, "shard", n_shards, shard)
