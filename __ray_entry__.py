@@ -6673,6 +6673,559 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------ wave 19
+def _orders_cube(sf_dir):
+    """GROUPING SETS / CUBE aggregate: revenue cents + order counts for every
+    combination of (o_orderstatus, o_orderpriority), each one-dimension
+    margin, and the grand total — all derived from ONE distributed pass:
+    per-batch partials on the finest pair, one small groupby-sum, then the
+    3 margin levels roll up from the <= status x priority cell table in a
+    final driver-sized step. NULL markers render as 'ALL' (null-free hash,
+    same convention as revenue_rollup)."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": tbl["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "o_orderpriority": tbl["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .sum(["revenue_cents", "n_orders"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(revenue_cents)": "revenue_cents",
+                "sum(n_orders)": "n_orders",
+            }
+        )
+    )
+    levels = [fine]
+    for keep in (["o_orderstatus"], ["o_orderpriority"], []):
+        g = (
+            fine.groupby(keep, as_index=False)[["revenue_cents", "n_orders"]].sum()
+            if keep
+            else fine[["revenue_cents", "n_orders"]].sum().to_frame().T
+        )
+        for c in ("o_orderstatus", "o_orderpriority"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        levels.append(g[["o_orderstatus", "o_orderpriority", "revenue_cents", "n_orders"]])
+    out = pd.concat(levels, ignore_index=True)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(out["o_orderstatus"], type=pa.string()),
+            "o_orderpriority": pa.array(out["o_orderpriority"], type=pa.string()),
+            "revenue_cents": pa.array(out["revenue_cents"].to_numpy().astype(np.int64)),
+            "n_orders": pa.array(out["n_orders"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+ORDERS_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+MAD_K = 5.0
+
+
+def _mad_outliers(sf_dir):
+    """Robust outlier detection per event type: exact discrete median (the
+    group_quantiles compressed-distribution machinery), exact MAD (median of
+    |v - med|), and the count of values beyond K*MAD. Three bounded passes:
+    each quantile pass shuffles only the compressed (type, value, count)
+    distribution; the medians broadcast as literals into the next pass."""
+    import ray
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+
+    med = {
+        r["event_type"]: r["q50"]
+        for r in ops.group_quantiles(read(), "event_type", "value", (0.5,))
+        .to_pandas()
+        .to_dict("records")
+    }
+
+    def dev_batch(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        keys = np.array(sorted(med), dtype=object)
+        mvals = np.array([med[k] for k in keys])
+        m = mvals[np.searchsorted(keys, et)]
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "dev": pa.array(np.abs(v - m)),
+            }
+        )
+
+    mad = {
+        r["event_type"]: r["q50"]
+        for r in ops.group_quantiles(
+            read().map_batches(dev_batch, batch_format="pyarrow", batch_size=None),
+            "event_type",
+            "dev",
+            (0.5,),
+        )
+        .to_pandas()
+        .to_dict("records")
+    }
+
+    def outlier_partial(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        keys = np.array(sorted(med), dtype=object)
+        mvals = np.array([med[k] for k in keys])
+        madv = np.array([mad[k] for k in keys])
+        pos = np.searchsorted(keys, et)
+        out = np.abs(v - mvals[pos]) > MAD_K * madv[pos]
+        import pandas as pd
+
+        g = pd.DataFrame({"event_type": et, "o": out.astype(np.int64), "n": 1}).groupby(
+            "event_type", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        read()
+        .map_batches(outlier_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .sum(["o", "n"])
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    types = agg["event_type"].to_numpy()
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "median": pa.array(np.array([med[t] for t in types])),
+            "mad": pa.array(np.array([mad[t] for t in types])),
+            "n_outliers": pa.array(agg["sum(o)"].to_numpy().astype(np.int64)),
+            "n_events": pa.array(agg["sum(n)"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+MAD_OUTLIERS_ORACLE = f"""
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med FROM events GROUP BY 1),
+d AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.event_type, max(d.med) AS median, max(md.mad) AS mad,
+  CAST(sum(CASE WHEN d.dev > {_d(MAD_K)} * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  count(*) AS n_events
+FROM d JOIN md USING (event_type) GROUP BY 1
+"""
+
+
+def _lang_concentration(sf_dir):
+    """Per-source language concentration (Herfindahl index in exact integer
+    ppm): HHI = 10^6 * sum(n_lang^2) // n_total^2 — the corpus-diversity
+    audit metric. Per-batch (source, lang) partial counts, one groupby-sum,
+    per-source integer fold."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": tbl["source"].to_numpy(zero_copy_only=False),
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}), preserve_index=False
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "lang"])
+        .sum("partial")
+    )
+
+    def hhi(df):
+        import pandas as pd
+
+        n = df["sum(partial)"].to_numpy(dtype=np.int64)
+        nt = int(n.sum())
+        s2 = int((n * n).sum())
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "n_docs": [nt],
+                "hhi_ppm": [1_000_000 * s2 // (nt * nt)],
+            }
+        )
+
+    return counts.groupby("source").map_groups(hhi, batch_format="pandas")
+
+
+LANG_CONCENTRATION_ORACLE = """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS nt, sum(n * n) AS s2 FROM c GROUP BY 1)
+SELECT source, CAST(nt AS BIGINT) AS n_docs,
+       CAST((1000000 * s2) // (nt * nt) AS BIGINT) AS hhi_ppm
+FROM t
+"""
+
+
+def _merge_upsert(sf_dir):
+    """CDC MERGE / upsert: apply a deterministic change stream (deletes for
+    key%11==0, price updates for key%7==0, inserts at key+10^7 for
+    key%13==0) onto the orders base — the incremental-maintenance primitive
+    for a continuously-crawled corpus. Base and changes co-locate via one
+    key-hash exchange; each shard resolves (D drops, U replaces, I adds,
+    untouched passes through) vectorized."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    n_shards = 16
+
+    def tagged(tbl: pa.Table) -> pa.Table:
+        k = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys = [k]
+        vals = [cents]
+        op = [np.zeros(len(k), dtype=np.int64)]  # 0 = base row
+        d = k % 11 == 0
+        keys.append(k[d]); vals.append(cents[d]); op.append(np.full(d.sum(), 1))  # D
+        u = (~d) & (k % 7 == 0)
+        keys.append(k[u]); vals.append(cents[u] + 100); op.append(np.full(u.sum(), 2))  # U
+        i = k % 13 == 0
+        keys.append(k[i] + 10_000_000); vals.append(cents[i]); op.append(np.full(i.sum(), 3))  # I
+        kk = np.concatenate(keys)
+        return pa.table(
+            {
+                "shard": pa.array(((kk % n_shards) + n_shards) % n_shards),
+                "k": pa.array(kk),
+                "cents": pa.array(np.concatenate(vals)),
+                "op": pa.array(np.concatenate(op).astype(np.int64)),
+            }
+        )
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"o_orderkey": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0 or "k" not in tbl.schema.names:
+            return empty
+        k = tbl["k"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        op = tbl["op"].to_numpy(zero_copy_only=False)
+        # per key: highest op wins value selection; D anywhere drops
+        order = np.lexsort((op, k))
+        sk, sc, so = k[order], cents[order], op[order]
+        starts = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+        ends = np.append(starts[1:], len(sk)) - 1
+        has_d = np.logical_or.reduceat(so == 1, starts)
+        # value: the max-op row in the run (base=0 < U=2/I=3; D runs drop)
+        out_k = sk[ends][~has_d]
+        out_c = sc[ends][~has_d]
+        return pa.table({"o_orderkey": pa.array(out_k), "cents": pa.array(out_c)})
+
+    keyed = ds.map_batches(tagged, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed, "shard", n_shards, resolve)
+
+
+MERGE_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+chg AS (
+  SELECT k, 'D' AS op, cents FROM base WHERE k % 11 = 0
+  UNION ALL
+  SELECT k, 'U', cents + 100 FROM base WHERE k % 11 <> 0 AND k % 7 = 0
+  UNION ALL
+  SELECT k + 10000000, 'I', cents FROM base WHERE k % 13 = 0)
+SELECT COALESCE(c.k, b.k) AS o_orderkey,
+       CASE WHEN c.op IN ('U', 'I') THEN c.cents ELSE b.cents END AS cents
+FROM base b FULL JOIN chg c ON b.k = c.k
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
+def _corr_components(sf_dir):
+    """Distributed bivariate statistics in EXACT integers: per event type the
+    six Pearson-correlation components (n, Σx, Σy, Σxy, Σx², Σy²) between
+    the day number and the milli-unit value — mergeable by addition, so
+    per-batch partials + one 6-column groupby-sum is the whole pipeline;
+    the (float) correlation derives downstream from the exact components."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        y = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "n": 1,
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xy": x * y,
+                "sum_x2": x * x,
+                "sum_y2": y * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .sum(["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["event_type", "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+CORR_COMPONENTS_ORACLE = """
+WITH t AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+    CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events)
+SELECT event_type, count(*) AS n,
+  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+  CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM t GROUP BY 1
+"""
+
+
+def _embedding_quantize(sf_dir):
+    """Int8 vector quantization (the storage/ANN compression step): per
+    vector, scale by its max-abs and floor to [-127, 127] codes; outputs
+    exact integer code aggregates (sum/min/max) per vec_id so the whole
+    64-dim code block is hash-verified without shipping 64 columns. Pure
+    map — embarrassingly parallel."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quant(tbl: pa.Table) -> pa.Table:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "code_sum": pa.array([], pa.int64()),
+                    "code_min": pa.array([], pa.int64()),
+                    "code_max": pa.array([], pa.int64()),
+                }
+            )
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0])
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = flat.reshape(len(ids), dim)
+        mx = np.abs(m).max(axis=1)
+        safe = np.where(mx == 0.0, 1.0, mx)
+        codes = np.floor(m / safe[:, None] * 127.0).astype(np.int64)
+        codes[mx == 0.0] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "code_sum": pa.array(codes.sum(axis=1)),
+                "code_min": pa.array(codes.min(axis=1)),
+                "code_max": pa.array(codes.max(axis=1)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", batch_size=None)
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH u AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+m AS (SELECT vec_id, max(abs(e)) AS mx FROM u GROUP BY 1),
+c AS (
+  SELECT u.vec_id,
+    CASE WHEN m.mx = 0 THEN 0
+         ELSE CAST(floor(e / m.mx * 127.0) AS BIGINT) END AS code
+  FROM u JOIN m USING (vec_id))
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(min(code) AS BIGINT) AS code_min,
+       CAST(max(code) AS BIGINT) AS code_max
+FROM c GROUP BY 1
+"""
+
+
+THROTTLE_PER_HOUR = 3
+
+
+def _events_throttle(sf_dir):
+    """Rate limiting: keep at most 3 events per (user, hour) by (ts,
+    event_id) arrival order — the quota/throttle streaming primitive. One
+    (user, hour)-keyed exchange; per shard a lexsort + run-rank mask."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        return pa.table(
+            {
+                "shard": pa.array((((u * 31 + hour) % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "hour": pa.array(hour),
+                "ts_us": pa.array(ts),
+                "event_id": tbl["event_id"],
+            }
+        )
+
+    def throttle(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64())})
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        h = tbl["hour"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, h, u))
+        su, sh = u[order], h[order]
+        heads = np.concatenate([[True], (su[1:] != su[:-1]) | (sh[1:] != sh[:-1])])
+        starts = np.flatnonzero(heads)
+        run_id = np.cumsum(heads) - 1
+        rank = np.arange(len(su)) - starts[run_id]
+        return pa.table({"event_id": pa.array(eid[order][rank < THROTTLE_PER_HOUR])})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, throttle)
+
+
+EVENTS_THROTTLE_ORACLE = f"""
+WITH r AS (
+  SELECT event_id, row_number() OVER (
+    PARTITION BY user_id, epoch_us(ts) // 3600000000
+    ORDER BY epoch_us(ts), event_id) AS rk
+  FROM events)
+SELECT event_id FROM r WHERE rk <= {THROTTLE_PER_HOUR}
+"""
+
+
+def _zonal_stats(sf_dir):
+    """Zonal statistics (raster/vector analytics): per broadcast region,
+    doc count and exact integer sum of n_chars — region tagging composed
+    with a partial-aggregate reduce, so the stream is touched once and only
+    (region_id, partials) shuffle."""
+    import ray
+
+    centers, cosr = _centers_xyz()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        p = np.stack(
+            [
+                tbl["x"].to_numpy(zero_copy_only=False),
+                tbl["y"].to_numpy(zero_copy_only=False),
+                tbl["z"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        nc = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (p @ centers.T) >= cosr[None, :]
+        k = hit.shape[1]
+        return pa.table(
+            {
+                "region_id": pa.array(np.arange(k, dtype=np.int64)),
+                "n_docs": pa.array(hit.sum(axis=0).astype(np.int64)),
+                "sum_chars": pa.array((hit * nc[:, None]).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    out = (
+        enc.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("region_id")
+        .sum(["n_docs", "sum_chars"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        t = tbl.rename_columns(["region_id", "n_docs", "sum_chars"])
+        # regions with zero docs exist only as engine-side zero partials;
+        # the SQL dual groups over tagged rows, so drop them
+        return t.filter(pa.compute.greater(t["n_docs"], 0))
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _zonal_stats_oracle() -> str:
+    centers, cosr = _centers_xyz()
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({k} AS BIGINT) AS region_id FROM n "
+        f"WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cosr[k])}"
+        for k, c in enumerate(centers)
+    )
+    return (
+        _xyz_sql()
+        + f""", tags AS ({arms})
+SELECT region_id, count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM tags JOIN documents d USING (doc_id) GROUP BY 1"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -6850,6 +7403,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": _assoc_rules,
         "user_event_paths": _user_event_paths,
         "events_near_errors": _events_near_errors,
+        # --- wave 19 ---
+        "orders_cube": _orders_cube,
+        "mad_outliers": _mad_outliers,
+        "lang_concentration": _lang_concentration,
+        "merge_upsert": _merge_upsert,
+        "corr_components": _corr_components,
+        "embedding_quantize": _embedding_quantize,
+        "events_throttle": _events_throttle,
+        "zonal_stats": _zonal_stats,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -7005,6 +7567,14 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": ASSOC_RULES_ORACLE,
         "user_event_paths": USER_EVENT_PATHS_ORACLE,
         "events_near_errors": EVENTS_NEAR_ERRORS_ORACLE,
+        "orders_cube": ORDERS_CUBE_ORACLE,
+        "mad_outliers": MAD_OUTLIERS_ORACLE,
+        "lang_concentration": LANG_CONCENTRATION_ORACLE,
+        "merge_upsert": MERGE_UPSERT_ORACLE,
+        "corr_components": CORR_COMPONENTS_ORACLE,
+        "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
+        "events_throttle": EVENTS_THROTTLE_ORACLE,
+        "zonal_stats": _zonal_stats_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
