@@ -7226,6 +7226,387 @@ FROM tags JOIN documents d USING (doc_id) GROUP BY 1"""
     )
 
 
+# ------------------------------------------------------------------ wave 20
+_EVT_POS_SQL = f"""
+  SELECT event_id, user_id, ts,
+    360.0 * fmod(event_id * {_d(POS_C1)}, 1.0) AS lon,
+    180.0 * fmod(event_id * {_d(POS_C2)}, 1.0) - 90.0 AS lat
+  FROM events
+"""
+
+_EVT_XYZ_SQL = f"""
+WITH p AS ({_EVT_POS_SQL}),
+raw AS (
+  SELECT event_id, user_id, ts,
+    cos(lon*{_d(RAD)})*cos(lat*{_d(RAD)}) AS x0,
+    sin(lon*{_d(RAD)})*cos(lat*{_d(RAD)}) AS y0,
+    sin(lat*{_d(RAD)}) AS z0
+  FROM p),
+n AS (
+  SELECT event_id, user_id, ts,
+    x0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS x,
+    y0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS y,
+    z0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS z
+  FROM raw)
+"""
+
+TRAJ_SCALE = 1e9
+
+
+def _trajectory_stats(sf_dir):
+    """Per-user trajectory statistics: events ordered by (ts, event_id) trace
+    a path over their deterministic sky positions; output the segment count
+    and total squared-chord path length in exact integer nano-units
+    (floor(d2 * 1e9) per segment — order-independent integer sum, unlike a
+    float accumulation). One user-keyed exchange; per shard a lexsort, one
+    vectorized diff, and reduceat segment sums."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_id": tbl["event_id"],
+            }
+        )
+
+    def traj(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_segments": pa.array([], pa.int64()),
+                "path_len_nano": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        su, se = u[order], eid[order]
+        lon, lat = ops.positions_from_id(se)
+        v = ops.xyz_from_lonlat(lon, lat)
+        dx = v[1:, 0] - v[:-1, 0]
+        dy = v[1:, 1] - v[:-1, 1]
+        dz = v[1:, 2] - v[:-1, 2]
+        d2 = dx * dx + dy * dy + dz * dz
+        seg = np.floor(d2 * TRAJ_SCALE).astype(np.int64)
+        same = su[1:] == su[:-1]
+        seg = np.where(same, seg, 0)
+        heads = np.concatenate([[True], ~same])
+        starts = np.flatnonzero(heads)
+        lens = np.append(starts[1:], len(su)) - starts
+        # segment i belongs to the run of its LEFT endpoint; pad one zero so
+        # reduceat aligns (runs of length 1 contribute nothing)
+        seg_pad = np.append(seg, 0)
+        sums = np.add.reduceat(seg_pad, starts)
+        # the pad also absorbs the last run's overshoot; fix single-run edge
+        n_seg = (lens - 1).astype(np.int64)
+        keep = n_seg > 0
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts][keep]),
+                "n_segments": pa.array(n_seg[keep]),
+                "path_len_nano": pa.array(sums[keep].astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, traj)
+
+
+TRAJECTORY_ORACLE = (
+    _EVT_XYZ_SQL
+    + f""", s AS (
+  SELECT user_id, x, y, z,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz
+  FROM n WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (
+  SELECT user_id,
+    CAST(floor(((x-px)*(x-px) + (y-py)*(y-py) + (z-pz)*(z-pz)) * {_d(TRAJ_SCALE)})
+      AS BIGINT) AS seg
+  FROM s WHERE px IS NOT NULL)
+SELECT user_id, count(*) AS n_segments,
+       CAST(sum(seg) AS BIGINT) AS path_len_nano
+FROM d GROUP BY 1"""
+)
+
+
+ACTIVE_PAD_US = 300_000_000  # each event covers +/- 5 minutes
+
+
+def _user_active_time(sf_dir):
+    """Interval-union coverage: each event activates [ts-5min, ts+5min]; per
+    user, the total length of the UNION of those intervals (merged islands)
+    and the island count — the activity-coverage primitive, exact in integer
+    microseconds. User-keyed exchange, lexsort, one gap scan."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    def cover(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+                "active_us": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        su, st = u[order], ts[order]
+        new_user = np.concatenate([[True], su[1:] != su[:-1]])
+        gap = np.concatenate([[True], (st[1:] - st[:-1]) > 2 * ACTIVE_PAD_US])
+        island_head = new_user | gap
+        istarts = np.flatnonzero(island_head)
+        iends = np.append(istarts[1:], len(st)) - 1
+        ilen = (st[iends] - st[istarts]) + 2 * ACTIVE_PAD_US
+        iuser = su[istarts]
+        # per-user fold over islands (islands are contiguous per user)
+        uheads = np.concatenate([[True], iuser[1:] != iuser[:-1]])
+        ustarts = np.flatnonzero(uheads)
+        n_islands = np.append(ustarts[1:], len(iuser)) - ustarts
+        pad = np.append(ilen, 0)
+        active = np.add.reduceat(pad, ustarts)
+        return pa.table(
+            {
+                "user_id": pa.array(iuser[ustarts]),
+                "n_islands": pa.array(n_islands.astype(np.int64)),
+                "active_us": pa.array(active.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, cover)
+
+
+USER_ACTIVE_TIME_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+g AS (
+  SELECT user_id, ts_us,
+    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              > {2 * ACTIVE_PAD_US} THEN 1
+         WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL THEN 1
+         ELSE 0 END AS head
+  FROM t),
+i AS (
+  SELECT user_id, ts_us,
+    sum(head) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS UNBOUNDED PRECEDING) AS island
+  FROM g),
+agg AS (
+  SELECT user_id, island, max(ts_us) - min(ts_us) + {2 * ACTIVE_PAD_US} AS len
+  FROM i GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_islands, CAST(sum(len) AS BIGINT) AS active_us
+FROM agg GROUP BY 1
+"""
+
+
+RING_OUTER = 45.0
+RING_INNER = 20.0
+
+
+def _cone_ring_search(sf_dir):
+    """Annulus (ring) region search: docs between 20 and 45 degrees of the
+    cone center — the outer cone's index cover prefilters, then the exact
+    two-sided dot predicate (>= cos(outer), < cos(inner)) refines. Same
+    plan-broadcast shape as cone_search_htm with a composed predicate."""
+    from spatialindex_ray import geom
+
+    si = SpatialIndex()
+    plan = si.cone_plan(
+        CONE_HTM["ra"], CONE_HTM["dec"], RING_OUTER, mode=0, level=7
+    )
+    inner = geom.Cone(CONE_HTM["ra"], CONE_HTM["dec"], RING_INNER)
+    c = inner.center
+    ds = _docs_encoded(sf_dir)
+    hits = ops.region_search(ds, plan)
+
+    def ring(tbl: pa.Table) -> pa.Table:
+        dot = (
+            tbl["x"].to_numpy(zero_copy_only=False) * c[0]
+            + tbl["y"].to_numpy(zero_copy_only=False) * c[1]
+            + tbl["z"].to_numpy(zero_copy_only=False) * c[2]
+        )
+        m = dot < inner.cosrad
+        return pa.table({"doc_id": pa.array(tbl["doc_id"].to_numpy(zero_copy_only=False)[m])})
+
+    return hits.map_batches(ring, batch_format="pyarrow", batch_size=None)
+
+
+def _cone_ring_oracle() -> str:
+    from spatialindex_ray import geom
+
+    outer = geom.Cone(CONE_HTM["ra"], CONE_HTM["dec"], RING_OUTER)
+    inner = geom.Cone(CONE_HTM["ra"], CONE_HTM["dec"], RING_INNER)
+    c = outer.center
+    return (
+        _xyz_sql()
+        + f"SELECT doc_id FROM n WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= "
+        f"{_d(outer.cosrad)} AND x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} < {_d(inner.cosrad)}"
+    )
+
+
+BEARING_CENTER = (135.0, 20.0)
+
+
+def _bearing_basis():
+    lon0, lat0 = BEARING_CENTER
+    lam, phi = math.radians(lon0), math.radians(lat0)
+    e = (-math.sin(lam), math.cos(lam), 0.0)
+    n = (
+        -math.sin(phi) * math.cos(lam),
+        -math.sin(phi) * math.sin(lam),
+        math.cos(phi),
+    )
+    return e, n
+
+
+def _bearing_quadrants(sf_dir):
+    """Bearing-quadrant counts around a center: each doc classifies by the
+    SIGNS of its dot products with the center's east/north tangent basis
+    (NE/NW/SE/SW) — no inverse trig (SVML-unsafe), just two sign tests that
+    the SQL dual mirrors literally. Partial bincounts + 4-row groupby."""
+    import ray
+
+    e, nb = _bearing_basis()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        v = ops.xyz_from_lonlat(lon, lat)
+        de = v[:, 0] * e[0] + v[:, 1] * e[1] + v[:, 2] * e[2]
+        dn = v[:, 0] * nb[0] + v[:, 1] * nb[1] + v[:, 2] * nb[2]
+        quad = (2 * (dn < 0.0) + (de < 0.0)).astype(np.int64)
+        cnt = np.bincount(quad, minlength=4)
+        return pa.table(
+            {
+                "quadrant": pa.array(np.arange(4, dtype=np.int64)),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("quadrant")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["quadrant", "n_docs"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _bearing_quadrants_oracle() -> str:
+    e, nb = _bearing_basis()
+    de = f"x*{_d(e[0])} + y*{_d(e[1])} + z*{_d(e[2])}"
+    dn = f"x*{_d(nb[0])} + y*{_d(nb[1])} + z*{_d(nb[2])}"
+    return (
+        _xyz_sql()
+        + f"""SELECT CAST(2 * (CASE WHEN {dn} < {_d(0.0)} THEN 1 ELSE 0 END)
+         + (CASE WHEN {de} < {_d(0.0)} THEN 1 ELSE 0 END) AS BIGINT) AS quadrant,
+       count(*) AS n_docs
+FROM n GROUP BY 1"""
+    )
+
+
+def _customer_running_total(sf_dir):
+    """Per-customer running revenue: cumulative integer cents over the
+    customer's orders in (o_orderdate, o_orderkey) order — the per-key
+    cumulative-window primitive (SUM OVER ROWS UNBOUNDED PRECEDING). One
+    customer-keyed exchange; per shard a lexsort + grouped cumsum (global
+    cumsum minus run-base, no per-group loop)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        c = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((c % n_shards) + n_shards) % n_shards),
+                "o_custkey": pa.array(c),
+                "date_us": tbl["o_orderdate"].cast(pa.int64()),
+                "o_orderkey": tbl["o_orderkey"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def running(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "running_cents": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "o_custkey" not in tbl.schema.names:
+            return empty
+        c = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        d = tbl["date_us"].to_numpy(zero_copy_only=False)
+        k = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        sc, sv, sk = c[order], v[order], k[order]
+        cs = np.cumsum(sv)
+        heads = np.concatenate([[True], sc[1:] != sc[:-1]])
+        starts = np.flatnonzero(heads)
+        run_id = np.cumsum(heads) - 1
+        base = (cs[starts] - sv[starts])[run_id]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(sk),
+                "running_cents": pa.array((cs - base).astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, running)
+
+
+CUSTOMER_RUNNING_ORACLE = """
+SELECT o_orderkey,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM orders
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -7412,6 +7793,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _embedding_quantize,
         "events_throttle": _events_throttle,
         "zonal_stats": _zonal_stats,
+        # --- wave 20 ---
+        "trajectory_stats": _trajectory_stats,
+        "user_active_time": _user_active_time,
+        "cone_ring_search": _cone_ring_search,
+        "bearing_quadrants": _bearing_quadrants,
+        "customer_running_total": _customer_running_total,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -7575,6 +7962,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
         "events_throttle": EVENTS_THROTTLE_ORACLE,
         "zonal_stats": _zonal_stats_oracle(),
+        "trajectory_stats": TRAJECTORY_ORACLE,
+        "user_active_time": USER_ACTIVE_TIME_ORACLE,
+        "cone_ring_search": _cone_ring_oracle(),
+        "bearing_quadrants": _bearing_quadrants_oracle(),
+        "customer_running_total": CUSTOMER_RUNNING_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
