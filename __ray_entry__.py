@@ -7607,6 +7607,116 @@ FROM orders
 """
 
 
+# ------------------------------------------------------------------ wave 21
+def _latest_event_per_user(sf_dir):
+    """Keep-latest compaction (the CDC/upsert read-side primitive): per
+    user, the single most recent event ROW by (ts, event_id) — one
+    user-keyed exchange, per shard a lexsort + run-tail gather; only the
+    winner rows leave the shard."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_id": tbl["event_id"],
+                "event_type": tbl["event_type"],
+                "value": tbl["value"],
+            }
+        )
+
+    def latest(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        su = u[order]
+        tails = np.append(np.flatnonzero(su[1:] != su[:-1]), len(su) - 1)
+        pick = pa.array(order[tails])
+        return pa.table(
+            {
+                "user_id": tbl["user_id"].take(pick),
+                "event_id": tbl["event_id"].take(pick),
+                "event_type": tbl["event_type"].take(pick),
+                "value": tbl["value"].take(pick),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, latest)
+
+
+LATEST_EVENT_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+      AS rk
+  FROM events)
+SELECT user_id, event_id, event_type, value FROM r WHERE rk = 1
+"""
+
+
+def _centroid_similarity(sf_dir):
+    """Pairwise similarity of per-label centroid numerators in EXACT
+    integers: dot of the micro-unit sum vectors plus both group sizes (the
+    float cosine derives downstream as dot/(1e12 n_a n_b |.||.|)). The
+    distributed part is the centroid aggregation (labels x dims cells);
+    the K^2 pair fold runs on the plan-sized result."""
+    cents = _embedding_centroids(sf_dir).to_pandas()
+    cents = cents.sort_values(["label", "dim"])
+    labels = cents["label"].unique()
+    d = cents["dim"].max()
+    mat = cents["sum_micros"].to_numpy().astype(np.int64).reshape(len(labels), int(d))
+    ns = cents.groupby("label")["n"].max()
+    out_a, out_b, out_dot, out_na, out_nb = [], [], [], [], []
+    for i, la in enumerate(labels):
+        for j in range(i + 1, len(labels)):
+            lb = labels[j]
+            out_a.append(la)
+            out_b.append(lb)
+            out_dot.append(int((mat[i] * mat[j]).sum()))
+            out_na.append(int(ns[la]))
+            out_nb.append(int(ns[lb]))
+    return pa.table(
+        {
+            "label_a": pa.array(np.array(out_a, dtype=np.int64)),
+            "label_b": pa.array(np.array(out_b, dtype=np.int64)),
+            "dot_num": pa.array(np.array(out_dot, dtype=np.int64)),
+            "n_a": pa.array(np.array(out_na, dtype=np.int64)),
+            "n_b": pa.array(np.array(out_nb, dtype=np.int64)),
+        }
+    )
+
+
+CENTROID_SIMILARITY_ORACLE = f"""
+WITH c AS ({EMBEDDING_CENTROIDS_ORACLE})
+SELECT a.label AS label_a, b.label AS label_b,
+  CAST(sum(a.sum_micros * b.sum_micros) AS BIGINT) AS dot_num,
+  CAST(max(a.n) AS BIGINT) AS n_a, CAST(max(b.n) AS BIGINT) AS n_b
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -7799,6 +7909,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cone_ring_search": _cone_ring_search,
         "bearing_quadrants": _bearing_quadrants,
         "customer_running_total": _customer_running_total,
+        # --- wave 21 ---
+        "latest_event_per_user": _latest_event_per_user,
+        "centroid_similarity": _centroid_similarity,
+        "image_histogram": multimodal.image_histogram_query,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -7967,6 +8081,9 @@ def oracle_sql() -> dict[str, str]:
         "cone_ring_search": _cone_ring_oracle(),
         "bearing_quadrants": _bearing_quadrants_oracle(),
         "customer_running_total": CUSTOMER_RUNNING_ORACLE,
+        "latest_event_per_user": LATEST_EVENT_ORACLE,
+        "centroid_similarity": CENTROID_SIMILARITY_ORACLE,
+        "image_histogram": multimodal.IMAGE_HISTOGRAM_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -815,3 +815,65 @@ FROM f LEFT JOIN (
   WHERE prev IS NOT NULL AND abs(fsum - prev) > {SCENE_CUT_THRESHOLD}
   GROUP BY doc_id) c ON f.doc_id = c.doc_id
 """
+
+
+class BrightnessHist:
+    """Actor-pool stage: PNG payload -> exact 16-bin brightness histogram
+    (channel 0, bin = pixel >> 4). The histogram-equalization / exposure-
+    audit primitive over a real codec roundtrip: decode once per image, one
+    bincount — emits only (doc_id, bin, n_px) rows, never pixels."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_b, out_n = [], [], []
+        for i, did in enumerate(ids):
+            h, w, c, px = decode_png(payload[i].as_py())
+            cnt = np.bincount(px[:, :, 0].ravel() >> 4, minlength=16)
+            nz = np.flatnonzero(cnt)
+            out_id.append(np.full(len(nz), did, dtype=np.int64))
+            out_b.append(nz.astype(np.int64))
+            out_n.append(cnt[nz].astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                    "n_px": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "bin": pa.array(np.concatenate(out_b)),
+                "n_px": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+
+def image_histogram_query(sf_dir: str):
+    """16-bin brightness histograms over real gradient PNGs — synth payloads
+    (SQL-reconstructible pixels), decode + bincount in an actor pool."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        _synth_gradient_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        BrightnessHist,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+IMAGE_HISTOGRAM_ORACLE = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
+           FROM documents),
+p AS (
+  SELECT doc_id, ((doc_id + xs.x + ys.y) % 256) // 16 AS bin
+  FROM d, unnest(range(0, h)) AS ys(y), unnest(range(0, w)) AS xs(x))
+SELECT doc_id, CAST(bin AS BIGINT) AS bin, count(*) AS n_px
+FROM p GROUP BY 1, 2
+"""
