@@ -7717,6 +7717,303 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ wave 22
+def _q6_revenue(sf_dir):
+    """TPC-H Q6 shape: filtered scan + single global aggregate over the
+    LARGEST table, in exact integers (price cents x discount bps — the
+    float product never accumulates). Predicate pushdown keeps only 4
+    columns moving; per-batch partials fold to one row."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)
+        qty = tbl["l_quantity"].to_numpy(zero_copy_only=False)
+        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = (sd >= lo) & (sd < hi) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0)
+        cents = np.round(price[m] * 100.0).astype(np.int64)
+        bps = np.round(disc[m] * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.array([1], dtype=np.int64)),
+                "revenue_unit": pa.array(
+                    np.array([(cents * bps).sum()], dtype=np.int64)
+                ),
+                "n_rows": pa.array(np.array([int(m.sum())], dtype=np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["revenue_unit", "n_rows"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_unit": tbl["sum(revenue_unit)"].cast(pa.int64()),
+                "n_rows": tbl["sum(n_rows)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+Q6_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_unit,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+
+
+def _ship_latency_quantiles(sf_dir):
+    """Fulfillment-latency quantiles: join lineitem to orders (broadcast the
+    narrow key side is WRONG here — orders is data-sized, so the join is a
+    proper exchange equi-join), derive latency days, then EXACT per-priority
+    quantiles over the compressed (priority, days) distribution."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = ops.equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def latency(tbl: pa.Table) -> pa.Table:
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = (sd - od) // 86_400_000_000
+        return pa.table(
+            {
+                "o_orderpriority": tbl["o_orderpriority"],
+                "days": pa.array(days.astype(np.int64)),
+            }
+        )
+
+    lat = j.map_batches(latency, batch_format="pyarrow", batch_size=None)
+    return ops.group_quantiles(lat, "o_orderpriority", "days", (0.5, 0.9, 0.99))
+
+
+SHIP_LATENCY_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority, count(*) AS n_events,
+  quantile_disc(days, 0.5) AS q50, quantile_disc(days, 0.9) AS q90,
+  quantile_disc(days, 0.99) AS q99
+FROM d GROUP BY 1
+"""
+
+
+def _events_time_rollup(sf_dir):
+    """Time-hierarchy ROLLUP: event counts + exact milli-value sums at
+    (day), rolled up to (week) and the grand total from the day-level cell
+    table — the calendar analog of cell_rollup; the raw stream is touched
+    once. Level markers: 'day'/'week'/'all' with the bucket index."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        vm = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"day_num": day, "n": 1, "sum_milli": vm})
+        return pa.Table.from_pandas(
+            df.groupby("day_num", as_index=False).sum(), preserve_index=False
+        )
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day_num")
+        .sum(["n", "sum_milli"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(sum_milli)": "sum_milli"})
+    )
+    days["level"] = "day"
+    days["bucket"] = days["day_num"]
+    week = days.copy()
+    week["bucket"] = week["day_num"] // 7
+    week = week.groupby("bucket", as_index=False)[["n", "sum_milli"]].sum()
+    week["level"] = "week"
+    total = pd.DataFrame(
+        {
+            "level": ["all"],
+            "bucket": [0],
+            "n": [days["n"].sum()],
+            "sum_milli": [days["sum_milli"].sum()],
+        }
+    )
+    out = pd.concat(
+        [days[["level", "bucket", "n", "sum_milli"]], week, total], ignore_index=True
+    )
+    return pa.table(
+        {
+            "level": pa.array(out["level"], type=pa.string()),
+            "bucket": pa.array(out["bucket"].to_numpy().astype(np.int64)),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+            "sum_milli": pa.array(out["sum_milli"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+EVENTS_TIME_ROLLUP_ORACLE = """
+WITH t AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+         CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT 'day' AS level, day_num AS bucket, count(*) AS n,
+       CAST(sum(vm) AS BIGINT) AS sum_milli FROM t GROUP BY 2
+UNION ALL
+SELECT 'week', day_num // 7, count(*), CAST(sum(vm) AS BIGINT)
+FROM t GROUP BY 2
+UNION ALL
+SELECT 'all', 0, count(*), CAST(sum(vm) AS BIGINT) FROM t
+"""
+
+
+GH_NEI_LIMIT = 200
+GH_NEI_PRECISION = 3  # odd precision: exercises the asymmetric bit split
+
+
+def _geohash_neighbors(sf_dir):
+    """Geohash 8-neighborhood: per bounded doc, the 8 adjacent geohash-3
+    cells (de-interleave -> +/-1 lattice steps with lon wraparound, lat
+    clamped at the poles -> re-interleave) — completes the geohash family
+    (encode, counts, cover) with the adjacency primitive ring queries
+    need. Pure map; neighbor strings re-encode through the same base-32
+    path as geohash_encode."""
+    import ray
+
+    from spatialindex_ray.kernels import geohash as ghk
+
+    nbits = 5 * GH_NEI_PRECISION
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def nei(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.less(tbl["doc_id"], GH_NEI_LIMIT))
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "di": pa.array([], pa.int64()),
+                    "dj": pa.array([], pa.int64()),
+                    "neighbor": pa.array([], pa.string()),
+                }
+            )
+        lon, lat = ops.positions_from_id(ids)
+        lon_g = np.where(lon >= 180.0, lon - 360.0, lon)
+        i = np.floor((lon_g + 180.0) / 360.0 * float(1 << nlon)).astype(np.int64)
+        j = np.floor((lat + 90.0) / 180.0 * float(1 << nlat)).astype(np.int64)
+        i = np.minimum(np.maximum(i, 0), (1 << nlon) - 1)
+        j = np.minimum(np.maximum(j, 0), (1 << nlat) - 1)
+        out_id, out_di, out_dj, out_s = [], [], [], []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                ii = (i + di) % (1 << nlon)  # lon wraps
+                jj = j + dj
+                valid = (jj >= 0) & (jj < (1 << nlat))  # lat clamps (no pole wrap)
+                code = np.zeros(len(ids), dtype=np.uint64)
+                for b in range(nbits):
+                    src = ii if b % 2 == 0 else jj
+                    srcbit = (nlon - 1 - b // 2) if b % 2 == 0 else (nlat - 1 - b // 2)
+                    code |= (
+                        (src.astype(np.uint64) >> np.uint64(srcbit)) & np.uint64(1)
+                    ) << np.uint64(nbits - 1 - b)
+                chars = np.empty((len(ids), GH_NEI_PRECISION), dtype=np.uint8)
+                for cpos in range(GH_NEI_PRECISION):
+                    idx = (
+                        code >> np.uint64(5 * (GH_NEI_PRECISION - 1 - cpos))
+                    ) & np.uint64(31)
+                    chars[:, cpos] = ghk._B32[idx.astype(np.int64)]
+                ss = chars.view(f"S{GH_NEI_PRECISION}").reshape(-1).astype(str)
+                out_id.append(ids[valid])
+                out_di.append(np.full(int(valid.sum()), di, dtype=np.int64))
+                out_dj.append(np.full(int(valid.sum()), dj, dtype=np.int64))
+                out_s.append(ss[valid])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "di": pa.array(np.concatenate(out_di)),
+                "dj": pa.array(np.concatenate(out_dj)),
+                "neighbor": pa.array(np.concatenate(out_s), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(nei, batch_format="pyarrow", batch_size=None)
+
+
+def _geohash_neighbors_oracle() -> str:
+    nbits = 5 * GH_NEI_PRECISION
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_expr = (
+        f"LEAST(GREATEST(CAST(floor((CASE WHEN lon >= {_d(180.0)} THEN lon - {_d(360.0)} "
+        f"ELSE lon END + {_d(180.0)}) / {_d(360.0)} * {_d(float(1 << nlon))}) AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    lat_expr = (
+        f"LEAST(GREATEST(CAST(floor((lat + {_d(90.0)}) / {_d(180.0)} * "
+        f"{_d(float(1 << nlat))}) AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    terms = []
+    for b in range(nbits):
+        src = "ii" if b % 2 == 0 else "jj"
+        srcbit = (nlon - 1 - b // 2) if b % 2 == 0 else (nlat - 1 - b // 2)
+        terms.append(f"(({src} // {1 << srcbit}) % 2) * {1 << (nbits - 1 - b)}")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((code // {1 << (5 * (GH_NEI_PRECISION - 1 - c))}) % 32 AS INT) + 1, 1)"
+        for c in range(GH_NEI_PRECISION)
+    )
+    return (
+        _xyz_sql()
+        + f""", cells AS (
+  SELECT doc_id, {lon_expr} AS i, {lat_expr} AS j FROM n
+  WHERE doc_id < {GH_NEI_LIMIT}),
+deltas AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
+    t(di, dj)),
+moved AS (
+  SELECT doc_id, di, dj,
+    ((i + di) % {1 << nlon} + {1 << nlon}) % {1 << nlon} AS ii,
+    j + dj AS jj
+  FROM cells CROSS JOIN deltas
+  WHERE j + dj >= 0 AND j + dj < {1 << nlat}),
+coded AS (SELECT doc_id, di, dj, {code} AS code FROM moved)
+SELECT doc_id, CAST(di AS BIGINT) AS di, CAST(dj AS BIGINT) AS dj,
+       {chars} AS neighbor
+FROM coded"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -7913,6 +8210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _latest_event_per_user,
         "centroid_similarity": _centroid_similarity,
         "image_histogram": multimodal.image_histogram_query,
+        # --- wave 22 ---
+        "q6_revenue": _q6_revenue,
+        "ship_latency_quantiles": _ship_latency_quantiles,
+        "events_time_rollup": _events_time_rollup,
+        "geohash_neighbors": _geohash_neighbors,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -8084,6 +8386,10 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": LATEST_EVENT_ORACLE,
         "centroid_similarity": CENTROID_SIMILARITY_ORACLE,
         "image_histogram": multimodal.IMAGE_HISTOGRAM_ORACLE,
+        "q6_revenue": Q6_ORACLE,
+        "ship_latency_quantiles": SHIP_LATENCY_ORACLE,
+        "events_time_rollup": EVENTS_TIME_ROLLUP_ORACLE,
+        "geohash_neighbors": _geohash_neighbors_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
