@@ -726,7 +726,9 @@ def _lev_le1_mask(a_slugs: np.ndarray, b_slugs: np.ndarray) -> np.ndarray:
     )
 
 
-def edit_distance_query(sf_dir: str, limit: int = EDIT_DOC_LIMIT):
+def edit_distance_query(
+    sf_dir: str, limit: int = EDIT_DOC_LIMIT, bucket_cap: int | None = None
+):
     """Edit-distance near-dup join: all doc pairs (left_id < right_id) whose
     16-char text slugs are within Levenshtein distance 1 — the
     spelling-variant / single-typo dedup primitive.
@@ -739,20 +741,35 @@ def edit_distance_query(sf_dir: str, limit: int = EDIT_DOC_LIMIT):
     exchange, no all-pairs scan. A second pair-keyed exchange dedupes
     multi-signature candidates, then a vectorized verifier (_lev_le1_mask)
     removes the false positives that unequal-position deletions admit.
-    Only (sig, doc_id, slug) triples shuffle, never documents."""
+    Only (sig, doc_id, slug) triples shuffle, never documents.
+
+    Scale guard: a bucket of b identical/near-identical slugs emits
+    O(b^2) pairs — measured 5.1e10 candidates on 1M common-prefix URLs.
+    ``bucket_cap`` (the MINHASH_BUCKET_CAP treatment) caps each signature
+    bucket at `cap` members and emits CHAIN pairs beyond it, keeping
+    clusters connected at O(b) pairs; downstream cluster extraction
+    (ops.connected_components -> dedup_clusters) recovers full groups. The
+    oracled query runs uncapped on the bounded doc subset, where exact
+    pairwise output is the spec; at corpus scale, pre-collapsing exact
+    slug duplicates (exact_dedup on the slug) before the neighborhood
+    explode is the other standard mitigation."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray
 
     from .. import ops
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    n_shards = 16
+    if isinstance(sf_dir, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    else:  # pre-built (doc_id, text) Dataset — robustness-at-size path
+        ds = sf_dir
+    n_shards = 16 if isinstance(sf_dir, str) else 64
 
     def sigs(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.filter(pc.less(tbl["doc_id"], limit))
+        if limit is not None:
+            tbl = tbl.filter(pc.less(tbl["doc_id"], limit))
         if tbl.num_rows == 0:
             return pa.table(
                 {
@@ -806,12 +823,19 @@ def edit_distance_query(sf_dir: str, limit: int = EDIT_DOC_LIMIT):
         heads = np.concatenate([[True], sg[1:] != sg[:-1]])
         starts = np.flatnonzero(heads)
         lens = np.append(starts[1:], len(sg)) - starts
-        # all (i < j) index pairs within each run, vectorized per run size
+        # all (i < j) index pairs within each run, vectorized per run size;
+        # runs beyond bucket_cap contribute chain pairs only (O(b), keeps
+        # the cluster connected for downstream component extraction)
         ai, bi = [], []
         for r in np.unique(lens):
             if r < 2:
                 continue
             runs = starts[lens == r]
+            if bucket_cap is not None and r > bucket_cap:
+                offs = np.arange(int(r) - 1)
+                ai.append((runs[:, None] + offs[None, :]).ravel())
+                bi.append((runs[:, None] + offs[None, :] + 1).ravel())
+                continue
             iu, ju = np.triu_indices(int(r), k=1)
             ai.append((runs[:, None] + iu[None, :]).ravel())
             bi.append((runs[:, None] + ju[None, :]).ravel())
