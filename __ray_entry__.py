@@ -8014,6 +8014,340 @@ FROM coded"""
     )
 
 
+# ------------------------------------------------------------------ wave 23
+def _embedding_gram(sf_dir):
+    """Distributed Gram / covariance-numerator matrix over the embedding
+    column in EXACT integers: per batch, G += micro(V)^T micro(V) (one
+    matmul), then the (dim x dim) partials — upper triangle only — merge by
+    a tiny groupby-sum. The PCA/whitening front-end primitive; nothing
+    data-sized ever leaves a batch."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        col = tbl["embedding"].combine_chunks()
+        if len(col) == 0:
+            return pa.table(
+                {
+                    "dim_i": pa.array([], pa.int64()),
+                    "dim_j": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(col[0])
+        m = np.round(flat * 1e6).astype(np.int64).reshape(-1, d)
+        g = m.T @ m  # exact: int64 matmul
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array((iu + 1).astype(np.int64)),
+                "dim_j": pa.array((ju + 1).astype(np.int64)),
+                "partial": pa.array(g[iu, ju]),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["dim_i", "dim_j"])
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["dim_i", "dim_j", "gram_micro2"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+EMBEDDING_GRAM_ORACLE = """
+WITH u AS (
+  SELECT vec_id, i,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS e
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT a.i AS dim_i, b.i AS dim_j,
+       CAST(sum(a.e * b.e) AS BIGINT) AS gram_micro2
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+USER_SIM_LIMIT = 40
+USER_SIM_MIN_COMMON = 5
+
+
+def _user_similarity(sf_dir):
+    """Behavioral set-similarity join: users (bounded subset) as sets of
+    distinct (event_type, day) items; pairs sharing >= 5 items with their
+    intersection size and both set sizes (Jaccard derives downstream) —
+    the collaborative-filtering neighbor primitive. Item-keyed exchange,
+    per-item vectorized pair explode, pair-count groupby: the ngram-join
+    machinery applied to behavior sets."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    n_shards = 16
+
+    def items(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = u < USER_SIM_LIMIT
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+            // 86_400_000_000
+        )
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)[m]
+        df = pd.DataFrame({"user_id": u[m], "day_num": day, "event_type": et})
+        df = df.drop_duplicates()
+        item = pd.util.hash_pandas_object(
+            df[["day_num", "event_type"]].astype(str).agg("|".join, axis=1),
+            index=False,
+        ).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((item % n_shards) + n_shards) % n_shards),
+                "item": pa.array(item),
+                "user_id": pa.array(df["user_id"].to_numpy()),
+            }
+        )
+
+    def pair_partials(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "item" not in tbl.schema.names:
+            return empty
+        it = tbl["item"].to_numpy(zero_copy_only=False)
+        us = tbl["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, it))
+        si, su = it[order], us[order]
+        # distinct (item, user) — the batch-level dedup is per-batch only
+        keep = np.concatenate([[True], (si[1:] != si[:-1]) | (su[1:] != su[:-1])])
+        si, su = si[keep], su[keep]
+        heads = np.concatenate([[True], si[1:] != si[:-1]])
+        starts = np.flatnonzero(heads)
+        lens = np.append(starts[1:], len(si)) - starts
+        ai, bi = [], []
+        for r in np.unique(lens):
+            if r < 2:
+                continue
+            runs = starts[lens == r]
+            iu, ju = np.triu_indices(int(r), k=1)
+            ai.append((runs[:, None] + iu[None, :]).ravel())
+            bi.append((runs[:, None] + ju[None, :]).ravel())
+        if not ai:
+            return empty
+        a = su[np.concatenate(ai)]
+        b = su[np.concatenate(bi)]
+        df = pd.DataFrame({"user_a": a, "user_b": b})
+        g = df.groupby(["user_a", "user_b"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}), preserve_index=False
+        )
+
+    keyed = ds.map_batches(items, batch_format="pyarrow", batch_size=None)
+    pair_counts = (
+        ops.hash_exchange(keyed, "shard", n_shards, pair_partials)
+        .groupby(["user_a", "user_b"])
+        .sum("partial")
+    )
+    # set sizes: distinct item count per user (driver-bounded: <= 40 rows)
+    sizes = (
+        ops.hash_exchange(
+            keyed,
+            "shard",
+            n_shards,
+            lambda t: _distinct_user_counts(t),
+        )
+        .groupby("user_id")
+        .sum("partial")
+        .to_pandas()
+        .set_index("user_id")["sum(partial)"]
+    )
+    pc_df = pair_counts.to_pandas().rename(columns={"sum(partial)": "n_common"})
+    pc_df = pc_df[pc_df["n_common"] >= USER_SIM_MIN_COMMON]
+    pc_df = pc_df.sort_values(["user_a", "user_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "user_a": pa.array(pc_df["user_a"].to_numpy().astype(np.int64)),
+            "user_b": pa.array(pc_df["user_b"].to_numpy().astype(np.int64)),
+            "n_common": pa.array(pc_df["n_common"].to_numpy().astype(np.int64)),
+            "size_a": pa.array(
+                sizes.loc[pc_df["user_a"]].to_numpy().astype(np.int64)
+            ),
+            "size_b": pa.array(
+                sizes.loc[pc_df["user_b"]].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+def _distinct_user_counts(tbl: pa.Table) -> pa.Table:
+    """Per-shard distinct-item counts per user (items are shard-disjoint,
+    so per-shard counts sum to the global distinct count)."""
+    if tbl.num_rows == 0 or "item" not in tbl.schema.names:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+        )
+    it = tbl["item"].to_numpy(zero_copy_only=False)
+    us = tbl["user_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((it, us))
+    si, su = it[order], us[order]
+    keep = np.concatenate([[True], (si[1:] != si[:-1]) | (su[1:] != su[:-1])])
+    si, su = si[keep], su[keep]
+    heads = np.concatenate([[True], su[1:] != su[:-1]])
+    starts = np.flatnonzero(heads)
+    lens = np.append(starts[1:], len(su)) - starts
+    return pa.table(
+        {
+            "user_id": pa.array(su[starts]),
+            "partial": pa.array(lens.astype(np.int64)),
+        }
+    )
+
+
+USER_SIMILARITY_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num, event_type
+  FROM events WHERE user_id < {USER_SIM_LIMIT}),
+sizes AS (SELECT user_id, count(*) AS sz FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_common
+  FROM items a JOIN items b
+    ON a.day_num = b.day_num AND a.event_type = b.event_type
+   AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT p.user_a, p.user_b, p.n_common, sa.sz AS size_a, sb.sz AS size_b
+FROM pairs p
+JOIN sizes sa ON sa.user_id = p.user_a
+JOIN sizes sb ON sb.user_id = p.user_b
+WHERE p.n_common >= {USER_SIM_MIN_COMMON}
+"""
+
+
+def _events_seasonality(sf_dir):
+    """Seasonality matrix: event counts + exact milli-value sums per
+    (day-of-week, hour-of-day) — the calendar heatmap primitive. Epoch
+    arithmetic only (dow = (days + 4) % 7, 1970-01-01 = Thursday) so both
+    sides share the formula; per-batch partials + one 168-cell groupby."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        vm = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"dow": dow, "hour": hour, "n": 1, "sum_milli": vm})
+        return pa.Table.from_pandas(
+            df.groupby(["dow", "hour"], as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["dow", "hour"])
+        .sum(["n", "sum_milli"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["dow", "hour", "n", "sum_milli"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_SEASONALITY_ORACLE = """
+WITH t AS (
+  SELECT epoch_us(ts) AS us, CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT CAST((us // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((us // 3600000000) % 24 AS BIGINT) AS hour,
+       count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_milli
+FROM t GROUP BY 1, 2
+"""
+
+
+def _type_weekly_growth(sf_dir):
+    """Week-over-week growth per event type: weekly counts plus the LAG
+    delta against the PREVIOUS OBSERVED week — windowed analytics over an
+    already-aggregated series (the aggregate-then-window composition). The
+    distributed part is the (type, week) count; the per-type LAG runs over
+    the types x weeks cell table."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        week = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+            // 7
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "week": week,
+                "n": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "week"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "week"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["event_type", "week"])
+        .reset_index(drop=True)
+    )
+    prev = cells.groupby("event_type")["n"].shift(1)
+    delta = (cells["n"] - prev).fillna(0).astype(np.int64)
+    has_prev = prev.notna().to_numpy()
+    return pa.table(
+        {
+            "event_type": pa.array(cells["event_type"], type=pa.string()),
+            "week": pa.array(cells["week"].to_numpy().astype(np.int64)),
+            "n": pa.array(cells["n"].to_numpy().astype(np.int64)),
+            "delta": pa.array(np.where(has_prev, delta.to_numpy(), 0)),
+            "has_prev": pa.array(has_prev),
+        }
+    )
+
+
+TYPE_WEEKLY_GROWTH_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week, count(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, week, n,
+    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+  FROM c)
+SELECT event_type, week, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN prev IS NULL THEN 0 ELSE n - prev END AS BIGINT) AS delta,
+  prev IS NOT NULL AS has_prev
+FROM w
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -8215,6 +8549,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_quantiles": _ship_latency_quantiles,
         "events_time_rollup": _events_time_rollup,
         "geohash_neighbors": _geohash_neighbors,
+        # --- wave 23 ---
+        "embedding_gram": _embedding_gram,
+        "user_similarity": _user_similarity,
+        "events_seasonality": _events_seasonality,
+        "type_weekly_growth": _type_weekly_growth,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -8390,6 +8729,10 @@ def oracle_sql() -> dict[str, str]:
         "ship_latency_quantiles": SHIP_LATENCY_ORACLE,
         "events_time_rollup": EVENTS_TIME_ROLLUP_ORACLE,
         "geohash_neighbors": _geohash_neighbors_oracle(),
+        "embedding_gram": EMBEDDING_GRAM_ORACLE,
+        "user_similarity": USER_SIMILARITY_ORACLE,
+        "events_seasonality": EVENTS_SEASONALITY_ORACLE,
+        "type_weekly_growth": TYPE_WEEKLY_GROWTH_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
