@@ -8348,6 +8348,201 @@ FROM w
 """
 
 
+# ------------------------------------------------------------------ wave 24
+SYS_SAMPLE_EVERY = 50
+
+
+def _systematic_sample(sf_dir):
+    """Systematic (every-k-th) sampling in a NON-key order: global rank by
+    (n_chars, doc_id) via the distributed two-pass prefix scan
+    (ops.prefix_sum over the composite integer key), keep rank % 50 == 0 —
+    unlike hash sampling (corpus_sample) this guarantees exact stratified
+    spacing along the sort dimension. Composite key bound: n_chars < 2^39
+    and doc_id < 2^24 fit int64 (documented partitioning assumption)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def key(tbl: pa.Table) -> pa.Table:
+        nc = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_chars": tbl["n_chars"],
+                "ckey": pa.array((nc << np.int64(24)) | did),
+                "one": pa.array(np.ones(len(did), dtype=np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    scanned = ops.prefix_sum(keyed, "ckey", "one", n_shards=16)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        rank = tbl["prefix"].to_numpy(zero_copy_only=False)
+        m = rank % SYS_SAMPLE_EVERY == 0
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].filter(pa.array(m)),
+                "n_chars": tbl["n_chars"].filter(pa.array(m)),
+                "rank": pa.array(rank[m].astype(np.int64)),
+            }
+        )
+
+    return scanned.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+SYSTEMATIC_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+  FROM documents)
+SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank % {SYS_SAMPLE_EVERY} = 0
+"""
+
+
+LATE_THRESHOLD_US = 3_600_000_000  # 1 hour behind the per-user watermark
+
+
+LATE_DELAY_MOD = 86_400_000_000  # simulated delivery delay in [0, 24h)
+LATE_DELAY_MUL = 2654435761
+
+
+def _late_events(sf_dir):
+    """Out-of-order / late-data detection (the streaming watermark
+    primitive). The events table is perfectly ordered, so arrival times are
+    simulated with a deterministic per-event delivery delay
+    (event_id * 2654435761 mod 2h — Knuth multiplicative jitter, exactly
+    mirrored in SQL); an event is LATE when its event time lags the user's
+    running max-event-time watermark over strictly earlier ARRIVALS by more
+    than 1 hour. One user-keyed exchange; per shard a lexsort in arrival
+    order + shifted running max per run."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "event_id": tbl["event_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    def late(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "lateness_us": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        arrival = ts + (eid * LATE_DELAY_MUL) % LATE_DELAY_MOD
+        order = np.lexsort((eid, arrival, u))
+        su, st, se = u[order], ts[order], eid[order]
+        # per-user running max of event time over earlier ARRIVALS,
+        # shifted by one (the watermark BEFORE this arrival) — grouped
+        # cummax/shift are C kernels, no per-row Python
+        s = pd.Series(st)
+        g = pd.Series(su)
+        prev = s.groupby(g, sort=False).cummax().groupby(g, sort=False).shift(1)
+        lateness = prev.to_numpy() - st
+        m = lateness > LATE_THRESHOLD_US  # NaN compares False
+        return pa.table(
+            {
+                "event_id": pa.array(se[m]),
+                "lateness_us": pa.array(lateness[m].astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, late)
+
+
+LATE_EVENTS_ORACLE = f"""
+WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+    epoch_us(ts) + (event_id * {LATE_DELAY_MUL}) % {LATE_DELAY_MOD} AS arrival
+  FROM events),
+r AS (
+  SELECT event_id, ts_us,
+    max(ts_us) OVER (
+      PARTITION BY user_id ORDER BY arrival, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark
+  FROM t)
+SELECT event_id, CAST(watermark - ts_us AS BIGINT) AS lateness_us
+FROM r WHERE watermark - ts_us > {LATE_THRESHOLD_US}
+"""
+
+
+RESAMPLE_FINE_DEG = 5.0
+RESAMPLE_FACTOR = 3  # 5 deg -> 15 deg parents
+
+
+def _grid_resample(sf_dir):
+    """Raster pyramid downsample: per-tile doc counts at 5 deg aggregated to
+    their 15 deg parent tiles by pure tile-id arithmetic — the tile analog
+    of cell_rollup; the point stream is touched once, the second shuffle
+    carries only (parent, n) cells."""
+    import ray
+
+    nx_fine = int(math.ceil(360.0 / RESAMPLE_FINE_DEG))
+    nx_parent = nx_fine // RESAMPLE_FACTOR
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        tx = np.floor(lon / RESAMPLE_FINE_DEG).astype(np.int64)
+        ty = np.floor((lat + 90.0) / RESAMPLE_FINE_DEG).astype(np.int64)
+        parent = (ty // RESAMPLE_FACTOR) * nx_parent + (tx // RESAMPLE_FACTOR)
+        u, c = np.unique(parent, return_counts=True)
+        return pa.table(
+            {
+                "parent_tile": pa.array(u.astype(np.int64)),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("parent_tile")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["parent_tile", "n_docs"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _grid_resample_oracle() -> str:
+    nx_parent = int(math.ceil(360.0 / RESAMPLE_FINE_DEG)) // RESAMPLE_FACTOR
+    return (
+        f"WITH p AS ({_POS_SQL}) "
+        f"SELECT (CAST(floor((lat + {_d(90.0)}) / {_d(RESAMPLE_FINE_DEG)}) AS BIGINT) "
+        f"// {RESAMPLE_FACTOR}) * {nx_parent} "
+        f"+ CAST(floor(lon / {_d(RESAMPLE_FINE_DEG)}) AS BIGINT) // {RESAMPLE_FACTOR} "
+        f"AS parent_tile, count(*) AS n_docs FROM p GROUP BY 1"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -8554,6 +8749,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_similarity": _user_similarity,
         "events_seasonality": _events_seasonality,
         "type_weekly_growth": _type_weekly_growth,
+        # --- wave 24 ---
+        "systematic_sample": _systematic_sample,
+        "late_events": _late_events,
+        "grid_resample": _grid_resample,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -8733,6 +8932,9 @@ def oracle_sql() -> dict[str, str]:
         "user_similarity": USER_SIMILARITY_ORACLE,
         "events_seasonality": EVENTS_SEASONALITY_ORACLE,
         "type_weekly_growth": TYPE_WEEKLY_GROWTH_ORACLE,
+        "systematic_sample": SYSTEMATIC_SAMPLE_ORACLE,
+        "late_events": LATE_EVENTS_ORACLE,
+        "grid_resample": _grid_resample_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
