@@ -8543,6 +8543,153 @@ def _grid_resample_oracle() -> str:
     )
 
 
+# ------------------------------------------------------------------ wave 25
+def _jsonl_roundtrip(sf_dir):
+    """JSONL source/sink round trip: export the events projection to line-
+    delimited JSON under /tmp (Ray's streaming writer, one file per block),
+    read it back with read_json, and aggregate — proving the engine's
+    row-level values survive a full serialize/parse cycle (the hash compares
+    against SQL over the ORIGINAL parquet). Timestamps cross as epoch-us
+    integers (JSON has no timestamp type)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        vm = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "event_type": tbl["event_type"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "value_milli": pa.array(vm),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="sir_jsonl_", dir="/tmp")
+    try:
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None).write_json(
+            out_dir
+        )
+        back = ray.data.read_json(out_dir)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                    "n": 1,
+                    "sum_milli": tbl["value_milli"].to_numpy(zero_copy_only=False),
+                    "max_ts_us": tbl["ts_us"].to_numpy(zero_copy_only=False),
+                    "xor_id": tbl["event_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("n", "sum"),
+                sum_milli=("sum_milli", "sum"),
+                max_ts_us=("max_ts_us", "max"),
+                xor_id=("xor_id", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = back.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        agg = parts.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"),
+            sum_milli=("sum_milli", "sum"),
+            max_ts_us=("max_ts_us", "max"),
+            xor_id=("xor_id", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"], type=pa.string()),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+            "sum_milli": pa.array(agg["sum_milli"].to_numpy().astype(np.int64)),
+            "max_ts_us": pa.array(agg["max_ts_us"].to_numpy().astype(np.int64)),
+            "xor_id": pa.array(agg["xor_id"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+JSONL_ROUNDTRIP_ORACLE = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+  CAST(bit_xor(event_id) AS BIGINT) AS xor_id
+FROM events GROUP BY 1
+"""
+
+
+def _partitioned_write_read(sf_dir):
+    """Partitioned-parquet sink + pruned read-back: write documents hive-
+    partitioned by lang under /tmp (the resumable-output layout — one
+    directory per partition, per BASELINE.json's checkpoint contract), then
+    read back ONLY lang=en via partition filtering and aggregate. The hash
+    against SQL over the original table proves the partition pruning reads
+    exactly the one partition."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="sir_part_", dir="/tmp")
+    try:
+        ds.write_parquet(out_dir, partition_cols=["lang"])
+        back = ray.data.read_parquet(f"{out_dir}/lang=en")
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            nc = tbl["n_chars"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "one": pa.array([1], pa.int64()),
+                    "n_docs": pa.array([len(ids)], pa.int64()),
+                    "sum_chars": pa.array([int(nc.sum())], pa.int64()),
+                    "xor_id": pa.array(
+                        [int(np.bitwise_xor.reduce(ids)) if len(ids) else 0],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        parts = back.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table(
+        {
+            "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+            "sum_chars": pa.array([int(parts["sum_chars"].sum())], pa.int64()),
+            "xor_id": pa.array(
+                [int(np.bitwise_xor.reduce(parts["xor_id"].to_numpy()))], pa.int64()
+            ),
+        }
+    )
+
+
+PARTITIONED_WRITE_READ_ORACLE = """
+SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(bit_xor(doc_id) AS BIGINT) AS xor_id
+FROM documents WHERE lang = 'en'
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -8753,6 +8900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _systematic_sample,
         "late_events": _late_events,
         "grid_resample": _grid_resample,
+        # --- wave 25 (I/O surface) ---
+        "jsonl_roundtrip": _jsonl_roundtrip,
+        "partitioned_write_read": _partitioned_write_read,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -8935,6 +9085,8 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample": SYSTEMATIC_SAMPLE_ORACLE,
         "late_events": LATE_EVENTS_ORACLE,
         "grid_resample": _grid_resample_oracle(),
+        "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
+        "partitioned_write_read": PARTITIONED_WRITE_READ_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
