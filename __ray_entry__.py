@@ -8690,6 +8690,156 @@ FROM documents WHERE lang = 'en'
 """
 
 
+# ------------------------------------------------------------------ wave 26
+RANGE_WIN_US = 3_600_000_000  # value-based frame: preceding 1 hour
+
+
+def _events_range_window(sf_dir):
+    """RANGE-frame window aggregate (value-based, not row-count-based): per
+    event, the count and exact milli-sum of SAME-TYPE events in the
+    preceding hour INCLUDING current-timestamp peers — the trailing-window
+    load metric. Type+user-free shape: one type-keyed exchange (5 types
+    here; at scale, time-bucket + halo sharding — the proximity_count
+    treatment); per shard a sort + prefix-cumsum and two searchsorted
+    probes serve every event."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts", "value"]
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        h = ops.hash64_strings(tbl["event_type"].combine_chunks()).astype(np.int64)
+        vm = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(((h % n_shards) + n_shards) % n_shards),
+                "event_type": pa.array(et, type=pa.string()),
+                "event_id": tbl["event_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "vm": pa.array(vm),
+            }
+        )
+
+    def window(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "n_window": pa.array([], pa.int64()),
+                "sum_milli": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        import pyarrow.compute as pc
+
+        codes = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        code = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        vm = tbl["vm"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        t0 = ts.min()
+        span = int(ts.max() - t0) + RANGE_WIN_US + 2
+        comp = code * span + (ts - t0)
+        order = np.argsort(comp, kind="stable")
+        sc, st, sv, se = comp[order], ts[order], vm[order], eid[order]
+        cum = np.concatenate([[0], np.cumsum(sv)])
+        base = code[order] * span
+        lo_key = np.maximum(sc - RANGE_WIN_US, base)
+        lo = np.searchsorted(sc, lo_key, "left")
+        hi = np.searchsorted(sc, sc, "right")  # include current-ts peers
+        return pa.table(
+            {
+                "event_id": pa.array(se),
+                "n_window": pa.array((hi - lo).astype(np.int64)),
+                "sum_milli": pa.array(cum[hi] - cum[lo]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, window)
+
+
+EVENTS_RANGE_WINDOW_ORACLE = f"""
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT event_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_window,
+  CAST(sum(vm) OVER w AS BIGINT) AS sum_milli
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+             RANGE BETWEEN {RANGE_WIN_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+class _DocScorer:
+    """Actor-pool 'model inference' stage: the broadcast model (an integer
+    weight vector over cheap text features) loads ONCE per actor in
+    __init__ (the ST1 contract); __call__ scores each batch vectorized in
+    exact integer micro-units so the SQL dual matches bit-for-bit."""
+
+    WEIGHTS = {"n_chars": 3, "n_tokens": 40, "n_spaces": -7, "bias": 1250}
+
+    def __init__(self):
+        self.w = dict(self.WEIGHTS)  # stands in for a model-artifact load
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = tbl["text"].combine_chunks()
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = (
+            pc.count_substring_regex(txt, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_sp = (
+            pc.count_substring(txt, " ").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        score = (
+            self.w["n_chars"] * n_chars
+            + self.w["n_tokens"] * n_tok
+            + self.w["n_spaces"] * n_sp
+            + self.w["bias"]
+        )
+        return pa.table({"doc_id": tbl["doc_id"], "score": pa.array(score)})
+
+
+def _doc_score_model(sf_dir):
+    """Batched 'model inference' over documents: an actor pool holds the
+    weight vector (loaded once per actor), each batch scores vectorized —
+    the canonical stateful-stage shape for real model scoring, with an
+    exact integer dual."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        _DocScorer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+DOC_SCORE_ORACLE = f"""
+SELECT doc_id,
+  CAST({_DocScorer.WEIGHTS["n_chars"]} * length(text)
+     + {_DocScorer.WEIGHTS["n_tokens"]} * length(regexp_extract_all(text, '\\S+'))
+     + ({_DocScorer.WEIGHTS["n_spaces"]}) * (length(text) - length(replace(text, ' ', '')))
+     + {_DocScorer.WEIGHTS["bias"]} AS BIGINT) AS score
+FROM documents
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -8903,6 +9053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 25 (I/O surface) ---
         "jsonl_roundtrip": _jsonl_roundtrip,
         "partitioned_write_read": _partitioned_write_read,
+        # --- wave 26 ---
+        "events_range_window": _events_range_window,
+        "doc_score_model": _doc_score_model,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -9087,6 +9240,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_resample": _grid_resample_oracle(),
         "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
         "partitioned_write_read": PARTITIONED_WRITE_READ_ORACLE,
+        "events_range_window": EVENTS_RANGE_WINDOW_ORACLE,
+        "doc_score_model": DOC_SCORE_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
