@@ -8840,6 +8840,271 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------------ wave 27
+IA_BUCKET_CAP = 120  # inter-arrival histogram: minute buckets, capped
+
+
+def _interarrival_hist(sf_dir):
+    """Inter-arrival-time histogram per event type: consecutive same-type
+    gaps (by ts, event_id) bucketed into capped minutes — the queueing /
+    burstiness audit. Type-keyed exchange; per shard one lexsort + diff +
+    bincount; only (type, bucket, n) cells leave."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        h = ops.hash64_strings(tbl["event_type"].combine_chunks()).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((h % n_shards) + n_shards) % n_shards),
+                "event_type": tbl["event_type"],
+                "event_id": tbl["event_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, code))
+        sc, st = code[order], ts[order]
+        same = sc[1:] == sc[:-1]
+        gap = (st[1:] - st[:-1])[same]
+        gcode = sc[1:][same]
+        bucket = np.minimum(gap // 60_000_000, IA_BUCKET_CAP)
+        df = pd.DataFrame({"c": gcode, "b": bucket})
+        g = df.groupby(["c", "b"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    vocab[g["c"].to_numpy()], type=pa.string()
+                ),
+                "bucket": pa.array(g["b"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, hist)
+
+
+INTERARRIVAL_ORACLE = f"""
+WITH t AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+    lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts),
+                            event_id) AS prev
+  FROM events)
+SELECT event_type,
+  CAST(LEAST((ts_us - prev) // 60000000, {IA_BUCKET_CAP}) AS BIGINT) AS bucket,
+  count(*) AS n
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _value_ranks(sf_dir):
+    """Per-type DENSE RANK of the milli-value (the quantile-normalization /
+    leaderboard primitive): type-keyed exchange, per shard one sort +
+    unique-searchsorted assigns every rank — no per-row loops, ranks exact
+    against the SQL window dual. Bounded output projection (event_id <
+    3000) keeps the oracle comparison light while the rank computation
+    itself runs over the full table."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        h = ops.hash64_strings(tbl["event_type"].combine_chunks()).astype(np.int64)
+        vm = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(((h % n_shards) + n_shards) % n_shards),
+                "event_type": tbl["event_type"],
+                "event_id": tbl["event_id"],
+                "vm": pa.array(vm),
+            }
+        )
+
+    def ranks(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "dense_rank": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = tbl["vm"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vm, code))
+        sc, sv = code[order], vm[order]
+        new = np.concatenate(
+            [[True], (sc[1:] != sc[:-1]) | (sv[1:] != sv[:-1])]
+        )
+        heads = np.concatenate([[True], sc[1:] != sc[:-1]])
+        # dense rank = distinct-value index within the type run
+        grp_starts = np.flatnonzero(heads)
+        distinct_idx = np.cumsum(new) - 1
+        base = distinct_idx[grp_starts]
+        run_id = np.cumsum(heads) - 1
+        dr = distinct_idx - base[run_id] + 1
+        out = np.empty(len(eid), dtype=np.int64)
+        out[order] = dr
+        m = eid < 3000
+        return pa.table(
+            {
+                "event_id": pa.array(eid[m]),
+                "dense_rank": pa.array(out[m]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, ranks)
+
+
+VALUE_RANKS_ORACLE = """
+WITH r AS (
+  SELECT event_id,
+    dense_rank() OVER (PARTITION BY event_type
+                       ORDER BY CAST(round(value * 1000) AS BIGINT)) AS dr
+  FROM events)
+SELECT event_id, CAST(dr AS BIGINT) AS dense_rank
+FROM r WHERE event_id < 3000
+"""
+
+
+def _order_lineitem_recon(sf_dir):
+    """Cross-table reconciliation audit: per order, the exact-cents lineitem
+    total vs the order header total — counts of matching/mismatching/
+    childless orders plus the total absolute drift. One exchange equi-join
+    (outer) after a lineitem pre-aggregation; the audit table is 1 row."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def li_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_orderkey": tbl["l_orderkey"].to_numpy(zero_copy_only=False),
+             "li_cents": cents}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False).sum(), preserve_index=False
+        )
+
+    li_sums = (
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .sum("li_cents")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["l_orderkey", "li_cents"])
+
+    li_sums = li_sums.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    j = ops.equi_join(
+        orders, li_sums, on="o_orderkey", right_on="l_orderkey", how="left"
+    )
+
+    def audit(tbl: pa.Table) -> pa.Table:
+        oc = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        lc = tbl["li_cents"].to_numpy(zero_copy_only=False)
+        has = ~np.isnan(lc.astype(np.float64)) if lc.dtype.kind == "f" else np.ones(
+            len(lc), dtype=bool
+        )
+        lci = np.where(has, np.nan_to_num(lc.astype(np.float64)), 0).astype(np.int64)
+        match = has & (lci == oc)
+        mism = has & (lci != oc)
+        drift = np.abs(np.where(mism, lci - oc, 0)).sum()
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n_orders": pa.array([len(oc)], pa.int64()),
+                "n_match": pa.array([int(match.sum())], pa.int64()),
+                "n_mismatch": pa.array([int(mism.sum())], pa.int64()),
+                "n_childless": pa.array([int((~has).sum())], pa.int64()),
+                "drift_cents": pa.array([int(drift)], pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(audit, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["n_orders", "n_match", "n_mismatch", "n_childless", "drift_cents"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_orders": tbl["sum(n_orders)"].cast(pa.int64()),
+                "n_match": tbl["sum(n_match)"].cast(pa.int64()),
+                "n_mismatch": tbl["sum(n_mismatch)"].cast(pa.int64()),
+                "n_childless": tbl["sum(n_childless)"].cast(pa.int64()),
+                "drift_cents": tbl["sum(drift_cents)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+ORDER_RECON_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS oc, li.li_cents
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+SELECT count(*) AS n_orders,
+  CAST(sum(CASE WHEN li_cents = oc THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+  CAST(sum(CASE WHEN li_cents IS NOT NULL AND li_cents <> oc THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_mismatch,
+  CAST(sum(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_childless,
+  CAST(sum(CASE WHEN li_cents IS NOT NULL AND li_cents <> oc
+                THEN abs(li_cents - oc) ELSE 0 END) AS BIGINT) AS drift_cents
+FROM j
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -9056,6 +9321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 26 ---
         "events_range_window": _events_range_window,
         "doc_score_model": _doc_score_model,
+        # --- wave 27 ---
+        "interarrival_hist": _interarrival_hist,
+        "value_ranks": _value_ranks,
+        "order_lineitem_recon": _order_lineitem_recon,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -9242,6 +9511,9 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_write_read": PARTITIONED_WRITE_READ_ORACLE,
         "events_range_window": EVENTS_RANGE_WINDOW_ORACLE,
         "doc_score_model": DOC_SCORE_ORACLE,
+        "interarrival_hist": INTERARRIVAL_ORACLE,
+        "value_ranks": VALUE_RANKS_ORACLE,
+        "order_lineitem_recon": ORDER_RECON_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
