@@ -272,6 +272,22 @@ def run_suite() -> dict:
         "dup_size_hist", "revenue_share", "kmeans_int", "dbscan_core", "top_bigrams", "anomaly_days", "bfs_hops", "top_doc_texts",
         "fk_violations", "embedding_simhash", "esimhash_near_dup",
         "basket_pairs", "events_ohlc",
+        # round-3 third-session operators (waves 18-27)
+        "geohash_encode", "cell_counts_geohash", "zorder_box_search",
+        "edit_distance_dup", "distance_bands", "knn_graph",
+        "skyline_orders", "table_profile", "assoc_rules",
+        "user_event_paths", "events_near_errors", "orders_cube",
+        "mad_outliers", "lang_concentration", "merge_upsert",
+        "corr_components", "embedding_quantize", "events_throttle",
+        "zonal_stats", "trajectory_stats", "user_active_time",
+        "cone_ring_search", "bearing_quadrants", "customer_running_total",
+        "latest_event_per_user", "centroid_similarity", "image_histogram",
+        "q6_revenue", "ship_latency_quantiles", "events_time_rollup",
+        "geohash_neighbors", "embedding_gram", "user_similarity",
+        "events_seasonality", "type_weekly_growth", "systematic_sample",
+        "late_events", "grid_resample", "jsonl_roundtrip",
+        "partitioned_write_read", "events_range_window", "doc_score_model",
+        "interarrival_hist", "value_ranks", "order_lineitem_recon",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted

@@ -57,6 +57,9 @@ def main(argv=None) -> int:
     ap.add_argument("--tile-deg", type=float, default=15.0)
     ap.add_argument("--partitions", type=int, default=64,
                     help="index range partitions (per-partition checkpoint unit)")
+    ap.add_argument("--dedup", action="store_true",
+                    help="exact-dedup pages on text content before indexing "
+                         "(keeps the min-url row per distinct text)")
     args = ap.parse_args(argv)
 
     import ray
@@ -103,6 +106,55 @@ def main(argv=None) -> int:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
     _emit(manifest, "input", n_files=len(files), wall_s=round(time.time() - t0, 3))
+
+    # Stage 1.5 (optional): exact content dedup — keep the min-url row per
+    # distinct text (the Common-Crawl dedup step). One text-hash exchange;
+    # every surviving row's text/html bytes are untouched (the input_hint
+    # byte-identity invariant), and the deduped set persists as parquet so
+    # the downstream build resumes against a stable fingerprint.
+    if args.dedup:
+        import numpy as np
+
+        t0 = time.time()
+        from spatialindex_ray.ops import hash64_strings, hash_exchange
+
+        ds = ray.data.read_parquet(files)
+        n_in = ds.count()
+        n_shards = max(16, args.partitions // 2)
+
+        def keyed(tbl: pa.Table) -> pa.Table:
+            h = hash64_strings(tbl["text"].combine_chunks()).astype(np.int64)
+            tbl = tbl.append_column("_h", pa.array(h))
+            return tbl.append_column(
+                "_shard", pa.array(((h % n_shards) + n_shards) % n_shards)
+            )
+
+        def first_per_hash(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or "_h" not in tbl.schema.names:
+                return tbl.drop_columns(
+                    [c for c in ("_h", "_shard") if c in tbl.schema.names]
+                )
+            h = tbl["_h"].to_numpy(zero_copy_only=False)
+            url = tbl["url"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((url, h))
+            sh = h[order]
+            heads = np.concatenate([[True], sh[1:] != sh[:-1]])
+            kept = tbl.take(pa.array(order[heads]))
+            return kept.drop_columns(["_h", "_shard"])
+
+        keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+        dedup_dir = os.path.join(args.out, "dedup")
+        if os.path.isdir(dedup_dir):
+            shutil.rmtree(dedup_dir)
+        deduped = hash_exchange(keyed_ds, "_shard", n_shards, first_per_hash)
+        deduped.write_parquet(dedup_dir)
+        files = sorted(glob.glob(os.path.join(dedup_dir, "*.parquet")))
+        import pyarrow.parquet as pq
+
+        n_out = sum(pq.read_metadata(f).num_rows for f in files)
+        bytes_out = sum(os.path.getsize(f) for f in files)
+        _emit(manifest, "dedup", rows_in=int(n_in), rows_out=int(n_out),
+              bytes=int(bytes_out), wall_s=round(time.time() - t0, 3))
 
     # Stage 2: resumable range-partitioned index build (encode + sort inside).
     t0 = time.time()
