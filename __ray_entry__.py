@@ -9105,6 +9105,221 @@ FROM j
 """
 
 
+# ------------------------------------------------------------------ wave 28
+def _mv_refresh(sf_dir):
+    """Incremental materialized-view maintenance: per-type counts + exact
+    milli-sums maintained as BASE (all days but the last) plus DELTA (the
+    final observed day) merged by addition — the streaming-refresh shape
+    where only the delta is rescanned. Both legs are partial-aggregate
+    pipelines; the merge touches types-sized tables. Oracle = the full
+    recompute, proving base+delta == truth."""
+    import pandas as pd
+    import ray
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+
+    mx = read().aggregate(__import__("ray").data.aggregate.Max("ts"))
+    last_day = int(pa.scalar(mx["max(ts)"]).cast(pa.int64()).as_py() // 86_400_000_000)
+
+    def partial(which):
+        def fn(tbl: pa.Table) -> pa.Table:
+            day = (
+                tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            m = (day == last_day) if which == "delta" else (day != last_day)
+            vm = np.round(
+                tbl["value"].to_numpy(zero_copy_only=False)[m] * 1000.0
+            ).astype(np.int64)
+            et = tbl["event_type"].to_numpy(zero_copy_only=False)[m]
+            df = pd.DataFrame({"event_type": et, "n": 1, "sum_milli": vm})
+            return pa.Table.from_pandas(
+                df.groupby("event_type", as_index=False).sum(), preserve_index=False
+            )
+
+        return fn
+
+    def agg(which):
+        return (
+            read()
+            .map_batches(partial(which), batch_format="pyarrow", batch_size=None)
+            .groupby("event_type")
+            .sum(["n", "sum_milli"])
+            .to_pandas()
+            .rename(columns={"sum(n)": "n", "sum(sum_milli)": "sum_milli"})
+            .set_index("event_type")
+        )
+
+    base, delta = agg("base"), agg("delta")
+    merged = base.add(delta, fill_value=0).sort_index()
+    return pa.table(
+        {
+            "event_type": pa.array(merged.index.to_numpy(), type=pa.string()),
+            "n": pa.array(merged["n"].to_numpy().astype(np.int64)),
+            "sum_milli": pa.array(merged["sum_milli"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+MV_REFRESH_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+FROM events GROUP BY 1
+"""
+
+
+EMB_TOP_DIMS = 3
+
+
+def _embedding_top_dims(sf_dir):
+    """Per-vector top-k dimensions (feature attribution / sparsification):
+    the 3 highest-valued dims per embedding, ties by dim ascending — one
+    vectorized argsort per batch matrix, no shuffle at all."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def top(tbl: pa.Table) -> pa.Table:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "value_micro": pa.array([], pa.int64()),
+                }
+            )
+        col = tbl["embedding"].combine_chunks()
+        d = len(col[0])
+        m = np.round(
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
+        ).astype(np.int64).reshape(-1, d)
+        # sort by (-value, dim): argsort of a composite — lexsort per row via
+        # stable argsort on -value (ties keep dim order, which IS ascending)
+        order = np.argsort(-m, axis=1, kind="stable")[:, :EMB_TOP_DIMS]
+        rows = np.repeat(np.arange(len(ids)), EMB_TOP_DIMS)
+        dims = order.ravel()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, EMB_TOP_DIMS)),
+                "dim": pa.array((dims + 1).astype(np.int64)),
+                "rank": pa.array(
+                    np.tile(np.arange(1, EMB_TOP_DIMS + 1, dtype=np.int64), len(ids))
+                ),
+                "value_micro": pa.array(m[rows, dims]),
+            }
+        )
+
+    return ds.map_batches(top, batch_format="pyarrow", batch_size=None)
+
+
+EMB_TOP_DIMS_ORACLE = f"""
+WITH u AS (
+  SELECT vec_id, i,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+r AS (
+  SELECT vec_id, i, vm,
+    row_number() OVER (PARTITION BY vec_id ORDER BY vm DESC, i) AS rk
+  FROM u)
+SELECT vec_id, CAST(i AS BIGINT) AS dim, CAST(rk AS BIGINT) AS rank,
+       vm AS value_micro
+FROM r WHERE rk <= {EMB_TOP_DIMS}
+"""
+
+
+DRIFT_BAND_W = 50.0  # value-band width for the drift monitor
+
+
+def _band_drift(sf_dir):
+    """Distribution-drift monitor (PSI-style, exact integers): per value
+    band, event counts in the first vs second half of the time range and
+    the ppm share drift — the data-quality gate between two corpus
+    snapshots. One pass, (band, half) partial counts, integer ppm folds on
+    the band-sized table."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    mm = ds.aggregate(
+        __import__("ray").data.aggregate.Min("ts"),
+        __import__("ray").data.aggregate.Max("ts"),
+    )
+    lo = int(pa.scalar(mm["min(ts)"]).cast(pa.int64()).as_py())
+    hi = int(pa.scalar(mm["max(ts)"]).cast(pa.int64()).as_py())
+    mid = lo + (hi - lo) // 2
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        band = np.floor(v / DRIFT_BAND_W).astype(np.int64)
+        half = (ts > mid).astype(np.int64)
+        df = pd.DataFrame({"band": band, "half": half, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["band", "half"], as_index=False).sum(), preserve_index=False
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["band", "half"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    piv = cells.pivot_table(
+        index="band", columns="half", values="n", fill_value=0, aggfunc="sum"
+    )
+    c1 = piv.get(0, pd.Series(0, index=piv.index)).astype(np.int64)
+    c2 = piv.get(1, pd.Series(0, index=piv.index)).astype(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    p1 = (1_000_000 * c1) // n1
+    p2 = (1_000_000 * c2) // n2
+    drift = (p1 - p2).abs()
+    out = pd.DataFrame(
+        {
+            "band": piv.index.to_numpy(),
+            "n_first": c1.to_numpy(),
+            "n_second": c2.to_numpy(),
+            "drift_ppm": drift.to_numpy(),
+        }
+    ).sort_values("band")
+    return pa.table(
+        {
+            "band": pa.array(out["band"].to_numpy().astype(np.int64)),
+            "n_first": pa.array(out["n_first"].to_numpy().astype(np.int64)),
+            "n_second": pa.array(out["n_second"].to_numpy().astype(np.int64)),
+            "drift_ppm": pa.array(out["drift_ppm"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def _band_drift_oracle() -> str:
+    return f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+t AS (
+  SELECT CAST(floor(value / {_d(DRIFT_BAND_W)}) AS BIGINT) AS band,
+    CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END AS half
+  FROM events, b),
+c AS (
+  SELECT band,
+    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_first,
+    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
+  FROM t GROUP BY 1),
+tot AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM c)
+SELECT band, CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       CAST(abs((1000000 * n_first) // tot.t1
+              - (1000000 * n_second) // tot.t2) AS BIGINT) AS drift_ppm
+FROM c, tot
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -9325,6 +9540,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_hist": _interarrival_hist,
         "value_ranks": _value_ranks,
         "order_lineitem_recon": _order_lineitem_recon,
+        # --- wave 28 ---
+        "mv_refresh": _mv_refresh,
+        "embedding_top_dims": _embedding_top_dims,
+        "band_drift": _band_drift,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -9514,6 +9733,9 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_hist": INTERARRIVAL_ORACLE,
         "value_ranks": VALUE_RANKS_ORACLE,
         "order_lineitem_recon": ORDER_RECON_ORACLE,
+        "mv_refresh": MV_REFRESH_ORACLE,
+        "embedding_top_dims": EMB_TOP_DIMS_ORACLE,
+        "band_drift": _band_drift_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
