@@ -9320,6 +9320,83 @@ FROM c, tot
 """
 
 
+# ------------------------------------------------------------------ wave 29
+ROUTE_PTS = [(100.0, -20.0), (120.0, 5.0), (140.0, 20.0)]
+ROUTE_THETA_DEG = 5.0
+
+
+def _route_search(sf_dir):
+    """Point-to-polyline proximity (route corridor search): docs within
+    theta of a great-circle polyline. Pure-product predicates only (no
+    inverse trig, the engine's bit-parity rule): a point is near a segment
+    iff it is within theta of an endpoint (dot >= cos(theta)), OR its
+    distance to the segment's great-circle plane satisfies
+    (n.p)^2 <= sin^2(theta) * (n.n) AND the projection lies within the arc
+    span (two sign tests against n x g1 and g2 x n). Embarrassingly
+    parallel map over the encoded stream."""
+    import ray
+
+    segs = []
+    for a, b in zip(ROUTE_PTS[:-1], ROUTE_PTS[1:]):
+        g1 = ops.xyz_from_lonlat(np.array([a[0]]), np.array([a[1]]))[0]
+        g2 = ops.xyz_from_lonlat(np.array([b[0]]), np.array([b[1]]))[0]
+        n = np.cross(g1, g2)
+        segs.append((g1, g2, n))
+    cos_t = math.cos(math.radians(ROUTE_THETA_DEG))
+    sin2_t = math.sin(math.radians(ROUTE_THETA_DEG)) ** 2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def near(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        p = ops.xyz_from_lonlat(lon, lat)
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+
+        def dot(v):
+            # explicit left-to-right component sum — matches the SQL dual
+            # ulp-for-ulp (BLAS matmul may reorder; the cone queries use the
+            # same explicit form)
+            return x * v[0] + y * v[1] + z * v[2]
+
+        hit = np.zeros(len(ids), dtype=bool)
+        for g1, g2, n in segs:
+            nn = float(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+            w1 = np.cross(n, g1)  # points "inward" along the arc from g1
+            w2 = np.cross(g2, n)
+            npd = dot(n)
+            in_span = (dot(w1) >= 0.0) & (dot(w2) >= 0.0)
+            near_plane = npd * npd <= sin2_t * nn
+            hit |= (dot(g1) >= cos_t) | (dot(g2) >= cos_t) | (in_span & near_plane)
+        return pa.table({"doc_id": pa.array(ids[hit])})
+
+    return ds.map_batches(near, batch_format="pyarrow", batch_size=None)
+
+
+def _route_search_oracle() -> str:
+    arms = []
+    for a, b in zip(ROUTE_PTS[:-1], ROUTE_PTS[1:]):
+        g1 = ops.xyz_from_lonlat(np.array([a[0]]), np.array([a[1]]))[0]
+        g2 = ops.xyz_from_lonlat(np.array([b[0]]), np.array([b[1]]))[0]
+        n = np.cross(g1, g2)
+        w1 = np.cross(n, g1)
+        w2 = np.cross(g2, n)
+        nn = float(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+        cos_t = math.cos(math.radians(ROUTE_THETA_DEG))
+        sin2_t = math.sin(math.radians(ROUTE_THETA_DEG)) ** 2
+
+        def dot(v):
+            return f"(x*{_d(v[0])} + y*{_d(v[1])} + z*{_d(v[2])})"
+
+        arm = (
+            f"({dot(g1)} >= {_d(cos_t)} OR {dot(g2)} >= {_d(cos_t)} OR "
+            f"({dot(w1)} >= {_d(0.0)} AND {dot(w2)} >= {_d(0.0)} AND "
+            f"{dot(n)} * {dot(n)} <= {_d(sin2_t)} * {_d(nn)}))"
+        )
+        arms.append(arm)
+    return _xyz_sql() + "SELECT doc_id FROM n WHERE " + " OR ".join(arms)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -9544,6 +9621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mv_refresh": _mv_refresh,
         "embedding_top_dims": _embedding_top_dims,
         "band_drift": _band_drift,
+        "route_search": _route_search,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -9736,6 +9814,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_refresh": MV_REFRESH_ORACLE,
         "embedding_top_dims": EMB_TOP_DIMS_ORACLE,
         "band_drift": _band_drift_oracle(),
+        "route_search": _route_search_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
