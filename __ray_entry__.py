@@ -9397,6 +9397,166 @@ def _route_search_oracle() -> str:
     return _xyz_sql() + "SELECT doc_id FROM n WHERE " + " OR ".join(arms)
 
 
+# ------------------------------------------------------------------ wave 30
+def _decayed_type_scores(sf_dir):
+    """Time-decayed scoring (recency-weighted relevance): each event
+    contributes value_milli >> age_days (integer halving per day of age —
+    floor shifts, so the sum is order-independent and EXACT, unlike float
+    exponential decay). Needs the corpus max day first (tiny aggregate),
+    then one partial-sum pass."""
+    import pandas as pd
+    import ray
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+
+    mx = read().aggregate(ray.data.aggregate.Max("ts"))
+    max_day = int(
+        pa.scalar(mx["max(ts)"]).cast(pa.int64()).as_py() // 86_400_000_000
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        age = np.minimum(max_day - day, 62).astype(np.int64)
+        vm = np.round(tbl["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(
+            np.int64
+        )
+        dec = vm >> age
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "n": 1,
+                "decayed_milli": dec,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        read()
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .sum(["n", "decayed_milli"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["event_type", "n", "decayed_milli"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+DECAYED_SCORES_ORACLE = """
+WITH b AS (
+  SELECT CAST(max(epoch_us(ts)) // 86400000000 AS BIGINT) AS max_day
+  FROM events),
+t AS (
+  SELECT event_type,
+    CAST(round(value * 1000) AS BIGINT)
+      >> LEAST(b.max_day - epoch_us(ts) // 86400000000, 62) AS dec
+  FROM events, b)
+SELECT event_type, count(*) AS n,
+       CAST(sum(dec) AS BIGINT) AS decayed_milli
+FROM t GROUP BY 1
+"""
+
+
+TILE_TRANS_DEG = 15.0
+
+
+def _tile_transitions(sf_dir):
+    """Tile-boundary crossing counts: per user, how many consecutive event
+    steps (by ts, event_id) land in a DIFFERENT 15-degree raster tile —
+    trajectory analytics composed with the tiling kernel. User exchange;
+    per shard one lexsort + tile encode + diff."""
+    import ray
+
+    nx = int(math.ceil(360.0 / TILE_TRANS_DEG))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((u % n_shards) + n_shards) % n_shards),
+                "user_id": pa.array(u),
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_id": tbl["event_id"],
+            }
+        )
+
+    def trans(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_steps": pa.array([], pa.int64()),
+                "n_crossings": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        su, se = u[order], eid[order]
+        lon, lat = ops.positions_from_id(se)
+        tx = np.floor(lon / TILE_TRANS_DEG).astype(np.int64)
+        ty = np.floor((lat + 90.0) / TILE_TRANS_DEG).astype(np.int64)
+        tile = ty * nx + tx
+        same_user = su[1:] == su[:-1]
+        cross = (tile[1:] != tile[:-1]) & same_user
+        heads = np.concatenate([[True], ~same_user])
+        starts = np.flatnonzero(heads)
+        lens = np.append(starts[1:], len(su)) - starts
+        cross_pad = np.append(cross.astype(np.int64), 0)
+        # step i belongs to the run of its left endpoint (cross at run
+        # boundary already zeroed by same_user)
+        ncross = np.add.reduceat(cross_pad, starts)
+        n_steps = lens - 1
+        keep = n_steps > 0
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts][keep]),
+                "n_steps": pa.array(n_steps[keep].astype(np.int64)),
+                "n_crossings": pa.array(ncross[keep].astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, trans)
+
+
+TILE_TRANSITIONS_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts,
+    360.0 * fmod(event_id * {_d(POS_C1)}, 1.0) AS lon,
+    180.0 * fmod(event_id * {_d(POS_C2)}, 1.0) - 90.0 AS lat
+  FROM events),
+t AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor((lat + {_d(90.0)}) / {_d(TILE_TRANS_DEG)}) AS BIGINT)
+      * {int(math.ceil(360.0 / TILE_TRANS_DEG))}
+      + CAST(floor(lon / {_d(TILE_TRANS_DEG)}) AS BIGINT) AS tile
+  FROM p),
+s AS (
+  SELECT user_id, tile,
+    lag(tile) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM t)
+SELECT user_id, count(*) AS n_steps,
+  CAST(sum(CASE WHEN tile <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+FROM s WHERE prev IS NOT NULL GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -9622,6 +9782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_top_dims": _embedding_top_dims,
         "band_drift": _band_drift,
         "route_search": _route_search,
+        # --- wave 30 ---
+        "decayed_type_scores": _decayed_type_scores,
+        "tile_transitions": _tile_transitions,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -9815,6 +9978,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_top_dims": EMB_TOP_DIMS_ORACLE,
         "band_drift": _band_drift_oracle(),
         "route_search": _route_search_oracle(),
+        "decayed_type_scores": DECAYED_SCORES_ORACLE,
+        "tile_transitions": TILE_TRANSITIONS_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
