@@ -9557,6 +9557,45 @@ FROM s WHERE prev IS NOT NULL GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------ wave 31
+def _hll_union_registers(sf_dir):
+    """Distributed sketch ALGEBRA: the union of per-type HLL sketches is the
+    element-wise register MAX — the property that makes HLL mergeable across
+    partitions/days/nodes. The engine merges the per-type register states
+    (types x 2^b rows) by max; the oracle recomputes the GLOBAL register
+    state directly from the raw stream — bit-equality proves the merge is
+    lossless, not just approximately right."""
+    import pandas as pd
+
+    per_type = _hll_registers(sf_dir).to_pandas()
+    g = per_type.groupby("reg", as_index=False)["max_rho"].max()
+    g = g.sort_values("reg").reset_index(drop=True)
+    return pa.table(
+        {
+            "reg": pa.array(g["reg"].to_numpy().astype(np.int64)),
+            "max_rho": pa.array(g["max_rho"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def _hll_union_registers_oracle():
+    b = ops._HLL_B
+    sm = _sql_splitmix64("CAST(user_id AS HUGEINT)")
+    reg_div = 1 << (64 - b)
+    mul = 1 << b
+    sentinel = (1 << b) - 1
+    return f"""
+WITH h AS (SELECT {sm} AS hv FROM events),
+r AS (SELECT CAST(hv // {reg_div} AS BIGINT) AS reg,
+        CAST(64 - length(bin(CAST((hv * {mul}) % 18446744073709551616
+                                  + {sentinel} AS UBIGINT))) + 1
+             AS BIGINT) AS rho
+      FROM h)
+SELECT reg, CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -9785,6 +9824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 30 ---
         "decayed_type_scores": _decayed_type_scores,
         "tile_transitions": _tile_transitions,
+        "hll_union_registers": _hll_union_registers,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -9980,6 +10020,7 @@ def oracle_sql() -> dict[str, str]:
         "route_search": _route_search_oracle(),
         "decayed_type_scores": DECAYED_SCORES_ORACLE,
         "tile_transitions": TILE_TRANSITIONS_ORACLE,
+        "hll_union_registers": _hll_union_registers_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
