@@ -9596,6 +9596,502 @@ FROM r GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------ wave 32
+
+EVENT_HOLD_US = 300_000_000  # each event holds a 5-minute interval open
+
+
+def _max_concurrency(sf_dir):
+    """Sweep-line max-overlap (peak concurrent load): each event opens a
+    5-minute interval [ts, ts+300s); report per event_type the maximum
+    number of simultaneously open intervals. Endpoints are (+1 start, -1
+    end) with starts ordered before ends at equal timestamps. Because each
+    type's deltas sum to zero, one global cumsum over (type, t, kind)-sorted
+    endpoints resets to exactly zero at every type boundary — a single
+    vectorized pass per shard, no per-group loop. Scale note: per-type
+    endpoint sort in one task; a hot type segments by day with an
+    open-interval carry (same split as sessionize_events)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        t = ops._shard_tagger("event_type", n_shards)(tbl)
+        return pa.table(
+            {
+                "shard": t["_shard"],
+                "event_type": t["event_type"],
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "max_concurrent": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        code2 = np.concatenate([codes, codes])
+        t2 = np.concatenate([ts, ts + EVENT_HOLD_US])
+        kind = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        delta = np.where(kind == 0, np.int64(1), np.int64(-1))
+        order = np.lexsort((kind, t2, code2))
+        cum = np.cumsum(delta[order])
+        oc = code2[order]
+        heads = np.concatenate([[True], oc[1:] != oc[:-1]])
+        starts = np.flatnonzero(heads)
+        mx = np.maximum.reduceat(cum, starts)
+        dic = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "event_type": pa.array([dic[c] for c in oc[starts]]),
+                "max_concurrent": pa.array(mx.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, sweep)
+
+
+MAX_CONCURRENCY_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 0 AS kind, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {EVENT_HOLD_US}, 1, -1 FROM events),
+r AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, kind
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM r GROUP BY 1
+"""
+
+
+def _weighted_median(sf_dir):
+    """Weighted median per return flag: the smallest price (integer cents)
+    whose cumulative quantity-weight reaches half the total. Equal prices
+    are pre-merged (per-batch groupby-sum partials, then per-shard merge)
+    so the answer is tie-order independent and exact — no interpolation,
+    no float percentile. The cum-weight scan is the same discrete-CDF walk
+    the exact quantile operator uses."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    n_shards = 4
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = ops._shard_tagger("l_returnflag", n_shards)(tbl)
+        price = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        w = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "shard": t["_shard"].to_numpy(zero_copy_only=False),
+                "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "p": price,
+                "w": w,
+            }
+        )
+        g = df.groupby(["shard", "l_returnflag", "p"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def med(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "wmedian_cents": pa.array([], pa.int64()),
+                "total_w": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "l_returnflag" not in tbl.schema.names:
+            return empty
+        df = (
+            tbl.to_pandas()
+            .groupby(["l_returnflag", "p"], as_index=False)["w"]
+            .sum()
+            .sort_values(["l_returnflag", "p"], kind="mergesort")
+        )
+        flags = df["l_returnflag"].to_numpy()
+        p = df["p"].to_numpy()
+        w = df["w"].to_numpy()
+        out_f, out_m, out_w = [], [], []
+        for f in pd.unique(flags):  # <=3 flag groups per shard
+            m = flags == f
+            pw, ww = p[m], w[m]
+            cw = np.cumsum(ww)
+            tot = int(cw[-1])
+            i = int(np.searchsorted(2 * cw, tot))
+            out_f.append(f)
+            out_m.append(int(pw[i]))
+            out_w.append(tot)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_f, pa.string()),
+                "wmedian_cents": pa.array(out_m, pa.int64()),
+                "total_w": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, med)
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS f,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem),
+g AS (SELECT f, p, sum(w) AS w FROM t GROUP BY 1, 2),
+c AS (
+  SELECT f, p,
+         sum(w) OVER (PARTITION BY f ORDER BY p) AS cw,
+         sum(w) OVER (PARTITION BY f) AS tw
+  FROM g)
+SELECT f AS l_returnflag,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN p END) AS BIGINT) AS wmedian_cents,
+       CAST(tw AS BIGINT) AS total_w
+FROM c GROUP BY f, tw
+"""
+
+
+def _order_gini(sf_dir):
+    """Per-region Gini concentration of order totals, as exact integers:
+    with cents ascending x_1..x_n, reports num = sum((2i-n-1)*x_i) plus n
+    and sum(x) — Gini = num / (n * sum) left to the consumer, so the result
+    is hash-exact and tie-order independent (equal values contribute the
+    same regardless of rank order within their tie block). Dimension chain
+    orders->customer->nation broadcasts map-side; each region sorts inside
+    its own shard. Scale note: regions are few and large — when one
+    outgrows a task, ranks come from the two-pass distributed prefix scan
+    (_systematic_sample) and the per-rank products groupby-sum."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    j = ops.equi_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                      broadcast="right")
+    j = ops.equi_join(j, nation, on="c_nationkey", right_on="n_nationkey",
+                      broadcast="right")
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        rk = tbl["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(((rk % n_shards) + n_shards) % n_shards),
+                "regionkey": pa.array(rk),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def gini(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "regionkey": pa.array([], pa.int64()),
+                "gini_num": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "regionkey" not in tbl.schema.names:
+            return empty
+        rk = tbl["regionkey"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        out = {"regionkey": [], "gini_num": [], "n_orders": [], "sum_cents": []}
+        for r in np.unique(rk):  # <=5 regions total
+            x = np.sort(cents[rk == r])
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            out["regionkey"].append(int(r))
+            out["gini_num"].append(int(np.sum((2 * i - n - 1) * x)))
+            out["n_orders"].append(n)
+            out["sum_cents"].append(int(x.sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    keyed_ds = j.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, gini)
+
+
+ORDER_GINI_ORACLE = """
+WITH t AS (
+  SELECT n.n_regionkey AS rk,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+r AS (
+  SELECT rk, x,
+         row_number() OVER (PARTITION BY rk ORDER BY x) AS i,
+         count(*) OVER (PARTITION BY rk) AS n
+  FROM t)
+SELECT rk AS regionkey,
+       CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(sum(x) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
+"""
+
+
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _bitmap_intersect(sf_dir):
+    """Bitmap-index set intersection: distinct-user overlap for every pair
+    of event types via 64-bit bitmap words (word = user_id >> 6, bit =
+    user_id & 63) — the roaring-bitmap AND+popcount, exact, with words
+    mergeable by OR across partitions. Batches pre-OR their words, words
+    hash-partition by word id so each shard ANDs only its own user range,
+    and only (type_a, type_b, partial_count) rows leave the shards; the
+    final pair table reduces with one tiny groupby-sum. Popcount is a
+    vectorized 256-entry byte LUT (numpy 1.x has no bitwise_count)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    n_shards = 8
+
+    def _or_merge(codes, word, mask):
+        order = np.lexsort((word, codes))
+        sc, sw, sm = codes[order], word[order], mask[order]
+        heads = np.concatenate(
+            [[True], (sc[1:] != sc[:-1]) | (sw[1:] != sw[:-1])]
+        )
+        starts = np.flatnonzero(heads)
+        return sc[starts], sw[starts], np.bitwise_or.reduceat(sm, starts)
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        word = u >> 6
+        mask = np.uint64(1) << (u & 63).astype(np.uint64)
+        oc, ow, om = _or_merge(codes, word, mask)
+        return pa.table(
+            {
+                "shard": pa.array(((ow % n_shards) + n_shards) % n_shards),
+                "event_type": enc.dictionary.take(pa.array(oc)),
+                "word": pa.array(ow),
+                "mask": pa.array(om.view(np.int64)),
+            }
+        )
+
+    def inter(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_common": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "word" not in tbl.schema.names:
+            return empty
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        word = tbl["word"].to_numpy(zero_copy_only=False)
+        mask = np.ascontiguousarray(
+            tbl["mask"].to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
+        oc, ow, om = _or_merge(codes, word, mask)
+        per = {c: (ow[oc == c], om[oc == c]) for c in range(len(types))}
+        out_a, out_b, out_n = [], [], []
+        for a in range(len(types)):
+            for b in range(len(types)):
+                if types[a] >= types[b]:
+                    continue
+                wa, ma = per[a]
+                wb, mb = per[b]
+                common, ia, ib = np.intersect1d(
+                    wa, wb, assume_unique=True, return_indices=True
+                )
+                if not len(common):
+                    continue
+                anded = np.ascontiguousarray(ma[ia] & mb[ib])
+                cnt = int(_POP8[anded.view(np.uint8)].sum())
+                if cnt:  # zero partials must not fabricate absent pairs
+                    out_a.append(types[a])
+                    out_b.append(types[b])
+                    out_n.append(cnt)
+        return pa.table(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "n_common": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    part = ops.hash_exchange(keyed_ds, "shard", n_shards, inter)
+    out = part.groupby(["type_a", "type_b"]).sum("n_common")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["type_a", "type_b", "n_common"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+BITMAP_INTERSECT_ORACLE = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_common
+FROM d a JOIN d b ON a.user_id = b.user_id
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def _autocorr_daily(sf_dir):
+    """Lag-1 autocovariance of per-type daily event counts in exact
+    integers: with n observed days and S total events, the centered term
+    (n*x_t - S)(n*x_{t+1} - S) is the lag-1 numerator scaled by n^2 —
+    integer-exact and order-independent; den is the same-scaled variance.
+    The consumer divides num/den for the autocorrelation coefficient.
+    Daily counts combine per-batch before the tiny (type, day) shuffle;
+    the per-type series is days-long (not rows-long), so it always fits
+    one task."""
+    import ray
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "day": day,
+                "x": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "day"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    daily = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "day"])
+        .sum("x")
+    )
+    n_shards = 4
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        t = tbl.rename_columns(["event_type", "day", "x"])
+        return ops._shard_tagger("event_type", n_shards)(t)
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "ac_num": pa.array([], pa.int64()),
+                "ac_den": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        x = tbl["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"event_type": [], "n_days": [], "ac_num": [], "ac_den": []}
+        for c in range(len(types)):  # types per shard: a handful
+            m = codes == c
+            order = np.argsort(day[m], kind="stable")
+            xs = x[m][order]
+            n = len(xs)
+            S = int(xs.sum())
+            cx = n * xs - S
+            out["event_type"].append(types[c])
+            out["n_days"].append(n)
+            out["ac_num"].append(int(np.sum(cx[:-1] * cx[1:])))
+            out["ac_den"].append(int(np.sum(cx * cx)))
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_days": pa.array(out["n_days"], pa.int64()),
+                "ac_num": pa.array(out["ac_num"], pa.int64()),
+                "ac_den": pa.array(out["ac_den"], pa.int64()),
+            }
+        )
+
+    keyed_ds = daily.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "_shard", n_shards, stats)
+
+
+AUTOCORR_DAILY_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS dy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sm
+  FROM d GROUP BY 1),
+l AS (
+  SELECT d.event_type, d.x,
+         lead(d.x) OVER (PARTITION BY d.event_type ORDER BY d.dy) AS nx,
+         s.n, s.sm
+  FROM d JOIN s USING (event_type))
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN nx IS NOT NULL
+                THEN (n * x - sm) * (n * nx - sm) ELSE 0 END) AS BIGINT)
+         AS ac_num,
+       CAST(sum((n * x - sm) * (n * x - sm)) AS BIGINT) AS ac_den
+FROM l GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -9825,6 +10321,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_type_scores": _decayed_type_scores,
         "tile_transitions": _tile_transitions,
         "hll_union_registers": _hll_union_registers,
+        # --- wave 32 ---
+        "max_concurrency": _max_concurrency,
+        "weighted_median": _weighted_median,
+        "order_gini": _order_gini,
+        "bitmap_intersect": _bitmap_intersect,
+        "autocorr_daily": _autocorr_daily,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -10021,6 +10523,11 @@ def oracle_sql() -> dict[str, str]:
         "decayed_type_scores": DECAYED_SCORES_ORACLE,
         "tile_transitions": TILE_TRANSITIONS_ORACLE,
         "hll_union_registers": _hll_union_registers_oracle(),
+        "max_concurrency": MAX_CONCURRENCY_ORACLE,
+        "weighted_median": WEIGHTED_MEDIAN_ORACLE,
+        "order_gini": ORDER_GINI_ORACLE,
+        "bitmap_intersect": BITMAP_INTERSECT_ORACLE,
+        "autocorr_daily": AUTOCORR_DAILY_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
