@@ -10092,6 +10092,409 @@ FROM l GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------ wave 33
+
+_MORAN_DEG = 15.0
+_MORAN_NX = int(round(360.0 / _MORAN_DEG))
+_MORAN_NY = int(round(180.0 / _MORAN_DEG))
+
+
+def _moran_i(sf_dir):
+    """Global Moran's I spatial autocorrelation of per-tile event counts
+    (rook adjacency, longitude wrap) in exact integers: with m occupied
+    tiles and S total events, z_i = m*n_i - S is the centered count scaled
+    by m; reports num = sum z_i*z_j over directed neighbor pairs, den =
+    sum z_i^2, and the pair count W — I = (m/W) * num/den left to the
+    consumer. The distributed part is the per-tile count (partial combine
+    + one tiny groupby); the adjacency pass runs on the GRID-BOUNDED
+    aggregate (<= nx*ny rows regardless of data size), found via one
+    searchsorted per direction."""
+    import ray
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(eid)
+        tx = np.floor(lon / _MORAN_DEG).astype(np.int64)
+        ty = np.floor((lat + 90.0) / _MORAN_DEG).astype(np.int64)
+        df = pd.DataFrame({"tile": ty * _MORAN_NX + tx, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("tile", as_index=False).sum(), preserve_index=False
+        )
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tile")
+        .sum("n")
+        .to_pandas()  # grid-bounded: <= 288 rows at 15 degrees
+    )
+    tile = counts["tile"].to_numpy().astype(np.int64)
+    n = counts["sum(n)"].to_numpy().astype(np.int64)
+    order = np.argsort(tile)
+    tile, n = tile[order], n[order]
+    m = len(tile)
+    S = int(n.sum())
+    z = m * n - S
+    tx, ty = tile % _MORAN_NX, tile // _MORAN_NX
+    num = 0
+    w_pairs = 0
+    # directed pairs: probe right (lon-wrap) and up; count both directions
+    for dx, dy in ((1, 0), (0, 1)):
+        qx = (tx + dx) % _MORAN_NX
+        qy = ty + dy
+        q = qy * _MORAN_NX + qx
+        idx = np.searchsorted(tile, q)
+        ok = (idx < m) & (tile[np.minimum(idx, m - 1)] == q)
+        num += 2 * int(np.sum(z[ok] * z[idx[ok]]))
+        w_pairs += 2 * int(ok.sum())
+    return pa.table(
+        {
+            "n_tiles": pa.array([m], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "moran_num": pa.array([num], pa.int64()),
+            "moran_den": pa.array([int(np.sum(z * z))], pa.int64()),
+        }
+    )
+
+
+MORAN_I_ORACLE = f"""
+WITH p AS (
+  SELECT 360.0 * fmod(event_id * {_d(POS_C1)}, 1.0) AS lon,
+         180.0 * fmod(event_id * {_d(POS_C2)}, 1.0) - 90.0 AS lat
+  FROM events),
+c AS (
+  SELECT CAST(floor(lon / {_d(_MORAN_DEG)}) AS BIGINT) AS tx,
+         CAST(floor((lat + {_d(90.0)}) / {_d(_MORAN_DEG)}) AS BIGINT) AS ty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(n) AS BIGINT) AS st
+      FROM c),
+pr AS (
+  SELECT (s.m * a.n - s.st) * (s.m * b.n - s.st) AS zz
+  FROM c a JOIN s ON true JOIN c b
+    ON (b.ty = a.ty AND b.tx = (a.tx + 1) % {_MORAN_NX})
+    OR (b.ty = a.ty AND b.tx = (a.tx + {_MORAN_NX - 1}) % {_MORAN_NX})
+    OR (b.tx = a.tx AND b.ty = a.ty + 1)
+    OR (b.tx = a.tx AND b.ty = a.ty - 1))
+SELECT (SELECT m FROM s) AS n_tiles,
+       (SELECT CAST(count(*) AS BIGINT) FROM pr) AS w_pairs,
+       (SELECT CAST(coalesce(sum(zz), 0) AS BIGINT) FROM pr) AS moran_num,
+       (SELECT CAST(sum((s.m * c.n - s.st) * (s.m * c.n - s.st)) AS BIGINT)
+        FROM c, s) AS moran_den
+"""
+
+
+_QT_DEG2 = 11.25  # finest grid; depth 0 = 45 deg, 1 = 22.5, 2 = 11.25
+
+
+def _quadtree_adaptive(sf_dir):
+    """Adaptive quadtree tiling: starting from 45-degree cells, any cell
+    holding more than T = 1 + total/32 events splits into 4 children, down
+    to depth 2 — the load-balanced tiling pass a skewed spatial corpus
+    needs before per-tile work. The distributed stage is one finest-grid
+    count (512 cells max); the split decision is a pure rollup on that
+    grid-bounded aggregate, so the refinement never rescans the data.
+    Emits (depth, cx, cy, n_points) for occupied leaf cells."""
+    import ray
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(eid)
+        x2 = np.floor(lon / _QT_DEG2).astype(np.int64)
+        y2 = np.floor((lat + 90.0) / _QT_DEG2).astype(np.int64)
+        df = pd.DataFrame({"x2": x2, "y2": y2, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["x2", "y2"], as_index=False).sum(), preserve_index=False
+        )
+
+    fine = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["x2", "y2"])
+        .sum("n")
+        .to_pandas()  # grid-bounded: <= 512 rows
+    )
+    x2 = fine["x2"].to_numpy().astype(np.int64)
+    y2 = fine["y2"].to_numpy().astype(np.int64)
+    n = fine["sum(n)"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    thr = 1 + total // 32
+
+    def rollup(xs, ys, vals):
+        import pandas as pd
+
+        df = pd.DataFrame({"x": xs, "y": ys, "n": vals})
+        g = df.groupby(["x", "y"], as_index=False).sum()
+        return (
+            g["x"].to_numpy(),
+            g["y"].to_numpy(),
+            g["n"].to_numpy(),
+        )
+
+    def lookup(xq, yq, xs, ys, vals):
+        key = xs * 1024 + ys
+        order = np.argsort(key)
+        skey, sval = key[order], vals[order]
+        q = xq * 1024 + yq
+        idx = np.searchsorted(skey, q)
+        return sval[idx]
+
+    x1q, y1q, n1 = rollup(x2 // 2, y2 // 2, n)
+    x0q, y0q, n0 = rollup(x2 // 4, y2 // 4, n)
+    c1 = lookup(x2 // 2, y2 // 2, x1q, y1q, n1)
+    c0 = lookup(x2 // 4, y2 // 4, x0q, y0q, n0)
+    depth = np.where(c0 <= thr, 0, np.where(c1 <= thr, 1, 2)).astype(np.int64)
+    cx = np.where(depth == 0, x2 // 4, np.where(depth == 1, x2 // 2, x2))
+    cy = np.where(depth == 0, y2 // 4, np.where(depth == 1, y2 // 2, y2))
+    import pandas as pd
+
+    out = (
+        pd.DataFrame({"depth": depth, "cx": cx, "cy": cy, "n_points": n})
+        .groupby(["depth", "cx", "cy"], as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "depth": pa.array(out["depth"].to_numpy().astype(np.int64)),
+            "cx": pa.array(out["cx"].to_numpy().astype(np.int64)),
+            "cy": pa.array(out["cy"].to_numpy().astype(np.int64)),
+            "n_points": pa.array(out["n_points"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+QUADTREE_ORACLE = f"""
+WITH p AS (
+  SELECT 360.0 * fmod(event_id * {_d(POS_C1)}, 1.0) AS lon,
+         180.0 * fmod(event_id * {_d(POS_C2)}, 1.0) - 90.0 AS lat
+  FROM events),
+g AS (
+  SELECT CAST(floor(lon / {_d(_QT_DEG2)}) AS BIGINT) AS x2,
+         CAST(floor((lat + {_d(90.0)}) / {_d(_QT_DEG2)}) AS BIGINT) AS y2
+  FROM p),
+c2 AS (SELECT x2, y2, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+c1 AS (SELECT x2 // 2 AS x1, y2 // 2 AS y1, sum(n) AS n FROM c2 GROUP BY 1, 2),
+c0 AS (SELECT x1 // 2 AS x0, y1 // 2 AS y0, sum(n) AS n FROM c1 GROUP BY 1, 2),
+t AS (SELECT 1 + CAST(count(*) AS BIGINT) // 32 AS thr FROM events),
+f AS (
+  SELECT c2.x2, c2.y2, c2.n, c1.n AS n1, c0.n AS n0
+  FROM c2
+  JOIN c1 ON c2.x2 // 2 = c1.x1 AND c2.y2 // 2 = c1.y1
+  JOIN c0 ON c2.x2 // 4 = c0.x0 AND c2.y2 // 4 = c0.y0)
+SELECT CASE WHEN n0 <= thr THEN 0 WHEN n1 <= thr THEN 1 ELSE 2 END AS depth,
+       CASE WHEN n0 <= thr THEN x2 // 4 WHEN n1 <= thr THEN x2 // 2
+            ELSE x2 END AS cx,
+       CASE WHEN n0 <= thr THEN y2 // 4 WHEN n1 <= thr THEN y2 // 2
+            ELSE y2 END AS cy,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM f, t GROUP BY 1, 2, 3
+"""
+
+
+_IDW_RADIUS_DEG = 10.0
+_IDW_THRESH = 4.0 * math.sin(_IDW_RADIUS_DEG * 0.5 * RAD) ** 2
+_IDW_DSCALE = 1e9
+_IDW_WSCALE = 10**9
+
+
+def _idw_probes():
+    lons = [7.5 + 30.0 * i for i in range(12)]
+    lats = [-37.5 + 25.0 * j for j in range(4)]
+    out = []
+    pid = 0
+    for la in lats:
+        for lo in lons:
+            cl = math.cos(la * RAD)
+            out.append((pid, lo, la, math.cos(lo * RAD) * cl,
+                        math.sin(lo * RAD) * cl, math.sin(la * RAD)))
+            pid += 1
+    return out
+
+
+def _idw_interpolate(sf_dir):
+    """Inverse-distance-weighted interpolation of doc length at 48 fixed
+    probe points: every doc within 10 degrees of a probe contributes weight
+    w = WSCALE // (1 + floor(d2 * DSCALE)) (d2 = squared chord distance) —
+    integer weights, so the weighted sums are order-independent and
+    hash-exact. Probes are a module constant (broadcast-by-closure, ~48x3
+    doubles); each batch computes its distances to all probes vectorized
+    and emits per-probe integer partials — a pure map + tiny groupby, no
+    shuffle of doc rows, the raster-sampling shape that scales to any
+    corpus size."""
+    import ray
+
+    probes = _idw_probes()
+    P = np.array([[p[3], p[4], p[5]] for p in probes])  # (48, 3)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        z = tbl["z"].to_numpy(zero_copy_only=False)
+        nch = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = x[:, None] - P[None, :, 0]
+        dy = y[:, None] - P[None, :, 1]
+        dz = z[:, None] - P[None, :, 2]
+        d2 = dx * dx + dy * dy + dz * dz  # (B, 48), same op order as SQL
+        rows, cols = np.nonzero(d2 <= _IDW_THRESH)
+        q = np.floor(d2[rows, cols] * _IDW_DSCALE).astype(np.int64)
+        w = _IDW_WSCALE // (1 + q)
+        df = pd.DataFrame(
+            {
+                "probe_id": cols.astype(np.int64),
+                "n_docs": 1,
+                "sum_w": w,
+                "wsum_chars": w * nch[rows],
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("probe_id", as_index=False).sum(), preserve_index=False
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    enc = ops.encode(ds, id_col="doc_id")
+    out = (
+        enc.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("probe_id")
+        .sum(["n_docs", "sum_w", "wsum_chars"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["probe_id", "n_docs", "sum_w", "wsum_chars"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _idw_oracle():
+    vals = ",\n    ".join(
+        f"({pid}, {_d(px)}, {_d(py)}, {_d(pz)})"
+        for pid, _, _, px, py, pz in _idw_probes()
+    )
+    return (
+        _xyz_sql()
+        + f""",
+pb(probe_id, px, py, pz) AS (VALUES
+    {vals}),
+d AS (
+  SELECT pb.probe_id, doc.n_chars,
+         (n.x - pb.px) * (n.x - pb.px) + (n.y - pb.py) * (n.y - pb.py)
+           + (n.z - pb.pz) * (n.z - pb.pz) AS d2
+  FROM n JOIN documents doc USING (doc_id), pb),
+w AS (
+  SELECT probe_id, n_chars,
+         {_IDW_WSCALE} // (1 + CAST(floor(d2 * {_d(_IDW_DSCALE)}) AS BIGINT))
+           AS w
+  FROM d WHERE d2 <= {_d(_IDW_THRESH)})
+SELECT probe_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(w * n_chars) AS BIGINT) AS wsum_chars
+FROM w GROUP BY 1
+"""
+    )
+
+
+def _naive_bayes_lang(sf_dir):
+    """Additive naive-Bayes-style language scoring in exact integers:
+    training pass counts per-(lang, token) occurrences (partial combine +
+    groupby, vocabulary-bounded); scoring pass re-reads the corpus and
+    gives each doc, per lang, the sum of that lang's corpus counts over
+    the doc's token OCCURRENCES — argmax lang, ties to the
+    lexicographically first. The count matrix broadcasts once (ray.put)
+    and each batch scores via one searchsorted over the sorted vocab —
+    no per-row Python, no shuffle of doc text."""
+    import ray
+
+    from spatialindex_ray.functions.text import _token_segments
+
+    def train_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = _token_segments(tbl["text"])
+        langs = tbl["lang"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(
+            np.arange(len(langs)), np.diff(offsets).astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"lang": langs[row_of], "tok": flat.to_numpy(zero_copy_only=False),
+             "c": 1}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "tok"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+        )
+        .map_batches(train_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "tok"])
+        .sum("c")
+        .to_pandas()  # vocabulary-bounded: langs x distinct tokens
+    )
+    counts.columns = ["lang", "tok", "c"]
+    langs = sorted(counts["lang"].unique())
+    vocab = np.sort(counts["tok"].unique())
+    mat = np.zeros((len(vocab), len(langs)), dtype=np.int64)
+    vi = np.searchsorted(vocab, counts["tok"].to_numpy())
+    li = np.searchsorted(np.array(langs), counts["lang"].to_numpy())
+    mat[vi, li] = counts["c"].to_numpy().astype(np.int64)
+    ref = ray.put((vocab, mat, langs))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        vocab_, mat_, langs_ = ray.get(ref)
+        flat, offsets = _token_segments(tbl["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vocab_, toks)
+        idx_c = np.minimum(idx, len(vocab_) - 1)
+        valid = vocab_[idx_c] == toks
+        tok_scores = np.where(valid[:, None], mat_[idx_c], 0)
+        cs = np.concatenate(
+            [np.zeros((1, len(langs_)), np.int64),
+             np.cumsum(tok_scores, axis=0, dtype=np.int64)]
+        )
+        per_doc = cs[offsets[1:]] - cs[offsets[:-1]]  # (rows, L)
+        pred = np.argmax(per_doc, axis=1)  # first max = lang-asc tie rule
+        lang_arr = np.array(langs_, dtype=object)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "pred_lang": pa.array(
+                    lang_arr[pred].tolist(), pa.string()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+NAIVE_BAYES_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+sc AS (
+  SELECT t.doc_id, c.lang, sum(c.c) AS s
+  FROM tok t JOIN cnt c ON t.w = c.w
+  GROUP BY 1, 2)
+SELECT doc_id, lang AS pred_lang
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -10327,6 +10730,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_gini": _order_gini,
         "bitmap_intersect": _bitmap_intersect,
         "autocorr_daily": _autocorr_daily,
+        # --- wave 33 ---
+        "moran_i": _moran_i,
+        "quadtree_adaptive": _quadtree_adaptive,
+        "idw_interpolate": _idw_interpolate,
+        "naive_bayes_lang": _naive_bayes_lang,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -10528,6 +10936,10 @@ def oracle_sql() -> dict[str, str]:
         "order_gini": ORDER_GINI_ORACLE,
         "bitmap_intersect": BITMAP_INTERSECT_ORACLE,
         "autocorr_daily": AUTOCORR_DAILY_ORACLE,
+        "moran_i": MORAN_I_ORACLE,
+        "quadtree_adaptive": QUADTREE_ORACLE,
+        "idw_interpolate": _idw_oracle(),
+        "naive_bayes_lang": NAIVE_BAYES_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
