@@ -10495,6 +10495,331 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
 """
 
 
+# ------------------------------------------------------------------ wave 34
+
+
+def _cusum_changepoint(sf_dir):
+    """CUSUM change-point scan per event type, exact integers: over the
+    ordered daily counts, the cumulative sum of centered terms
+    c_t = n*x_t - S (which totals zero) peaks where the rate shifts.
+    Reports max/min CUSUM and the earliest day index attaining max |CUSUM|.
+    Same distributed shape as autocorr_daily: per-batch partial counts,
+    tiny (type, day) shuffle, days-long per-type series in one task."""
+    import ray
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "day": day,
+                "x": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "day"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    daily = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "day"])
+        .sum("x")
+    )
+    n_shards = 4
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        t = tbl.rename_columns(["event_type", "day", "x"])
+        return ops._shard_tagger("event_type", n_shards)(t)
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "cusum_max": pa.array([], pa.int64()),
+                "cusum_min": pa.array([], pa.int64()),
+                "change_day": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        x = tbl["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"event_type": [], "cusum_max": [], "cusum_min": [],
+               "change_day": []}
+        for c in range(len(types)):  # types per shard: a handful
+            m = codes == c
+            order = np.argsort(day[m], kind="stable")
+            d = day[m][order]
+            xs = x[m][order]
+            n = len(xs)
+            S = int(xs.sum())
+            cus = np.cumsum(n * xs - S)
+            out["event_type"].append(types[c])
+            out["cusum_max"].append(int(cus.max()))
+            out["cusum_min"].append(int(cus.min()))
+            out["change_day"].append(int(d[int(np.argmax(np.abs(cus)))]))
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "cusum_max": pa.array(out["cusum_max"], pa.int64()),
+                "cusum_min": pa.array(out["cusum_min"], pa.int64()),
+                "change_day": pa.array(out["change_day"], pa.int64()),
+            }
+        )
+
+    keyed_ds = daily.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "_shard", n_shards, stats)
+
+
+CUSUM_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS dy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sm
+  FROM d GROUP BY 1),
+c AS (
+  SELECT d.event_type, d.dy,
+         sum(s.n * d.x - s.sm) OVER (
+           PARTITION BY d.event_type ORDER BY d.dy) AS cus
+  FROM d JOIN s USING (event_type))
+SELECT event_type,
+       CAST(max(cus) AS BIGINT) AS cusum_max,
+       CAST(min(cus) AS BIGINT) AS cusum_min,
+       CAST(min(dy) FILTER (WHERE abs(cus) = mx) AS BIGINT) AS change_day
+FROM (SELECT *, max(abs(cus)) OVER (PARTITION BY event_type) AS mx FROM c)
+GROUP BY 1
+"""
+
+
+_PHRASE = ("merge", "sort")
+
+
+def _phrase_search(sf_dir):
+    """Position-aware phrase search: docs whose token stream contains the
+    exact adjacent pair 'merge sort'. One Arrow whitespace split per batch,
+    two vectorized equality masks, and a shifted AND restricted to
+    same-row adjacency — the inverted-index phrase-join semantics as a
+    pure streaming map (the postings variant is term_postings)."""
+    import ray
+
+    from spatialindex_ray.functions.text import _token_segments
+
+    def find(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, offsets = _token_segments(tbl["text"])
+        n = len(flat)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if n < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        a = pc.equal(flat, _PHRASE[0]).to_numpy(zero_copy_only=False)
+        b = pc.equal(flat, _PHRASE[1]).to_numpy(zero_copy_only=False)
+        row_of = np.repeat(
+            np.arange(len(ids)), np.diff(offsets).astype(np.int64)
+        )
+        adj = a[:-1] & b[1:] & (row_of[:-1] == row_of[1:])
+        hit_rows = np.unique(row_of[:-1][adj])
+        return pa.table({"doc_id": pa.array(ids[hit_rows], pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(find, batch_format="pyarrow", batch_size=None)
+
+
+PHRASE_SEARCH_ORACLE = f"""
+SELECT doc_id FROM documents
+WHERE ' ' || text || ' ' LIKE '% {_PHRASE[0]} {_PHRASE[1]} %'
+"""
+
+
+_FH_BUCKETS = 64
+
+
+def _feature_hashing(sf_dir):
+    """Hashing-trick featurization: each doc's tokens map to one of 64
+    buckets via splitmix64 over the token's first-7-byte integer (collisions
+    are the point of the trick — deterministic on both sides); emits sparse
+    (doc_id, bucket, cnt) rows. The byte-matrix gather reads the Arrow
+    string buffer directly — zero per-token Python."""
+    import ray
+
+    def feats(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from spatialindex_ray.functions.text import _token_segments
+
+        flat, offsets = _token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        odt = (
+            np.int64
+            if pa.types.is_large_string(flat.type)
+            else np.int32
+        )
+        off = np.frombuffer(flat.buffers()[1], dtype=odt)[
+            flat.offset : flat.offset + len(flat) + 1
+        ].astype(np.int64)
+        buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+        starts, ends = off[:-1], off[1:]
+        idx = starts[:, None] + np.arange(7)[None, :]
+        ok = idx < ends[:, None]
+        bytes7 = np.where(ok, buf[np.minimum(idx, len(buf) - 1)], 0).astype(
+            np.int64
+        )
+        pw = (256 ** np.arange(6, -1, -1)).astype(np.int64)
+        tok_int = bytes7 @ pw
+        with np.errstate(over="ignore"):
+            h = ops._splitmix64(tok_int.view(np.uint64))
+        bucket = (h % np.uint64(_FH_BUCKETS)).astype(np.int64)
+        row_of = np.repeat(
+            np.arange(len(ids)), np.diff(offsets).astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"doc_id": ids[row_of], "bucket": bucket, "cnt": 1}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["doc_id", "bucket"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(feats, batch_format="pyarrow", batch_size=None)
+
+
+def _feature_hashing_oracle():
+    tok7 = " + ".join(
+        f"CASE WHEN length(tok) >= {i} THEN ascii(substr(tok, {i}, 1))"
+        f" * {256 ** (7 - i)} ELSE 0 END"
+        for i in range(1, 8)
+    )
+    sm = _sql_splitmix64("CAST(ti AS HUGEINT)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+ti AS (SELECT doc_id, {tok7} AS ti FROM tok),
+b AS (SELECT doc_id, CAST({sm} % {_FH_BUCKETS} AS BIGINT) AS bucket FROM ti)
+SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
+"""
+
+
+_RL_TOL_CENTS = 10_000
+
+
+def _record_linkage(sf_dir):
+    """Blocked record linkage: candidate customer pairs in the same
+    market-segment block whose account balances differ by at most $100 —
+    blocking bounds the candidate set, the in-block band join
+    runs on sorted cents with one searchsorted window per row (no n^2
+    against the block). Pairs emit once (sort-order i<j), keyed
+    (min custkey, max custkey). Scale note: hot blocks salt like any hot
+    join key; the window expansion is O(pairs), not O(block^2)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        t = ops._shard_tagger("c_mktsegment", n_shards)(tbl)
+        return pa.table(
+            {
+                "shard": t["_shard"],
+                "seg": t["c_mktsegment"],
+                "key": t["c_custkey"],
+                "cents": pa.array(
+                    np.round(
+                        t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def link(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "cust_a": pa.array([], pa.int64()),
+                "cust_b": pa.array([], pa.int64()),
+                "diff_cents": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "seg" not in tbl.schema.names:
+            return empty
+        seg = pc.dictionary_encode(tbl["seg"].combine_chunks())
+        segc = seg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = tbl["key"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, segc))
+        segc, key, cents = segc[order], key[order], cents[order]
+        heads = np.concatenate([[True], segc[1:] != segc[:-1]])
+        gid = np.cumsum(heads) - 1
+        BIG = np.int64(1) << 32
+        ckey = gid * BIG + cents
+        hi = np.searchsorted(ckey, ckey + _RL_TOL_CENTS, side="right")
+        i = np.arange(len(ckey))
+        cnt = hi - i - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        i_rep = np.repeat(i, cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        j = np.arange(total) - csum[i_rep] + i_rep + 1
+        ka, kb = key[i_rep], key[j]
+        return pa.table(
+            {
+                "cust_a": pa.array(np.minimum(ka, kb)),
+                "cust_b": pa.array(np.maximum(ka, kb)),
+                "diff_cents": pa.array(np.abs(cents[j] - cents[i_rep])),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, link)
+
+
+RECORD_LINKAGE_ORACLE = f"""
+WITH t AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer)
+SELECT least(a.k, b.k) AS cust_a, greatest(a.k, b.k) AS cust_b,
+       abs(a.cents - b.cents) AS diff_cents
+FROM t a JOIN t b
+  ON a.seg = b.seg AND a.k < b.k
+  AND abs(a.cents - b.cents) <= {_RL_TOL_CENTS}
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -10735,6 +11060,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadtree_adaptive": _quadtree_adaptive,
         "idw_interpolate": _idw_interpolate,
         "naive_bayes_lang": _naive_bayes_lang,
+        # --- wave 34 ---
+        "cusum_changepoint": _cusum_changepoint,
+        "phrase_search": _phrase_search,
+        "feature_hashing": _feature_hashing,
+        "record_linkage": _record_linkage,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -10940,6 +11270,10 @@ def oracle_sql() -> dict[str, str]:
         "quadtree_adaptive": QUADTREE_ORACLE,
         "idw_interpolate": _idw_oracle(),
         "naive_bayes_lang": NAIVE_BAYES_ORACLE,
+        "cusum_changepoint": CUSUM_ORACLE,
+        "phrase_search": PHRASE_SEARCH_ORACLE,
+        "feature_hashing": _feature_hashing_oracle(),
+        "record_linkage": RECORD_LINKAGE_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
