@@ -10820,6 +10820,308 @@ FROM t a JOIN t b
 """
 
 
+# ------------------------------------------------------------------ wave 35
+
+_HULL_MOD = 31  # subset bound: keeps the O(n^3) edge oracle DuckDB-tractable
+
+
+def _hull_vertices(sf_dir):
+    """Distributed convex hull with EXACT integer cross products: points are
+    splitmix64-derived 20-bit lattice coordinates on a bounded event subset
+    (event_id % 31 == 0 — the O(n^3) hull-edge oracle bounds n; the engine
+    path is identical at any size). hull(A ∪ B) ⊆ hull(A) ∪ hull(B), so each
+    batch reduces to its local hull (Akl-Toussaint prefilter + monotone
+    chain) and one final chain merges the partials — the divide-and-conquer
+    hull as a two-level Ray reduce; the driver only ever sees O(log n)-sized
+    partial hulls. General position (no collinear triple) verified for the
+    testdata subsets, so strict-turn chain == strict-edge SQL dual."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def coords(tbl: pa.Table) -> pa.Table:
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = eid[eid % _HULL_MOD == 0]
+        h = ops._splitmix64(eid)
+        return pa.table(
+            {
+                "hx": pa.array((h >> np.uint64(44)).astype(np.int64)),
+                "hy": pa.array(
+                    ((h >> np.uint64(24)) & np.uint64(0xFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    pts = ds.map_batches(coords, batch_format="pyarrow", batch_size=None)
+    return ops.convex_hull(pts, "hx", "hy")
+
+
+def _hull_vertices_oracle() -> str:
+    sm = _sql_splitmix64(f"CAST(event_id AS HUGEINT)")
+    return f"""
+WITH p AS (
+  SELECT DISTINCT
+    CAST(({sm}) // 17592186044416 AS BIGINT) AS x,
+    CAST((({sm}) // 16777216) % 1048576 AS BIGINT) AS y
+  FROM events WHERE event_id % {_HULL_MOD} = 0),
+e AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM p a JOIN p b ON (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p c
+    WHERE (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y)
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <= 0))
+SELECT x AS hx, y AS hy FROM (
+  SELECT ax AS x, ay AS y FROM e UNION SELECT bx, by FROM e)
+"""
+
+
+_PI_SCALE = 1_000_000  # rescale-to-max after each matvec
+_PI_ITERS = 3
+
+
+def _power_iteration(sf_dir):
+    """Dominant eigenvector of the EXACT integer Gram matrix by power
+    iteration: the distributed part is the Gram reduce (embedding_gram's
+    per-batch int64 matmul partials + tiny groupby-sum); the iteration then
+    runs on the driver over the D x D matrix (D = 64 — driver state is
+    O(D^2), independent of row count) in arbitrary-precision Python ints,
+    rescaling v to max |v| = 1e6 by FLOOR division after each matvec so a
+    HUGEINT SQL dual reproduces it bit-for-bit."""
+    tbl = _embedding_gram(sf_dir).to_pandas()
+    d = int(tbl["dim_i"].max())
+    g = [[0] * d for _ in range(d)]
+    for i, j, val in tbl.itertuples(index=False):
+        g[int(i) - 1][int(j) - 1] = int(val)
+        g[int(j) - 1][int(i) - 1] = int(val)
+    v = [1] * d
+    for _ in range(_PI_ITERS):
+        w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        v = [(x * _PI_SCALE) // m for x in w]  # Python // floors: SQL idiom
+    return pa.table(
+        {
+            "dim_i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "v_scaled": pa.array(np.array(v, dtype=np.int64)),
+        }
+    )
+
+
+def _sql_floordiv(a: str, b: str) -> str:
+    """Exact floor division for signed HUGEINTs (DuckDB // truncates toward
+    zero; subtracting the nonnegative residue first makes // exact)."""
+    r = f"(((({a}) % ({b})) + ({b})) % ({b}))"
+    return f"((({a}) - {r}) // ({b}))"
+
+
+def _power_iteration_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, _PI_ITERS + 1):
+        steps.append(
+            f"w{k} AS (SELECT g.i AS i, sum(g.g * {prev}.v) AS w "
+            f"FROM g JOIN {prev} ON g.j = {prev}.i GROUP BY 1),\n"
+            f"m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),\n"
+            f"v{k} AS (SELECT i, "
+            f"{_sql_floordiv(f'(w * {_PI_SCALE})', 'm')} AS v "
+            f"FROM w{k}, m{k})"
+        )
+        prev = f"v{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH u AS (
+  SELECT vec_id, i,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS HUGEINT) AS e
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.e * b.e) AS HUGEINT) AS g
+  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+v0 AS (SELECT DISTINCT i, CAST(1 AS HUGEINT) AS v FROM g),
+{chain}
+SELECT CAST(i AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_scaled FROM {prev}
+"""
+
+
+def _bom_rollup(sf_dir):
+    """Hierarchy (BOM-style) subtree rollup over the 4-ary part tree with
+    CLOSED-FORM parent pointers (parent(p) = p >> 2, root 0): each part emits
+    its full ancestor chain {p >> 2j} in ONE vectorized map — no iterative
+    joins, chain length log4(maxkey) — then a single groupby-sum yields every
+    node's subtree total (cents, exact) and descendant count. The recursive-
+    CTE aggregation pattern collapsed to a map + one bounded shuffle."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+
+    def ancestors(tbl: pa.Table) -> pa.Table:
+        p = tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        nodes = [p]
+        vals = [cents]
+        anc, cur = p, cents
+        while True:
+            alive = anc > 0
+            if not alive.any():
+                break
+            anc = anc[alive] >> 2
+            cur = cur[alive]
+            nodes.append(anc)
+            vals.append(cur)
+        return pa.table(
+            {
+                "part_node": pa.array(np.concatenate(nodes)),
+                "cents": pa.array(np.concatenate(vals)),
+                "n": pa.array(np.ones(sum(len(x) for x in nodes), np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(ancestors, batch_format="pyarrow", batch_size=None)
+        .groupby("part_node")
+        .sum(["cents", "n"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["part_node", "subtree_cents", "n_desc"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+BOM_ROLLUP_ORACLE = """
+WITH p AS (
+  SELECT p_partkey AS k,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part),
+a AS (
+  SELECT (p.k >> CAST(2 * j.j AS INTEGER)) AS node, p.cents
+  FROM p, unnest(range(0, 33)) AS j(j)
+  WHERE j.j = 0 OR (p.k >> CAST(2 * j.j - 2 AS INTEGER)) > 0)
+SELECT node AS part_node,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents,
+       CAST(count(*) AS BIGINT) AS n_desc
+FROM a GROUP BY 1
+"""
+
+
+def _quantile_normalize(sf_dir):
+    """Quantile normalization across event types (the bioinformatics
+    cross-array normalizer): rank values within each type (exchange on type,
+    one lexsort per shard), average the cents at each rank ACROSS types
+    (exact integer floor mean via a tiny rank-keyed groupby), and join the
+    normalized value back to every row by rank. Narrow columns only move;
+    each stage is a bounded shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "event_type": tbl["event_type"],
+                "cents": pa.array(cents),
+            }
+        )
+        return ops._shard_tagger("event_type", n_shards)(out)
+
+    def ranks(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "rnk": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        enc = pc.dictionary_encode(tbl["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, cents, codes))
+        c_s, e_s, v_s = codes[order], eid[order], cents[order]
+        heads = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        starts = np.flatnonzero(heads)
+        rnk = np.arange(len(c_s)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(c_s)]]))) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(e_s),
+                "event_type": tbl["event_type"].combine_chunks().take(
+                    pa.array(order)
+                ),
+                "rnk": pa.array(rnk),
+                "cents": pa.array(v_s),
+            }
+        )
+
+    ranked = ops.hash_exchange(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        "_shard",
+        n_shards,
+        ranks,
+    )
+
+    qn = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "rnk": t["rnk"],
+                "s": t["cents"],
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).groupby("rnk").sum(["s", "c"])
+
+    def qn_val(tbl: pa.Table) -> pa.Table:
+        t = tbl.rename_columns(["rnk", "s", "c"])
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"rnk": t["rnk"], "qn_cents": pa.array(s // c)}
+        )
+
+    qn_tbl = qn.map_batches(qn_val, batch_format="pyarrow", batch_size=None)
+    return ops.equi_join(ranked, qn_tbl, on="rnk", n_shards=16).select_columns(
+        ["event_id", "event_type", "rnk", "qn_cents"]
+    )
+
+
+QUANTILE_NORMALIZE_ORACLE = """
+WITH t AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY cents, event_id) AS rnk
+  FROM t),
+q AS (
+  SELECT rnk, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM r GROUP BY 1)
+SELECT r.event_id, r.event_type, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(q.s // q.c AS BIGINT) AS qn_cents
+FROM r JOIN q USING (rnk)
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -11065,6 +11367,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _phrase_search,
         "feature_hashing": _feature_hashing,
         "record_linkage": _record_linkage,
+        # --- wave 35 ---
+        "hull_vertices": _hull_vertices,
+        "power_iteration": _power_iteration,
+        "bom_rollup": _bom_rollup,
+        "quantile_normalize": _quantile_normalize,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -11274,6 +11581,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": PHRASE_SEARCH_ORACLE,
         "feature_hashing": _feature_hashing_oracle(),
         "record_linkage": RECORD_LINKAGE_ORACLE,
+        "hull_vertices": _hull_vertices_oracle(),
+        "power_iteration": _power_iteration_oracle(),
+        "bom_rollup": BOM_ROLLUP_ORACLE,
+        "quantile_normalize": QUANTILE_NORMALIZE_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf

@@ -2799,6 +2799,99 @@ def skyline(ds, x_col: str, y_col: str):
     return allp.filter(pa.array(m))
 
 
+# --------------------------------------------------------------- convex hull
+def _hull_chain(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain over (n, 2) int64 points with EXACT integer
+    cross products; returns the hull vertices CCW from the lexicographic
+    minimum. Strict turns — points interior to a hull edge are excluded.
+    An Akl-Toussaint prefilter (discard everything strictly inside the
+    quadrilateral of the four axis-extreme points) vectorizes away the bulk
+    before the short Python chain over the O(sqrt-ish) survivors."""
+    if len(pts) == 0:
+        return pts.reshape(0, 2).astype(np.int64)
+    pts = np.unique(pts.astype(np.int64), axis=0)  # lex sort + dedupe
+    n = len(pts)
+    if n > 16:
+        x, y = pts[:, 0], pts[:, 1]
+        quad = pts[  # W, S, E, N: counter-clockwise
+            [int(np.argmin(x)), int(np.argmin(y)),
+             int(np.argmax(x)), int(np.argmax(y))]
+        ]
+        inside = np.ones(n, dtype=bool)
+        for k in range(4):
+            a, b = quad[k], quad[(k + 1) % 4]
+            # strictly left of every CCW quad edge => interior, droppable
+            cross = (b[0] - a[0]) * (y - a[1]) - (b[1] - a[1]) * (x - a[0])
+            inside &= cross > 0
+        pts = pts[~inside]
+        n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(p):
+        h: list[tuple[int, int]] = []
+        for px, py in p:
+            while len(h) >= 2:
+                ox, oy = h[-2]
+                ax, ay = h[-1]
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append((int(px), int(py)))
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def convex_hull(ds, x_col: str, y_col: str):
+    """Distributed 2-D convex hull: hull(A ∪ B) ⊆ hull(A) ∪ hull(B), so each
+    batch reduces to its local hull (O(log n) expected vertices on random
+    points) and one final chain over the concatenated partials yields the
+    global hull — the skyline reduce shape. Driver sees only partial hulls.
+    Returns a pyarrow Table (x_col, y_col) of hull vertices."""
+
+    def local(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {x_col: pa.array([], pa.int64()), y_col: pa.array([], pa.int64())}
+            )
+        pts = np.stack(
+            [
+                tbl[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl[y_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            ],
+            axis=1,
+        )
+        h = _hull_chain(pts)
+        return pa.table(
+            {x_col: pa.array(h[:, 0]), y_col: pa.array(h[:, 1])}
+        )
+
+    parts = list(
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table(
+            {x_col: pa.array([], pa.int64()), y_col: pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(nonempty, promote_options="default")
+    pts = np.stack(
+        [
+            allp[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            allp[y_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        ],
+        axis=1,
+    )
+    h = _hull_chain(pts)
+    return pa.table({x_col: pa.array(h[:, 0]), y_col: pa.array(h[:, 1])})
+
+
 # ------------------------------------------- temporal proximity count join
 def proximity_count(
     ds,
