@@ -11122,6 +11122,532 @@ FROM r JOIN q USING (rnk)
 """
 
 
+# ------------------------------------------------------------------ wave 36
+
+_SEG_USER_MOD = 17  # user subset: keeps the O(n^2) crossing oracle tractable
+_SEG_SHARDS = 4  # triangle all-pairs exchange width
+
+
+def _segment_crossings(sf_dir):
+    """Segment-intersection join: per user (bounded subset), consecutive
+    events (ts, event_id order) define polyline segments on a splitmix 20-bit
+    lattice; count unordered pairs of segments that PROPERLY cross (strict
+    sign tests on four exact integer cross products — segments sharing an
+    endpoint produce a zero and are excluded by the same predicate, so no
+    general-position assumption is needed). Random segments are long, so
+    spatial pruning can't help — the engine uses the TRIANGLE all-pairs
+    exchange: segments shard by id, every unordered shard pair (i <= j) is
+    one reducer bucket, each segment replicates to its S buckets, every pair
+    meets in EXACTLY one bucket (no dedupe shuffle). Replication factor S
+    buys n^2/S^2 work per reducer — the bounded-replication pattern for
+    joins with no selective key."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def segments(tbl: pa.Table) -> pa.Table:
+        # batch = one user shard (exchange below); emit segment endpoints
+        empty = pa.table(
+            {
+                "seg_id": pa.array([], pa.int64()),
+                "x1": pa.array([], pa.int64()),
+                "y1": pa.array([], pa.int64()),
+                "x2": pa.array([], pa.int64()),
+                "y2": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        h = ops._splitmix64(eid)
+        x = (h >> np.uint64(44)).astype(np.int64)
+        y = ((h >> np.uint64(24)) & np.uint64(0xFFFFF)).astype(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        i = np.flatnonzero(same)
+        return pa.table(
+            {
+                "seg_id": pa.array(eid[i]),
+                "x1": pa.array(x[i]),
+                "y1": pa.array(y[i]),
+                "x2": pa.array(x[i + 1]),
+                "y2": pa.array(y[i + 1]),
+            }
+        )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl.filter(pa.array(u % _SEG_USER_MOD == 0))
+        return ops._shard_tagger("user_id", 8)(t)
+
+    segs = ops.hash_exchange(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        "_shard",
+        8,
+        segments,
+    )
+
+    s = _SEG_SHARDS
+
+    def to_buckets(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "seg_id": pa.array([], pa.int64()),
+                    "x1": pa.array([], pa.int64()),
+                    "y1": pa.array([], pa.int64()),
+                    "x2": pa.array([], pa.int64()),
+                    "y2": pa.array([], pa.int64()),
+                }
+            )
+        sid = tbl["seg_id"].to_numpy(zero_copy_only=False)
+        my = sid % s
+        reps = []
+        for t in range(s):
+            b = np.minimum(my, t) * s + np.maximum(my, t)
+            reps.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(b),
+                        "shard": pa.array(my),
+                        "seg_id": tbl["seg_id"],
+                        "x1": tbl["x1"],
+                        "y1": tbl["y1"],
+                        "x2": tbl["x2"],
+                        "y2": tbl["y2"],
+                    }
+                )
+            )
+        out = pa.concat_tables(reps)
+        # a segment lands in bucket (i,i) once per t==my plus never else;
+        # dedupe the s-1 duplicate copies of the diagonal bucket
+        import pandas as pd
+
+        df = out.to_pandas().drop_duplicates(["bucket", "seg_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cross_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "seg_a": pa.array([], pa.int64()),
+                "seg_b": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "bucket" not in tbl.schema.names:
+            return empty
+        b = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_b = [], []
+        cols = {
+            c: tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in ("shard", "seg_id", "x1", "y1", "x2", "y2")
+        }
+        for bk in np.unique(b):
+            m = b == bk
+            i_sh, j_sh = int(bk // s), int(bk % s)
+            sh = cols["shard"][m]
+            sid = cols["seg_id"][m]
+            p = np.stack(
+                [cols["x1"][m], cols["y1"][m], cols["x2"][m], cols["y2"][m]], 1
+            )
+            if i_sh == j_sh:
+                ia, ib = np.triu_indices(len(sid), k=1)
+            else:
+                li = np.flatnonzero(sh == i_sh)
+                rj = np.flatnonzero(sh == j_sh)
+                ia = np.repeat(li, len(rj))
+                ib = np.tile(rj, len(li))
+            if len(ia) == 0:
+                continue
+            a, c = p[ia], p[ib]
+            # proper crossing: strict opposite sides, exact int64 (coords
+            # < 2^20 so each cross < 2^42; SIGNS compared, never multiplied)
+            d1 = (a[:, 2] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+                a[:, 3] - a[:, 1]
+            ) * (c[:, 0] - a[:, 0])
+            d2 = (a[:, 2] - a[:, 0]) * (c[:, 3] - a[:, 1]) - (
+                a[:, 3] - a[:, 1]
+            ) * (c[:, 2] - a[:, 0])
+            d3 = (c[:, 2] - c[:, 0]) * (a[:, 1] - c[:, 1]) - (
+                c[:, 3] - c[:, 1]
+            ) * (a[:, 0] - c[:, 0])
+            d4 = (c[:, 2] - c[:, 0]) * (a[:, 3] - c[:, 1]) - (
+                c[:, 3] - c[:, 1]
+            ) * (a[:, 2] - c[:, 0])
+            hit = (
+                (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+                & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+            )
+            sa, sb = sid[ia[hit]], sid[ib[hit]]
+            out_a.append(np.minimum(sa, sb))
+            out_b.append(np.maximum(sa, sb))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "seg_a": pa.array(np.concatenate(out_a)),
+                "seg_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    bucketed = segs.map_batches(
+        to_buckets, batch_format="pyarrow", batch_size=None
+    )
+    return ops.hash_exchange(bucketed, "bucket", s * s, cross_pairs)
+
+
+def _segment_crossings_oracle() -> str:
+    sm = _sql_splitmix64("CAST(event_id AS HUGEINT)")
+    return f"""
+WITH pt AS (
+  SELECT user_id, event_id, ts,
+    CAST(({sm}) // 17592186044416 AS BIGINT) AS x,
+    CAST((({sm}) // 16777216) % 1048576 AS BIGINT) AS y
+  FROM events WHERE user_id % {_SEG_USER_MOD} = 0),
+seg AS (
+  SELECT event_id AS seg_id, x AS x1, y AS y1,
+    lead(x) OVER w AS x2, lead(y) OVER w AS y2,
+    lead(user_id) OVER w AS nxt_user, user_id
+  FROM pt WINDOW w AS (ORDER BY user_id, ts, event_id)),
+sg AS (SELECT * FROM seg WHERE nxt_user = user_id),
+d AS (
+  SELECT a.seg_id AS sa, b.seg_id AS sb,
+    (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d1,
+    (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d2,
+    (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3,
+    (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4
+  FROM sg a JOIN sg b ON a.seg_id < b.seg_id)
+SELECT sa AS seg_a, sb AS seg_b FROM d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+"""
+
+
+_BBOX_MOD = 31
+_BBOX_GRID = 8192  # cell size; max rect extent 4096 -> <= 4 cells per rect
+
+
+def _bbox_join(sf_dir):
+    """2-D rectangle overlap join (the R-tree filter step as a grid-bucket
+    exchange): rects get splitmix 16-bit centers and 12-bit half-extents, so
+    every rect covers at most 2x2 grid cells of size 8192; rects exchange on
+    covered cell, each cell tests its pairs vectorized, and a pair is
+    emitted ONLY in the canonical cell containing the intersection corner
+    (max of the two lower-left corners) — in-map dedupe, no distinct
+    shuffle. Closed-interval overlap, exact integers."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    g = _BBOX_GRID
+
+    def rects(tbl: pa.Table) -> pa.Table:
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = eid[eid % _BBOX_MOD == 0]
+        h = ops._splitmix64(eid)
+        cx = (h >> np.uint64(48)).astype(np.int64)
+        cy = ((h >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)
+        w = 1 + ((h >> np.uint64(12)) & np.uint64(0xFFF)).astype(np.int64)
+        ht = 1 + (h & np.uint64(0xFFF)).astype(np.int64)
+        xlo, xhi = cx - w, cx + w
+        ylo, yhi = cy - ht, cy + ht
+        # explode to covered cells (<= 2 per axis)
+        parts = []
+        for ex in (0, 1):
+            for ey in (0, 1):
+                cellx = np.where(ex == 0, xlo, xhi) // g
+                celly = np.where(ey == 0, ylo, yhi) // g
+                parts.append(
+                    pa.table(
+                        {
+                            "cell": pa.array(cellx * (1 << 20) + celly),
+                            "rect_id": pa.array(eid),
+                            "xlo": pa.array(xlo),
+                            "xhi": pa.array(xhi),
+                            "ylo": pa.array(ylo),
+                            "yhi": pa.array(yhi),
+                        }
+                    )
+                )
+        import pandas as pd
+
+        out = pa.concat_tables(parts).to_pandas().drop_duplicates(
+            ["cell", "rect_id"]
+        )
+        out["_shard"] = ((out["cell"] % 16) + 16) % 16
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def overlap_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rect_a": pa.array([], pa.int64()),
+                "rect_b": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "cell" not in tbl.schema.names:
+            return empty
+        cell = tbl["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            c: tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in ("rect_id", "xlo", "xhi", "ylo", "yhi")
+        }
+        out_a, out_b = [], []
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], cell_s[1:] != cell_s[:-1]])
+        )
+        bounds = np.concatenate([starts, [len(cell_s)]])
+        for bi in range(len(starts)):
+            idx = order[bounds[bi] : bounds[bi + 1]]
+            ck = cell_s[bounds[bi]]
+            n = len(idx)
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            A = {k: v[idx][ia] for k, v in cols.items()}
+            B = {k: v[idx][ib] for k, v in cols.items()}
+            hit = (
+                (A["xlo"] <= B["xhi"])
+                & (B["xlo"] <= A["xhi"])
+                & (A["ylo"] <= B["yhi"])
+                & (B["ylo"] <= A["yhi"])
+            )
+            if not hit.any():
+                continue
+            # canonical cell: the one containing the intersection's lower-
+            # left corner — emit the pair only there
+            cxl = np.maximum(A["xlo"], B["xlo"])[hit] // g
+            cyl = np.maximum(A["ylo"], B["ylo"])[hit] // g
+            canon = cxl * (1 << 20) + cyl
+            keep = canon == ck
+            ra = A["rect_id"][hit][keep]
+            rb = B["rect_id"][hit][keep]
+            out_a.append(np.minimum(ra, rb))
+            out_b.append(np.maximum(ra, rb))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "rect_a": pa.array(np.concatenate(out_a)),
+                "rect_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    exploded = ds.map_batches(rects, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(exploded, "_shard", 16, overlap_pairs)
+
+
+def _bbox_join_oracle() -> str:
+    sm = _sql_splitmix64("CAST(event_id AS HUGEINT)")
+    return f"""
+WITH r AS (
+  SELECT event_id AS rid,
+    CAST(({sm}) // 281474976710656 AS BIGINT) AS cx,
+    CAST((({sm}) // 4294967296) % 65536 AS BIGINT) AS cy,
+    CAST(1 + (({sm}) // 4096) % 4096 AS BIGINT) AS w,
+    CAST(1 + ({sm}) % 4096 AS BIGINT) AS h
+  FROM events WHERE event_id % {_BBOX_MOD} = 0)
+SELECT a.rid AS rect_a, b.rid AS rect_b
+FROM r a JOIN r b ON a.rid < b.rid
+WHERE abs(a.cx - b.cx) <= a.w + b.w AND abs(a.cy - b.cy) <= a.h + b.h
+"""
+
+
+def _chi2_components(sf_dir):
+    """Chi-square independence components over the (lang, source)
+    contingency table in EXACT integers: per-cell observed count O, and the
+    deviation dev = N*O - R*C (zero exactly under independence) with its
+    square — chi2 = sum(dev^2 / (N*R*C)) derives downstream in one float
+    step. Distributed partial counts -> tiny groupby; the margin totals
+    join happens in ONE single-block task over the (|lang| x |source|)
+    crosstab, which is bounded by category cardinality, not data size."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "source": tbl["source"].to_numpy(zero_copy_only=False),
+                "obs": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .sum("obs")
+        .repartition(1)
+    )
+
+    def components(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "obs": pa.array([], pa.int64()),
+                "dev": pa.array([], pa.int64()),
+                "dev_sq": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "lang" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        df = tbl.to_pandas()
+        df.columns = ["lang", "source", "obs"]
+        df["obs"] = df["obs"].astype(np.int64)
+        n = int(df["obs"].sum())
+        r = df.groupby("lang")["obs"].transform("sum").to_numpy()
+        c = df.groupby("source")["obs"].transform("sum").to_numpy()
+        dev = n * df["obs"].to_numpy() - r * c
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "source": pa.array(df["source"], pa.string()),
+                "obs": pa.array(df["obs"].to_numpy()),
+                "dev": pa.array(dev),
+                "dev_sq": pa.array(dev * dev),
+            }
+        )
+
+    return counts.map_batches(
+        components, batch_format="pyarrow", batch_size=None
+    )
+
+
+CHI2_ORACLE = """
+WITH o AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT *, sum(obs) OVER () AS n,
+         sum(obs) OVER (PARTITION BY lang) AS r,
+         sum(obs) OVER (PARTITION BY source) AS c
+  FROM o)
+SELECT lang, source, obs,
+       CAST(n * obs - r * c AS BIGINT) AS dev,
+       CAST((n * obs - r * c) * (n * obs - r * c) AS BIGINT) AS dev_sq
+FROM m
+"""
+
+
+def _feather_roundtrip(sf_dir):
+    """Arrow IPC (Feather v2) source/sink round trip: each block of the
+    documents projection is written as one .arrow file under /tmp (the
+    zero-copy columnar interchange format), read back via read_binary_files
+    + pa.ipc decode inside map_batches, and aggregated — values compare
+    against SQL over the ORIGINAL parquet, proving byte-exact survival
+    through the IPC cycle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="sir_ipc_", dir="/tmp")
+    try:
+
+        def write_block(tbl: pa.Table) -> pa.Table:
+            path = f"{out_dir}/{uuid.uuid4().hex}.arrow"
+            with pa.OSFile(path, "wb") as f:
+                with pa.ipc.new_file(f, tbl.schema) as w:
+                    w.write_table(tbl)
+            return pa.table(
+                {
+                    "path": pa.array([path], pa.string()),
+                    "rows": pa.array([tbl.num_rows], pa.int64()),
+                }
+            )
+
+        manifest = ds.map_batches(
+            write_block, batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # tiny: one row per block
+        assert int(manifest["rows"].sum()) == ds.count()
+
+        back = ray.data.read_binary_files(out_dir)
+
+        def decode_agg(tbl: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            tables = [
+                pa.ipc.open_file(pa.BufferReader(buf.as_py())).read_all()
+                for buf in tbl["bytes"]
+            ]
+            if not tables:
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "sum_chars": pa.array([], pa.int64()),
+                        "xor_id": pa.array([], pa.int64()),
+                    }
+                )
+            t = pa.concat_tables(tables)
+            df = pd.DataFrame(
+                {
+                    "lang": t["lang"].to_numpy(zero_copy_only=False),
+                    "n": 1,
+                    "sum_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+                    "xor_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby("lang", as_index=False).agg(
+                n=("n", "sum"),
+                sum_chars=("sum_chars", "sum"),
+                xor_id=("xor_id", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = back.map_batches(
+            decode_agg, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        agg = parts.groupby("lang", as_index=False).agg(
+            n=("n", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            xor_id=("xor_id", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"], pa.string()),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+            "sum_chars": pa.array(agg["sum_chars"].to_numpy().astype(np.int64)),
+            "xor_id": pa.array(agg["xor_id"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+FEATHER_ROUNDTRIP_ORACLE = """
+SELECT lang, count(*) AS n,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(bit_xor(doc_id) AS BIGINT) AS xor_id
+FROM documents GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -11372,6 +11898,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_iteration": _power_iteration,
         "bom_rollup": _bom_rollup,
         "quantile_normalize": _quantile_normalize,
+        # --- wave 36 ---
+        "segment_crossings": _segment_crossings,
+        "bbox_join": _bbox_join,
+        "chi2_components": _chi2_components,
+        "feather_roundtrip": _feather_roundtrip,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -11585,6 +12116,10 @@ def oracle_sql() -> dict[str, str]:
         "power_iteration": _power_iteration_oracle(),
         "bom_rollup": BOM_ROLLUP_ORACLE,
         "quantile_normalize": QUANTILE_NORMALIZE_ORACLE,
+        "segment_crossings": _segment_crossings_oracle(),
+        "bbox_join": _bbox_join_oracle(),
+        "chi2_components": CHI2_ORACLE,
+        "feather_roundtrip": FEATHER_ROUNDTRIP_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
