@@ -12181,6 +12181,429 @@ GROUP BY n_name
 """
 
 
+# ------------------------------------------------------------------ wave 38
+
+KMV_K = 64  # k minimum values; estimate = (k-1) * 2^63 // kth_min
+
+
+def _kmv_distinct(sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    event_type — the third mergeable sketch family next to HLL and
+    count-min, and like count-min it has a BIT-EXACT SQL dual: the sketch
+    is a deterministic function of the splitmix64 hash (63-bit, sign-safe),
+    so DuckDB can re-derive the k-th smallest distinct hash and the exact
+    same integer estimate. Per-batch partial bottom-k -> exchange by type
+    -> merged bottom-k; only k x n_types tiny rows ever move. Estimate
+    arithmetic is driver-side Python int (the (k-1)*2^63 numerator
+    overflows int64 by design)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = (ops._splitmix64(uid) >> np.uint64(1)).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": tbl["event_type"].to_numpy(zero_copy_only=False), "hv": hv}
+        )
+        out = (
+            df.drop_duplicates()
+            .sort_values(["event_type", "hv"])
+            .groupby("event_type", as_index=False)
+            .head(KMV_K)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+                "kth_min": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "hv" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "hv": tbl["hv"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            h = np.sort(g["hv"].to_numpy())[:KMV_K]
+            rows.append((et, len(h), int(h[-1])))
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_kept": pa.array([r[1] for r in rows], pa.int64()),
+                "kth_min": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tagged = tagged.map_batches(
+        ops._shard_tagger("event_type", 8), batch_format="pyarrow", batch_size=None
+    )
+    merged = ops.hash_exchange(tagged, "_shard", 8, merge).to_pandas()
+    est = [
+        int(r.n_kept)
+        if r.n_kept < KMV_K
+        else ((KMV_K - 1) * (1 << 63)) // int(r.kth_min)
+        for r in merged.itertuples()
+    ]
+    merged["est_distinct"] = np.array(est, dtype=np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(merged["event_type"], pa.string()),
+            "n_kept": pa.array(merged["n_kept"].to_numpy().astype(np.int64)),
+            "kth_min": pa.array(merged["kth_min"].to_numpy().astype(np.int64)),
+            "est_distinct": pa.array(merged["est_distinct"].to_numpy()),
+        }
+    )
+
+
+def _kmv_distinct_oracle() -> str:
+    sm = _sql_splitmix64("CAST(user_id AS HUGEINT)")
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, CAST(({sm}) // 2 AS BIGINT) AS hv FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h),
+sel AS (
+  SELECT event_type, min(nd) AS nd,
+         least(min(nd), {KMV_K}) AS n_kept
+  FROM r GROUP BY event_type),
+kth AS (
+  SELECT r.event_type, r.hv
+  FROM r JOIN sel USING (event_type) WHERE r.rk = sel.n_kept)
+SELECT sel.event_type,
+  CAST(sel.n_kept AS BIGINT) AS n_kept,
+  CAST(kth.hv AS BIGINT) AS kth_min,
+  CAST(CASE WHEN sel.nd < {KMV_K} THEN sel.nd
+       ELSE ({KMV_K - 1} * 9223372036854775808::HUGEINT) // kth.hv END
+       AS BIGINT) AS est_distinct
+FROM sel JOIN kth USING (event_type)
+"""
+
+
+MULTI_CONE_Q = 40
+
+
+def _multi_cone_params():
+    """Deterministic batch of query cones: centers/radii from splitmix of
+    the cone index; xyz + cos(radius) computed ONCE here in Python doubles
+    and embedded as literals in BOTH the engine closure and the SQL dual
+    (the distance_bands convention — no inverse trig anywhere)."""
+    q = np.arange(MULTI_CONE_Q, dtype=np.int64)
+    h = ops._splitmix64(q + 1)
+    lon = 360.0 * ((h >> np.uint64(40)).astype(np.float64) / float(1 << 24))
+    lat = 180.0 * (((h >> np.uint64(16)) & np.uint64(0xFFFFFF)).astype(
+        np.float64
+    ) / float(1 << 24)) - 90.0
+    rdeg = 3.0 + 7.0 * ((h & np.uint64(0xFFFF)).astype(np.float64) / 65535.0)
+    v = ops.xyz_from_lonlat(lon, lat)
+    cosr = np.cos(np.radians(rdeg))
+    return v, cosr
+
+
+def _multi_cone_search(sf_dir):
+    """Batched multi-cone search: ALL Q query cones evaluate in ONE pass
+    over the table — xyz computed once per row, then Q vectorized dot
+    tests. The reference runs cone queries one at a time (one plan, one
+    scan each; sptQuery.c main loop); at 100 TB the scan dominates, so
+    batching Q queries into one scan is a Qx read saving — the canonical
+    multi-query amortization for an index service."""
+    import ray
+
+    v_c, cosr = _multi_cone_params()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def search(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        v = ops.xyz_from_lonlat(lon, lat)
+        out_c, out_d = [], []
+        for k in range(MULTI_CONE_Q):
+            dot = (
+                v[:, 0] * v_c[k, 0] + v[:, 1] * v_c[k, 1] + v[:, 2] * v_c[k, 2]
+            )
+            m = dot >= cosr[k]
+            if m.any():
+                out_c.append(np.full(int(m.sum()), k, dtype=np.int64))
+                out_d.append(ids[m])
+        if not out_c:
+            return pa.table(
+                {
+                    "cone_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "cone_id": pa.array(np.concatenate(out_c)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def _multi_cone_oracle() -> str:
+    v_c, cosr = _multi_cone_params()
+    vals = ", ".join(
+        f"({k}, {_d(v_c[k, 0])}, {_d(v_c[k, 1])}, {_d(v_c[k, 2])}, {_d(cosr[k])})"
+        for k in range(MULTI_CONE_Q)
+    )
+    return (
+        _xyz_sql()
+        + f"""
+SELECT c.cone_id, n.doc_id
+FROM n CROSS JOIN (VALUES {vals}) AS c(cone_id, cx, cy, cz, cr)
+WHERE n.x*c.cx + n.y*c.cy + n.z*c.cz >= c.cr
+"""
+    )
+
+
+BM25_TERMS = ("join", "hash", "window")
+BM25_IDF_SCALE = 100000  # idf = (N * SCALE) // df — the tfidf convention
+# k1 = 1.2, b = 0.75 as exact rationals: with T = total tokens, N = docs,
+# dl = doc tokens, the per-term score is
+#   (22*T*tf * idf) // (10*T*tf + 3*T + 9*dl*N)
+# — integer end to end, so the SQL dual is bit-exact in HUGEINT.
+
+
+def _bm25_search(sf_dir):
+    """BM25 ranking for a fixed term set, exact-integer formulation
+    (k1=1.2, b=0.75 cleared to rationals; idf in the tfidf query's scaled-
+    integer convention). Two streaming passes: a tiny stats pass (N, total
+    tokens, per-term df — one row per batch, groupby-sum) broadcast into a
+    scoring pass that computes per-doc tf vectorized (flat token array ==
+    term, segment-summed per row). Returns every matching doc's scaled
+    score — no driver-side ranking."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def toks_of(tbl: pa.Table):
+        toks = pc.split_pattern(tbl["text"].combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return toks
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        toks = toks_of(tbl)
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.flatten()
+        n = tbl.num_rows
+        t = int(offsets[-1] - offsets[0])
+        ntok = offsets[1:] - offsets[:-1]
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        dfs = []
+        for term in BM25_TERMS:
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            dfs.append(int(len(np.unique(row_of[hit]))))
+        return pa.table(
+            {
+                "one": pa.array([1]),
+                "n": pa.array([n], pa.int64()),
+                "t": pa.array([t], pa.int64()),
+                **{
+                    f"df{k}": pa.array([dfs[k]], pa.int64())
+                    for k in range(len(BM25_TERMS))
+                },
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["n", "t"] + [f"df{k}" for k in range(len(BM25_TERMS))])
+        .to_pandas()
+    )
+    N = int(agg["sum(n)"][0])
+    T = int(agg["sum(t)"][0])
+    idf = [
+        (N * BM25_IDF_SCALE) // int(agg[f"sum(df{k})"][0])
+        for k in range(len(BM25_TERMS))
+    ]
+
+    def score(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = toks_of(tbl)
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.flatten()
+        ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        n = len(ids)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        total = np.zeros(n, dtype=np.int64)
+        for k, term in enumerate(BM25_TERMS):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row_of[hit], minlength=n).astype(np.int64)
+            den = 10 * T * tf + 3 * T + 9 * ntok * N
+            num = 22 * T * tf * idf[k]
+            total += np.where(tf > 0, num // den, 0)
+        m = total > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m]),
+                "score_scaled": pa.array(total[m]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+stats AS (SELECT count(*) AS n, sum(len(a)) AS t FROM d),
+tok AS (SELECT doc_id, unnest(a) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN ({terms}) GROUP BY 1),
+dl AS (SELECT doc_id, len(a) AS dl FROM d)
+SELECT tf.doc_id,
+  CAST(sum((22::HUGEINT * s.t * tf.tf * ((s.n * {BM25_IDF_SCALE}) // df.df))
+           // (10::HUGEINT * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n))
+       AS BIGINT) AS score_scaled
+FROM tf
+JOIN df USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY 1
+"""
+
+
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-04-01"
+Q10_K = 20
+
+
+def _q10_returns(sf_dir):
+    """TPC-H Q10 shape (returned-item revenue, top customers): lineitem
+    filtered to returnflag R exchanges once with the quarter's orders on
+    orderkey; revenue folds to per-customer integer partials before the
+    groupby, the top-K selection is a DISTRIBUTED sort + limit over the
+    key-bounded aggregate (never a driver-side merge), with c_custkey as
+    the deterministic tiebreak; names attach by broadcast join after the
+    cut (K rows, not all customers)."""
+    import ray
+
+    lo = np.datetime64(Q10_DATE_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q10_DATE_HI).astype("datetime64[us]").astype(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def lfilter(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pa.compute.equal(tbl["l_returnflag"], "R")
+        ).drop_columns(["l_returnflag"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ofilter(tbl: pa.Table) -> pa.Table:
+        ts = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array((ts >= lo) & (ts < hi))).drop_columns(
+            ["o_orderdate"]
+        )
+
+    j = ops.equi_join(
+        li.map_batches(lfilter, batch_format="pyarrow", batch_size=None),
+        orders.map_batches(ofilter, batch_format="pyarrow", batch_size=None),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "partial_rev": pa.array([], pa.int64()),
+                "partial_n": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "o_custkey" not in tbl.schema.names:
+            return empty
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            tbl["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        rev = cents * (10000 - bps)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "partial_rev": pa.array(
+                    np.bincount(inv, weights=rev).astype(np.int64)
+                ),
+                "partial_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    top = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .sum(["partial_rev", "partial_n"])
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "revenue_unit", "n_items"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .sort(["revenue_unit", "o_custkey"], descending=[True, False])
+        .limit(Q10_K)
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return ops.equi_join(
+        top, cust, on="o_custkey", right_on="c_custkey", broadcast="right"
+    ).select_columns(["o_custkey", "c_name", "revenue_unit", "n_items"])
+
+
+Q10_ORACLE = f"""
+SELECT o_custkey, c_name,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+       AS BIGINT) AS revenue_unit,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q10_DATE_HI}'
+GROUP BY 1, 2
+ORDER BY revenue_unit DESC, o_custkey
+LIMIT {Q10_K}
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -12442,6 +12865,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
+        # --- wave 38 ---
+        "kmv_distinct": _kmv_distinct,
+        "multi_cone_search": _multi_cone_search,
+        "bm25_search": _bm25_search,
+        "q10_returns": _q10_returns,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -12664,6 +13092,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECONTAMINATE_ORACLE,
         "q18_large_orders": Q18_ORACLE,
         "q5_local_supplier": Q5_ORACLE,
+        "kmv_distinct": _kmv_distinct_oracle(),
+        "multi_cone_search": _multi_cone_oracle(),
+        "bm25_search": _bm25_oracle(),
+        "q10_returns": Q10_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
