@@ -12604,6 +12604,376 @@ LIMIT {Q10_K}
 """
 
 
+# ------------------------------------------------------------------ wave 39
+
+MULTI_POLY_Q = 12
+
+
+def _multi_poly_params():
+    """Deterministic batch of convex RA/DEC quad polygons (the POLY_RA/
+    POLY_DEC shape, one per query index): centers/extents from splitmix,
+    dec clamped to ±55° and half-extents ≥3° so the spherical quad is
+    always strictly convex (polygon_normals' degeneracy guard can't fire).
+    Normals computed ONCE here and embedded as double literals in both the
+    engine closure and the SQL dual."""
+    from spatialindex_ray import geom
+
+    q = np.arange(MULTI_POLY_Q, dtype=np.int64)
+    h = ops._splitmix64(q + 101)
+    c_ra = 360.0 * ((h >> np.uint64(40)).astype(np.float64) / float(1 << 24))
+    c_dec = -55.0 + 110.0 * (
+        ((h >> np.uint64(16)) & np.uint64(0xFFFFFF)).astype(np.float64)
+        / float(1 << 24)
+    )
+    w = 3.0 + 6.0 * ((h & np.uint64(0xFF)).astype(np.float64) / 255.0)
+    ht = 3.0 + 5.0 * (((h >> np.uint64(8)) & np.uint64(0xFF)).astype(
+        np.float64
+    ) / 255.0)
+    polys = []
+    for k in range(MULTI_POLY_Q):
+        ra = [
+            c_ra[k] - w[k], c_ra[k] + w[k], c_ra[k] + w[k], c_ra[k] - w[k]
+        ]
+        dec = [
+            c_dec[k] - ht[k], c_dec[k] - ht[k], c_dec[k] + ht[k],
+            c_dec[k] + ht[k],
+        ]
+        _, normals = geom.polygon_normals(ra, dec)
+        polys.append(normals)
+    return polys
+
+
+def _multi_polygon_search(sf_dir):
+    """Batched multi-polygon (overlay) search: ALL Q polygons evaluate in
+    one pass — xyz once per row, then Q vectorized half-space AND tests
+    (4 dots each). The polygon analog of multi_cone_search: the reference
+    runs sptPolygonSearch one polygon at a time; at 100 TB one shared scan
+    answers the whole query batch."""
+    import ray
+
+    polys = _multi_poly_params()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def search(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        v = ops.xyz_from_lonlat(lon, lat)
+        out_p, out_d = [], []
+        for k, normals in enumerate(polys):
+            m = np.ones(len(ids), dtype=bool)
+            for nm in normals:
+                m &= (
+                    v[:, 0] * nm[0] + v[:, 1] * nm[1] + v[:, 2] * nm[2]
+                ) >= 0.0
+            if m.any():
+                out_p.append(np.full(int(m.sum()), k, dtype=np.int64))
+                out_d.append(ids[m])
+        if not out_p:
+            return pa.table(
+                {
+                    "poly_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(out_p)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def _multi_polygon_oracle() -> str:
+    polys = _multi_poly_params()
+    selects = []
+    for k, normals in enumerate(polys):
+        terms = " AND ".join(
+            f"x*{_d(nm[0])} + y*{_d(nm[1])} + z*{_d(nm[2])} >= 0.0"
+            for nm in normals
+        )
+        selects.append(
+            f"SELECT {k} AS poly_id, doc_id FROM n WHERE {terms}"
+        )
+    return _xyz_sql() + "\nUNION ALL\n".join(selects)
+
+
+CONE_MINUS = {"ra": 57.0, "dec": -2.0, "radius": 32.0, "level": 8}
+
+
+def _cone_minus_polygon(sf_dir):
+    """Plan algebra — set difference of two spatial plans in one streaming
+    pass: docs inside the CONE_MINUS cone but OUTSIDE the POLY quad
+    (region_search semi-filter composed with the negate=True anti-filter;
+    zero shuffles, each batch touched once per predicate). The reference
+    emits one constraint per query; composing plans is the new surface a
+    query engine needs (WHERE cone AND NOT polygon)."""
+    si = SpatialIndex()
+    cone_plan = si.cone_plan(
+        CONE_MINUS["ra"], CONE_MINUS["dec"], CONE_MINUS["radius"],
+        mode=0, level=CONE_MINUS["level"],
+    )
+    poly_plan = si.polygon_plan(POLY_RA, POLY_DEC, mode=0, level=POLY_LEVEL)
+    ds = _docs_encoded(sf_dir)
+    hits = ops.region_search(ds, cone_plan)
+    return ops.region_search(hits, poly_plan, negate=True).select_columns(
+        ["doc_id"]
+    )
+
+
+def _cone_minus_polygon_oracle() -> str:
+    from spatialindex_ray import geom
+
+    cone = geom.Cone(CONE_MINUS["ra"], CONE_MINUS["dec"], CONE_MINUS["radius"])
+    c = cone.center
+    _, normals = geom.polygon_normals(POLY_RA, POLY_DEC)
+    poly_terms = " AND ".join(
+        f"x*{_d(nm[0])} + y*{_d(nm[1])} + z*{_d(nm[2])} >= 0.0"
+        for nm in normals
+    )
+    return (
+        _xyz_sql()
+        + f"SELECT doc_id FROM n "
+        f"WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)} "
+        f"AND NOT ({poly_terms})"
+    )
+
+
+_WREG_BUCKET_MS = 3600000  # 1 hour
+
+
+def _window_regression(sf_dir):
+    """Per-(event_type, hour) OLS components in exact integers: x = ms
+    offset into the hour (≤3.6e6, so Σx² stays in int64), y = value
+    milli-units. Emits (n, Σx, Σy, Σxy, Σx²) — the five sufficient
+    statistics of the regression line, mergeable by addition, so the
+    slope/intercept are driver-side rationals and the distributed part
+    never touches a float. Per-batch partials -> one groupby-sum."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts_ms = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        )
+        bucket = ts_ms // _WREG_BUCKET_MS
+        x = (ts_ms % _WREG_BUCKET_MS).astype(np.int64)
+        y = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "bucket": bucket,
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        g = df.groupby(["event_type", "bucket"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "bucket"])
+        .sum(["n", "sx", "sy", "sxy", "sxx"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["event_type", "bucket", "n", "sx", "sy", "sxy", "sxx"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+WINDOW_REGRESSION_ORACLE = f"""
+SELECT event_type,
+  (epoch_us(ts) // 1000) // {_WREG_BUCKET_MS} AS bucket,
+  count(*) AS n,
+  CAST(sum((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS}) AS BIGINT) AS sx,
+  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sy,
+  CAST(sum(((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS})
+           * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sxy,
+  CAST(sum(((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS})
+           * ((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS})) AS BIGINT) AS sxx
+FROM events GROUP BY 1, 2
+"""
+
+
+Q14_DATE_LO = "1996-06-01"
+Q14_DATE_HI = "1996-07-01"
+
+
+def _q14_promo(sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): the month's lineitem
+    exchanges once with part on partkey (both sides large at TPC-H scale —
+    a genuine two-big-table join, unlike the broadcast dims elsewhere);
+    promo and total revenue fold as integer partials, the share is an
+    exact parts-per-million integer division at the end."""
+    import ray
+
+    lo = np.datetime64(Q14_DATE_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q14_DATE_HI).astype("datetime64[us]").astype(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def lfilter(tbl: pa.Table) -> pa.Table:
+        ts = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array((ts >= lo) & (ts < hi))).drop_columns(
+            ["l_shipdate"]
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    j = ops.equi_join(
+        li.map_batches(lfilter, batch_format="pyarrow", batch_size=None),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "one": pa.array([], pa.int64()),
+                "promo_unit": pa.array([], pa.int64()),
+                "total_unit": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "p_type" not in tbl.schema.names:
+            return empty
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            tbl["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        rev = cents * (10000 - bps)
+        promo = np.asarray(tbl["p_type"].to_numpy(zero_copy_only=False)) == "PROMO"
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "promo_unit": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_unit": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["promo_unit", "total_unit"])
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        promo = tbl["sum(promo_unit)"].cast(pa.int64())
+        total = tbl["sum(total_unit)"].cast(pa.int64())
+        ppm = pa.array(
+            [
+                (int(promo[k].as_py()) * 1000000) // int(total[k].as_py())
+                for k in range(len(promo))
+            ],
+            pa.int64(),
+        )
+        return pa.table(
+            {"promo_unit": promo, "total_unit": total, "promo_ppm": ppm}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+Q14_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+             ELSE 0 END) AS BIGINT) AS promo_unit,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+         AS BIGINT) AS total_unit
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{Q14_DATE_HI}')
+SELECT promo_unit, total_unit,
+  CAST((promo_unit * 1000000::HUGEINT) // total_unit AS BIGINT) AS promo_ppm
+FROM r
+"""
+
+
+_SKEW_SHARDS = 64
+
+
+def _shuffle_skew_report(sf_dir):
+    """Shuffle-skew diagnostic: the row-count histogram a keyed exchange on
+    user_id WOULD produce over 64 hash shards, plus the global imbalance
+    factor (max/mean, in ppm) — the observability hook behind
+    hot_keys="auto" (ops.detect_hot_keys), exposed as a query. Per-batch
+    bincount partials -> groupby-sum; the imbalance joins on after the
+    64-row aggregate."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (ops._splitmix64(uid) % np.uint64(_SKEW_SHARDS)).astype(
+            np.int64
+        )
+        cnt = np.bincount(shard, minlength=_SKEW_SHARDS)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "shard": pa.array(nz.astype(np.int64)),
+                "partial": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .sum("partial")
+        .to_pandas()  # 64 rows by construction
+    )
+    n = agg["sum(partial)"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    imbalance_ppm = int(n.max()) * _SKEW_SHARDS * 1000000 // total
+    return pa.table(
+        {
+            "shard": pa.array(agg["shard"].to_numpy().astype(np.int64)),
+            "n_rows": pa.array(n),
+            "imbalance_ppm": pa.array(
+                np.full(len(n), imbalance_ppm, dtype=np.int64)
+            ),
+        }
+    )
+
+
+def _shuffle_skew_oracle() -> str:
+    sm = _sql_splitmix64("CAST(user_id AS HUGEINT)")
+    return f"""
+WITH s AS (
+  SELECT CAST(({sm}) % {_SKEW_SHARDS} AS BIGINT) AS shard, count(*) AS n_rows
+  FROM events GROUP BY 1)
+SELECT shard, n_rows,
+  CAST(max(n_rows) OVER () * {_SKEW_SHARDS} * 1000000
+       // sum(n_rows) OVER () AS BIGINT) AS imbalance_ppm
+FROM s
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -12870,6 +13240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_cone_search": _multi_cone_search,
         "bm25_search": _bm25_search,
         "q10_returns": _q10_returns,
+        # --- wave 39 ---
+        "multi_polygon_search": _multi_polygon_search,
+        "cone_minus_polygon": _cone_minus_polygon,
+        "window_regression": _window_regression,
+        "q14_promo": _q14_promo,
+        "shuffle_skew_report": _shuffle_skew_report,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -13096,6 +13472,11 @@ def oracle_sql() -> dict[str, str]:
         "multi_cone_search": _multi_cone_oracle(),
         "bm25_search": _bm25_oracle(),
         "q10_returns": Q10_ORACLE,
+        "multi_polygon_search": _multi_polygon_oracle(),
+        "cone_minus_polygon": _cone_minus_polygon_oracle(),
+        "window_regression": WINDOW_REGRESSION_ORACLE,
+        "q14_promo": Q14_ORACLE,
+        "shuffle_skew_report": _shuffle_skew_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
