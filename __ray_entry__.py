@@ -12741,13 +12741,11 @@ def _cone_minus_polygon_oracle() -> str:
     )
 
 
-_WREG_BUCKET_MS = 3600000  # 1 hour
-
-
 def _window_regression(sf_dir):
-    """Per-(event_type, hour) OLS components in exact integers: x = ms
-    offset into the hour (≤3.6e6, so Σx² stays in int64), y = value
-    milli-units. Emits (n, Σx, Σy, Σxy, Σx²) — the five sufficient
+    """Per-(event_type, hour) OLS components in exact integers: x = SECOND
+    offset into the hour (≤3599: Σx² fits int64 up to ~7e11 rows per
+    (type, hour) group, Σxy up to ~5e9 — both far beyond any hourly group
+    at 100 TB), y = value milli-units. Emits (n, Σx, Σy, Σxy, Σx²) — the five sufficient
     statistics of the regression line, mergeable by addition, so the
     slope/intercept are driver-side rationals and the distributed part
     never touches a float. Per-batch partials -> one groupby-sum."""
@@ -12760,11 +12758,11 @@ def _window_regression(sf_dir):
     def partial(tbl: pa.Table) -> pa.Table:
         import pandas as pd
 
-        ts_ms = (
-            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        ts_s = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000000
         )
-        bucket = ts_ms // _WREG_BUCKET_MS
-        x = (ts_ms % _WREG_BUCKET_MS).astype(np.int64)
+        bucket = ts_s // 3600
+        x = (ts_s % 3600).astype(np.int64)
         y = np.round(
             tbl["value"].to_numpy(zero_copy_only=False) * 1000.0
         ).astype(np.int64)
@@ -12796,16 +12794,16 @@ def _window_regression(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
-WINDOW_REGRESSION_ORACLE = f"""
+WINDOW_REGRESSION_ORACLE = """
 SELECT event_type,
-  (epoch_us(ts) // 1000) // {_WREG_BUCKET_MS} AS bucket,
+  (epoch_us(ts) // 1000000) // 3600 AS bucket,
   count(*) AS n,
-  CAST(sum((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS}) AS BIGINT) AS sx,
+  CAST(sum((epoch_us(ts) // 1000000) % 3600) AS BIGINT) AS sx,
   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sy,
-  CAST(sum(((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS})
+  CAST(sum(((epoch_us(ts) // 1000000) % 3600)
            * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sxy,
-  CAST(sum(((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS})
-           * ((epoch_us(ts) // 1000) % {_WREG_BUCKET_MS})) AS BIGINT) AS sxx
+  CAST(sum(((epoch_us(ts) // 1000000) % 3600)
+           * ((epoch_us(ts) // 1000000) % 3600)) AS BIGINT) AS sxx
 FROM events GROUP BY 1, 2
 """
 
