@@ -12972,6 +12972,288 @@ FROM s
 """
 
 
+# ------------------------------------------------------------------ wave 40
+
+SUBSTR_PATTERNS = ("hash join", "slow scan", "merge sort")
+
+
+def _substring_search(sf_dir):
+    """Multi-pattern substring search (LIKE '%p%' pushdown): all patterns
+    evaluate in one scan with Arrow's vectorized match_substring kernel —
+    the text-engine analog of the batched cone scan. Returns (pattern_id,
+    doc_id) pairs; at 100 TB this is the filter you push into the read
+    stage rather than a post-hoc pass."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def search(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        text = tbl["text"].combine_chunks()
+        out_p, out_d = [], []
+        for k, pat in enumerate(SUBSTR_PATTERNS):
+            m = pc.match_substring(text, pat).to_numpy(zero_copy_only=False)
+            if m.any():
+                out_p.append(np.full(int(m.sum()), k, dtype=np.int64))
+                out_d.append(ids[m])
+        if not out_p:
+            return pa.table(
+                {
+                    "pattern_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "pattern_id": pa.array(np.concatenate(out_p)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def _substring_search_oracle() -> str:
+    selects = [
+        f"SELECT {k} AS pattern_id, doc_id FROM documents "
+        f"WHERE position('{p}' IN text) > 0"
+        for k, p in enumerate(SUBSTR_PATTERNS)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+SURPRISAL_SCALE = 1000000
+
+
+def _unigram_surprisal(sf_dir):
+    """Per-document unigram surprisal — the perplexity-style quality score
+    an LLM-data pipeline uses to rank documents, in exact integers: token
+    surprise = (T * SCALE) // count(term) (inverse corpus frequency, the
+    integer stand-in for -log p monotone per token), doc score = mean
+    surprise in SCALE units = (Σ surprise) // dl. Two passes: distributed
+    term-count aggregate (vocab-sized, groupby-sum) re-joined to the flat
+    token stream by a second groupby — no driver-side vocabulary."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def toks_of(tbl: pa.Table):
+        toks = pc.split_pattern(tbl["text"].combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return toks
+
+    def term_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = toks_of(tbl)
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(u, pa.string()),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(term_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("partial")
+        .to_pandas()
+    )
+    # vocab is language-bounded (Heaps' law: ~1e6 terms at 100 TB), so the
+    # sorted-term broadcast is the small side of a map-side join
+    terms = counts["term"].to_numpy()
+    order = np.argsort(terms)
+    terms = terms[order]
+    tc = counts["sum(partial)"].to_numpy().astype(np.int64)[order]
+    T = int(tc.sum())
+    import ray as _ray
+
+    ref = _ray.put((terms, tc))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        tv, cv = _ray.get(ref)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = toks_of(tbl)
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        n = len(ids)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        cnt = cv[np.searchsorted(tv, flat)]
+        surprise = (T * SURPRISAL_SCALE) // cnt
+        tot = np.bincount(row_of, weights=surprise, minlength=n).astype(
+            np.int64
+        )
+        m = ntok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m]),
+                "dl": pa.array(ntok[m]),
+                "surprisal_scaled": pa.array(tot[m] // ntok[m]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _unigram_surprisal_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term FROM d),
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+t AS (SELECT count(*) AS t FROM tok),
+per AS (
+  SELECT tok.doc_id,
+         sum((s.t * {SURPRISAL_SCALE}) // tc.c) AS tot,
+         count(*) AS dl
+  FROM tok JOIN tc USING (term) CROSS JOIN t s
+  GROUP BY 1)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(tot // dl AS BIGINT) AS surprisal_scaled
+FROM per
+"""
+
+
+Q7_NATIONS = (3, 9)
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def _q7_volume(sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): lineitem and
+    the date-window orders meet in one orderkey exchange; customer and
+    supplier nationkeys broadcast as sorted lookups; only the two ordered
+    nation pairs (A->B, B->A) survive, grouped by (supp_nation, cust_nation,
+    year) with exact integer revenue."""
+    import ray
+
+    lo = np.datetime64(Q7_DATE_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q7_DATE_HI).astype("datetime64[us]").astype(np.int64)
+    n_a, n_b = Q7_NATIONS
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = ops.equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    co = np.argsort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    so = np.argsort(supp["s_suppkey"].to_numpy(zero_copy_only=False))
+    import ray as _ray
+
+    ref = _ray.put(
+        (
+            cust["c_custkey"].to_numpy(zero_copy_only=False)[co].astype(np.int64),
+            cust["c_nationkey"].to_numpy(zero_copy_only=False)[co].astype(np.int64),
+            supp["s_suppkey"].to_numpy(zero_copy_only=False)[so].astype(np.int64),
+            supp["s_nationkey"].to_numpy(zero_copy_only=False)[so].astype(np.int64),
+        )
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "supp_nation": pa.array([], pa.int64()),
+                "cust_nation": pa.array([], pa.int64()),
+                "l_year": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "o_custkey" not in tbl.schema.names:
+            return empty
+        ck, cn, sk, sn = _ray.get(ref)
+        ts = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        inwin = (ts >= lo) & (ts < hi)
+        ockey = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lskey = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = cn[np.searchsorted(ck, ockey)]
+        snat = sn[np.searchsorted(sk, lskey)]
+        m = inwin & (
+            ((snat == n_a) & (cnat == n_b)) | ((snat == n_b) & (cnat == n_a))
+        )
+        if not m.any():
+            return empty
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            tbl["l_discount"].to_numpy(zero_copy_only=False)[m] * 10000.0
+        ).astype(np.int64)
+        year = (
+            ts[m].astype("datetime64[us]").astype("datetime64[Y]").astype(
+                np.int64
+            )
+            + 1970
+        )
+        df = pd.DataFrame(
+            {
+                "supp_nation": snat[m],
+                "cust_nation": cnat[m],
+                "l_year": year,
+                "partial": cents * (10000 - bps),
+            }
+        )
+        g = df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["supp_nation", "cust_nation", "l_year", "revenue_unit"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+Q7_ORACLE = f"""
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+  CAST(c_nationkey AS BIGINT) AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+       AS BIGINT) AS revenue_unit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{Q7_DATE_HI}'
+  AND ((s_nationkey = {Q7_NATIONS[0]} AND c_nationkey = {Q7_NATIONS[1]})
+    OR (s_nationkey = {Q7_NATIONS[1]} AND c_nationkey = {Q7_NATIONS[0]}))
+GROUP BY 1, 2, 3
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -13244,6 +13526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_regression": _window_regression,
         "q14_promo": _q14_promo,
         "shuffle_skew_report": _shuffle_skew_report,
+        # --- wave 40 ---
+        "substring_search": _substring_search,
+        "unigram_surprisal": _unigram_surprisal,
+        "q7_volume": _q7_volume,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -13475,6 +13761,9 @@ def oracle_sql() -> dict[str, str]:
         "window_regression": WINDOW_REGRESSION_ORACLE,
         "q14_promo": Q14_ORACLE,
         "shuffle_skew_report": _shuffle_skew_oracle(),
+        "substring_search": _substring_search_oracle(),
+        "unigram_surprisal": _unigram_surprisal_oracle(),
+        "q7_volume": Q7_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
