@@ -13254,6 +13254,214 @@ GROUP BY 1, 2, 3
 """
 
 
+# ------------------------------------------------------------------ wave 41
+
+
+def _theta_join_count(sf_dir):
+    """Order-statistics theta-join: per event_type, the number of ordered
+    pairs (i, j) with value_i > value_j — the COUNT a naive theta join
+    (self-join ON a.value > b.value) would produce, computed in
+    O(n log n) instead of O(n²): exchange by type, one in-shard sort, then
+    n_pairs = Σ_v count(v) * (#rows with value < v) via a cumulative sum.
+    Values compare in exact milli-units. The scale lesson: a non-equi join
+    whose OUTPUT is an aggregate should never materialize the pairs."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        v = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                "event_type": tbl["event_type"],
+                "v": pa.array(v),
+            }
+        )
+        return ops._shard_tagger("event_type", 8)(out)
+
+    def count_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "v" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        types, pairs = [], []
+        for t in np.unique(et):
+            vv = np.sort(v[et == t])
+            # for each position i (0-based in sorted order), #strictly-less
+            # = index of first occurrence of vv[i]
+            first = np.searchsorted(vv, vv, side="left")
+            types.append(t)
+            pairs.append(int(first.sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_pairs": pa.array(np.array(pairs, dtype=np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(tagged, "_shard", 8, count_pairs)
+
+
+THETA_JOIN_COUNT_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+c AS (SELECT event_type, v, count(*) AS c FROM v GROUP BY 1, 2),
+w AS (
+  SELECT event_type, c,
+    coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less_n
+  FROM c)
+SELECT event_type, CAST(sum(c * less_n) AS BIGINT) AS n_pairs
+FROM w GROUP BY 1
+"""
+
+
+K_ANON_K = 5
+
+
+def _k_anonymity(sf_dir):
+    """k-anonymity audit over the (lang, source) quasi-identifier pair —
+    the governance check a corpus release needs: every group with fewer
+    than k members is a re-identification risk. Per-batch partial counts,
+    one bounded groupby-sum (|langs| x |sources| cells), filter < k."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "source": tbl["source"].to_numpy(zero_copy_only=False),
+                "partial": 1,
+            }
+        )
+        g = df.groupby(["lang", "source"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .sum("partial")
+    )
+
+    def risky(tbl: pa.Table) -> pa.Table:
+        t = tbl.rename_columns(["lang", "source", "n"])
+        return t.filter(pa.compute.less(t["n"], K_ANON_K))
+
+    return out.map_batches(risky, batch_format="pyarrow", batch_size=None)
+
+
+K_ANONYMITY_ORACLE = f"""
+SELECT lang, source, count(*) AS n
+FROM documents GROUP BY 1, 2 HAVING count(*) < {K_ANON_K}
+"""
+
+
+Q19_BRACKETS = (
+    ("Brand#4", 1.0, 15.0),
+    ("Brand#19", 10.0, 30.0),
+    ("Brand#16", 25.0, 50.0),
+)
+
+
+def _q19_disjunctive(sf_dir):
+    """TPC-H Q19 shape (disjunctive bracket predicate): revenue over an OR
+    of (brand AND quantity-range) conjuncts. The part side reduces to ONE
+    broadcast brand lookup; the disjunction evaluates as a single
+    vectorized mask per batch — the point is that an OR-of-ANDs predicate
+    does NOT need one scan per conjunct."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    po = np.argsort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)[po].astype(np.int64)
+    pb = np.asarray(part["p_brand"].to_numpy(zero_copy_only=False))[po]
+    import ray as _ray
+
+    ref = _ray.put((pk, pb))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pkk, pbb = _ray.get(ref)
+        lp = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = tbl["l_quantity"].to_numpy(zero_copy_only=False)
+        brand = pbb[np.searchsorted(pkk, lp)]
+        m = np.zeros(len(lp), dtype=bool)
+        for b, q_lo, q_hi in Q19_BRACKETS:
+            m |= (brand == b) & (qty >= q_lo) & (qty <= q_hi)
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            tbl["l_discount"].to_numpy(zero_copy_only=False)[m] * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "revenue_unit": pa.array(
+                    [int((cents * (10000 - bps)).sum())], pa.int64()
+                ),
+                "n_rows": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["revenue_unit", "n_rows"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_unit": tbl["sum(revenue_unit)"].cast(pa.int64()),
+                "n_rows": tbl["sum(n_rows)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def _q19_oracle() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND l_quantity >= {q_lo} AND l_quantity <= {q_hi})"
+        for b, q_lo, q_hi in Q19_BRACKETS
+    )
+    return f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_unit,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -13530,6 +13738,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search": _substring_search,
         "unigram_surprisal": _unigram_surprisal,
         "q7_volume": _q7_volume,
+        # --- wave 41 ---
+        "theta_join_count": _theta_join_count,
+        "k_anonymity": _k_anonymity,
+        "q19_disjunctive": _q19_disjunctive,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -13764,6 +13976,9 @@ def oracle_sql() -> dict[str, str]:
         "substring_search": _substring_search_oracle(),
         "unigram_surprisal": _unigram_surprisal_oracle(),
         "q7_volume": Q7_ORACLE,
+        "theta_join_count": THETA_JOIN_COUNT_ORACLE,
+        "k_anonymity": K_ANONYMITY_ORACLE,
+        "q19_disjunctive": _q19_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
