@@ -13462,6 +13462,349 @@ WHERE {ors}
 """
 
 
+# ------------------------------------------------------------------ wave 42
+
+KS_TYPES = ("click", "purchase")
+
+
+def _ks_statistic(sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types, distribution-wide and float-free:
+    D = max_v |F1(v) - F2(v)| = max |cum1*n2 - cum2*n1| / (n1*n2), so the
+    engine reports the integer numerator d_num and the two sample sizes.
+    Shape: per-batch (v, c1, c2) partials -> one groupby -> BOTH cumulative
+    channels in a single distributed prefix scan (c1, c2 packed into one
+    int64 as c1*2^32 + c2 — sums of packs are packs of sums while each
+    channel stays < 2^32) -> per-batch max partials -> tiny final max."""
+    import ray
+
+    a, b = KS_TYPES
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        m = (et == a) | (et == b)
+        v = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False)[m] * 1000.0
+        ).astype(np.int64)
+        isa = (et[m] == a).astype(np.int64)
+        df = pd.DataFrame({"v": v, "c1": isa, "c2": 1 - isa})
+        g = df.groupby("v", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("v")
+        .sum(["c1", "c2"])
+        .map_batches(
+            lambda t: t.rename_columns(["v", "c1", "c2"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        c1 = tbl["c1"].to_numpy(zero_copy_only=False)
+        c2 = tbl["c2"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "packed", pa.array((c1 << np.int64(32)) + c2)
+        )
+
+    packed = counts.map_batches(pack, batch_format="pyarrow", batch_size=None)
+    scanned = ops.prefix_sum(packed, "v", "packed")
+
+    totals = scanned.aggregate(
+        ray.data.aggregate.Sum("c1"), ray.data.aggregate.Sum("c2")
+    )
+    n1, n2 = int(totals["sum(c1)"]), int(totals["sum(c2)"])
+
+    def dmax(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"one": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        pre = tbl["prefix"].to_numpy(zero_copy_only=False)
+        c1 = tbl["c1"].to_numpy(zero_copy_only=False)
+        c2 = tbl["c2"].to_numpy(zero_copy_only=False)
+        f1 = (pre >> np.int64(32)) + c1
+        f2 = (pre & np.int64(0xFFFFFFFF)) + c2
+        d = np.abs(f1 * n2 - f2 * n1)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "partial": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    mx = scanned.map_batches(dmax, batch_format="pyarrow", batch_size=None)
+    agg = mx.groupby("one").max("partial").to_pandas()
+    return pa.table(
+        {
+            "d_num": pa.array(
+                [int(agg["max(partial)"][0])], pa.int64()
+            ),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+        }
+    )
+
+
+KS_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('{KS_TYPES[0]}', '{KS_TYPES[1]}')),
+c AS (
+  SELECT v,
+    sum(CASE WHEN event_type = '{KS_TYPES[0]}' THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN event_type = '{KS_TYPES[1]}' THEN 1 ELSE 0 END) AS c2
+  FROM v GROUP BY 1),
+w AS (
+  SELECT v, sum(c1) OVER (ORDER BY v) AS f1, sum(c2) OVER (ORDER BY v) AS f2
+  FROM c),
+t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+SELECT CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS d_num,
+  CAST(min(t.n1) AS BIGINT) AS n1, CAST(min(t.n2) AS BIGINT) AS n2
+FROM w CROSS JOIN t
+"""
+
+
+def _above_nation_avg(sf_dir):
+    """Correlated-subquery shape (customers above their nation's average
+    balance) decorrelated into aggregate + broadcast re-join, float-free:
+    bal > sum/n compares as bal_cents * n > sum_cents — the integer
+    cross-multiplication trick that keeps the oracle bit-exact. Nation
+    aggregates are a 25-row broadcast; one streaming filter pass."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def agg_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk = tbl["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"nation": nk, "s": cents, "n": 1})
+        g = df.groupby("nation", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(agg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("nation")
+        .sum(["s", "n"])
+        .to_pandas()  # 25 nations
+        .sort_values("nation")
+    )
+    import ray as _ray
+
+    ref = _ray.put(
+        (
+            agg["nation"].to_numpy().astype(np.int64),
+            agg["sum(s)"].to_numpy().astype(np.int64),
+            agg["sum(n)"].to_numpy().astype(np.int64),
+        )
+    )
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        nk_arr, s_arr, n_arr = _ray.get(ref)
+        nk = tbl["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = np.searchsorted(nk_arr, nk)
+        m = cents * n_arr[pos] > s_arr[pos]
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    tbl["c_custkey"].to_numpy(zero_copy_only=False)[m]
+                ),
+                "c_nationkey": pa.array(nk[m]),
+                "bal_cents": pa.array(cents[m]),
+            }
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow", batch_size=None)
+
+
+ABOVE_NATION_AVG_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+a AS (
+  SELECT c_nationkey, sum(bal_cents) AS s, count(*) AS n
+  FROM b GROUP BY 1)
+SELECT b.c_custkey, b.c_nationkey, b.bal_cents
+FROM b JOIN a USING (c_nationkey)
+WHERE b.bal_cents * a.n > a.s
+"""
+
+
+Q8_REGION = "EUROPE"
+Q8_TYPE = "PROMO"
+Q8_NATION = 7  # supplier nation whose market share is measured
+
+
+def _q8_market_share(sf_dir):
+    """TPC-H Q8 shape (market share): PROMO-part lineitems exchange once
+    with orders on orderkey; part membership, customer-nation region
+    filter and supplier nation all broadcast as sorted lookups; per-year
+    total and target-nation revenue fold as integer partials, the share is
+    an exact ppm division on the driver-sized (year) result."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    j = ops.equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo = part.filter(pa.compute.equal(part["p_type"], Q8_TYPE))[
+        "p_partkey"
+    ].to_numpy(zero_copy_only=False).astype(np.int64)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pa.compute.equal(reg["r_name"], Q8_REGION))[
+        "r_regionkey"
+    ].to_numpy(zero_copy_only=False)
+    region_nations = np.sort(
+        nat["n_nationkey"].to_numpy(zero_copy_only=False)[
+            np.isin(nat["n_regionkey"].to_numpy(zero_copy_only=False), rk)
+        ].astype(np.int64)
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    so = np.argsort(supp["s_suppkey"].to_numpy(zero_copy_only=False))
+    co = np.argsort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    import ray as _ray
+
+    ref = _ray.put(
+        (
+            np.sort(promo),
+            cust["c_custkey"].to_numpy(zero_copy_only=False)[co].astype(np.int64),
+            cust["c_nationkey"].to_numpy(zero_copy_only=False)[co].astype(np.int64),
+            supp["s_suppkey"].to_numpy(zero_copy_only=False)[so].astype(np.int64),
+            supp["s_nationkey"].to_numpy(zero_copy_only=False)[so].astype(np.int64),
+            region_nations,
+        )
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "nation_unit": pa.array([], pa.int64()),
+                "total_unit": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "o_custkey" not in tbl.schema.names:
+            return empty
+        pk, ck, cn, sk, sn, rn = _ray.get(ref)
+        lp = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ops.ranges_mask(lp, np.stack([pk, pk], axis=1))
+        ockey = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = cn[np.searchsorted(ck, ockey)]
+        m &= ops.ranges_mask(cnat, np.stack([rn, rn], axis=1))
+        if not m.any():
+            return empty
+        lskey = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = sn[np.searchsorted(sk, lskey)]
+        year = (
+            tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+            .astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            tbl["l_discount"].to_numpy(zero_copy_only=False)[m] * 10000.0
+        ).astype(np.int64)
+        rev = cents * (10000 - bps)
+        is_n = (snat[m] == Q8_NATION).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_year": year,
+                "nation_unit": rev * is_n,
+                "total_unit": rev,
+            }
+        )
+        g = df.groupby("o_year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_year")
+        .sum(["nation_unit", "total_unit"])
+        .to_pandas()  # one row per year
+    )
+
+    nu = out["sum(nation_unit)"].to_numpy().astype(np.int64)
+    tu = out["sum(total_unit)"].to_numpy().astype(np.int64)
+    share = np.array(
+        [int(n) * 1000000 // int(t) for n, t in zip(nu, tu)], dtype=np.int64
+    )
+    return pa.table(
+        {
+            "o_year": pa.array(out["o_year"].to_numpy().astype(np.int64)),
+            "nation_unit": pa.array(nu),
+            "total_unit": pa.array(tu),
+            "share_ppm": pa.array(share),
+        }
+    )
+
+
+Q8_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(sum(CASE WHEN s_nationkey = {Q8_NATION}
+        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+        ELSE 0 END) AS BIGINT) AS nation_unit,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+         AS BIGINT) AS total_unit
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+  GROUP BY 1)
+SELECT o_year, nation_unit, total_unit,
+  CAST((nation_unit * 1000000::HUGEINT) // total_unit AS BIGINT) AS share_ppm
+FROM r
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -13742,6 +14085,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_join_count": _theta_join_count,
         "k_anonymity": _k_anonymity,
         "q19_disjunctive": _q19_disjunctive,
+        # --- wave 42 ---
+        "ks_statistic": _ks_statistic,
+        "above_nation_avg": _above_nation_avg,
+        "q8_market_share": _q8_market_share,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -13979,6 +14326,9 @@ def oracle_sql() -> dict[str, str]:
         "theta_join_count": THETA_JOIN_COUNT_ORACLE,
         "k_anonymity": K_ANONYMITY_ORACLE,
         "q19_disjunctive": _q19_oracle(),
+        "ks_statistic": KS_ORACLE,
+        "above_nation_avg": ABOVE_NATION_AVG_ORACLE,
+        "q8_market_share": Q8_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
