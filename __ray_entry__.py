@@ -13805,6 +13805,237 @@ FROM r
 """
 
 
+# ------------------------------------------------------------------ wave 43
+
+TRIGRAM_TOP_K = 20
+
+
+def _event_trigrams(sf_dir):
+    """Sequence mining: the top-K most frequent consecutive event-type
+    triples over per-user timelines (ties broken lexicographically).
+    Exchange by user (each user's timeline must be contiguous to window
+    over it), per-shard lexsort + windowed triple counts, then one tiny
+    groupby-sum and a distributed sort cut — sequence order is defined by
+    (ts, event_id), the same total order the SQL window dual uses."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return ops._shard_tagger("user_id", 16)(tbl)
+
+    def count_triples(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return empty
+        df = pd.DataFrame(
+            {
+                "t1": et[:-2][same],
+                "t2": et[1:-1][same],
+                "t3": et[2:][same],
+                "partial": 1,
+            }
+        )
+        g = df.groupby(["t1", "t2", "t3"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    counted = ops.hash_exchange(tagged, "_shard", 16, count_triples)
+    return (
+        counted.groupby(["t1", "t2", "t3"])
+        .sum("partial")
+        .map_batches(
+            lambda t: t.rename_columns(["t1", "t2", "t3", "n"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(TRIGRAM_TOP_K)
+    )
+
+
+EVENT_TRIGRAMS_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+    lead(event_type, 1) OVER w AS nxt1,
+    lead(event_type, 2) OVER w AS nxt2,
+    lead(user_id, 2) OVER w AS u2
+  FROM events
+  WINDOW w AS (ORDER BY user_id, ts, event_id))
+SELECT event_type AS t1, nxt1 AS t2, nxt2 AS t3, count(*) AS n
+FROM s WHERE u2 = user_id
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {TRIGRAM_TOP_K}
+"""
+
+
+DOC_TOP_TERMS_K = 3
+DOC_TOP_MIN_TF = 2
+
+
+def _doc_top_terms(sf_dir):
+    """Per-document top-k terms by term frequency (tf desc, then term asc —
+    a total order, so the cut is deterministic), tf >= 2 to skip the
+    hapax tail. Pure map: each doc's text is wholly inside its row, so the
+    per-row ranking needs no shuffle at all — one vectorized
+    (row, term)-lexsort + run-length count + per-row rank per batch."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(tbl["text"].combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        ntok = offsets[1:] - offsets[:-1]
+        row_of = np.repeat(np.arange(len(ids), dtype=np.int64), ntok)
+        df = pd.DataFrame({"row": row_of, "term": flat, "tf": 1})
+        g = df.groupby(["row", "term"], as_index=False).sum()
+        g = g[g["tf"] >= DOC_TOP_MIN_TF]
+        g = g.sort_values(
+            ["row", "tf", "term"], ascending=[True, False, True]
+        )
+        g["rank"] = g.groupby("row").cumcount() + 1
+        g = g[g["rank"] <= DOC_TOP_TERMS_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[g["row"].to_numpy()]),
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+                "rank": pa.array(g["rank"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+DOC_TOP_TERMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+  HAVING count(*) >= {DOC_TOP_MIN_TF}),
+r AS (
+  SELECT doc_id, term, tf,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term)
+         AS BIGINT) AS rank
+  FROM tf)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, rank
+FROM r WHERE rank <= {DOC_TOP_TERMS_K}
+"""
+
+
+def _join_cardinality(sf_dir):
+    """Planner statistic: the EXACT output cardinality of the
+    lineitem-orders equi-join computed WITHOUT running the join —
+    |A ⋈ B| = Σ_k c_A(k)·c_B(k): two per-side key-count aggregates (narrow:
+    one int64 column each) meet in a key exchange and the products fold to
+    one number. At 100 TB this is how a cost-based planner prices a join
+    before committing a shuffle topology; the oracle runs the real join
+    and counts."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+
+    def cnt(col):
+        def f(tbl: pa.Table) -> pa.Table:
+            k = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table(
+                {"key": pa.array(u), "c": pa.array(c.astype(np.int64))}
+            )
+
+        return f
+
+    lc = (
+        li.map_batches(cnt("l_orderkey"), batch_format="pyarrow", batch_size=None)
+        .groupby("key")
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["key", "c1"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    oc = (
+        orders.map_batches(cnt("o_orderkey"), batch_format="pyarrow", batch_size=None)
+        .groupby("key")
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["key", "c2"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    j = ops.equi_join(lc, oc, on="key")
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "c1" not in tbl.schema.names:
+            return pa.table(
+                {"one": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        c1 = tbl["c1"].to_numpy(zero_copy_only=False)
+        c2 = tbl["c2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "partial": pa.array([int((c1 * c2).sum())], pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum("partial")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"n_pairs": tbl["sum(partial)"].cast(pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+JOIN_CARDINALITY_ORACLE = """
+SELECT count(*) AS n_pairs
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -14089,6 +14320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_statistic": _ks_statistic,
         "above_nation_avg": _above_nation_avg,
         "q8_market_share": _q8_market_share,
+        # --- wave 43 ---
+        "event_trigrams": _event_trigrams,
+        "doc_top_terms": _doc_top_terms,
+        "join_cardinality": _join_cardinality,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -14329,6 +14564,9 @@ def oracle_sql() -> dict[str, str]:
         "ks_statistic": KS_ORACLE,
         "above_nation_avg": ABOVE_NATION_AVG_ORACLE,
         "q8_market_share": Q8_ORACLE,
+        "event_trigrams": EVENT_TRIGRAMS_ORACLE,
+        "doc_top_terms": DOC_TOP_TERMS_ORACLE,
+        "join_cardinality": JOIN_CARDINALITY_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
