@@ -14036,6 +14036,370 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# ------------------------------------------------------------------ wave 44
+
+SSSP_ROUNDS = 4
+
+
+def _sssp_bounded(sf_dir):
+    """Bounded weighted single-source shortest paths (the min-plus
+    relaxation pattern, k=4 rounds): the user-transition graph — an edge
+    u->v with weight gap_seconds+1 whenever an event of u immediately
+    precedes one of v in the global (ts, event_id) order, parallel edges
+    collapsed by min — is relaxed from the user of the globally-first
+    event. Edge construction is the distributed adjacent-pair pattern:
+    range-partition by ts (contiguous shards, prefix_sum's tagging), build
+    edges inside each shard, and stitch the O(n_shards) boundary pairs on
+    the driver from per-shard first/last marker rows — no full
+    materialization anywhere. Each relaxation round is one equi-join
+    (frontier x edges) + one groupby-min: the Bellman-Ford step as Ray
+    Data primitives over the (min, +) semiring."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+
+    mm = ds.aggregate(
+        ray.data.aggregate.Min("ts"), ray.data.aggregate.Max("ts")
+    )
+    lo = int(np.int64(np.datetime64(mm["min(ts)"], "us").astype(np.int64)))
+    hi = int(np.int64(np.datetime64(mm["max(ts)"], "us").astype(np.int64))) + 1
+    width = max((hi - lo + n_shards - 1) // n_shards, 1)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": pa.array(ts),
+                "_shard": pa.array((ts - lo) // width),
+            }
+        )
+
+    def shard_edges(tbl: pa.Table) -> pa.Table:
+        # kind 0 rows: in-shard edges (u, v, w). kind 1 rows: boundary
+        # markers (u=user, v=event_id, w=ts_us) for the shard's first and
+        # last row in (ts, event_id) order — two rows per shard, stitched
+        # on the driver.
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, np.zeros_like(eid)))
+        u, e, t = uid[order], eid[order], ts[order]
+        t_s = t // 1000000
+        parts = []
+        m = u[:-1] != u[1:]
+        if m.any():
+            df = (
+                pd.DataFrame(
+                    {
+                        "u": u[:-1][m],
+                        "v": u[1:][m],
+                        "w": (t_s[1:] - t_s[:-1])[m] + 1,
+                    }
+                )
+                .groupby(["u", "v"], as_index=False)
+                .min()
+            )
+            df.insert(0, "kind", 0)
+            parts.append(pa.Table.from_pandas(df, preserve_index=False))
+        markers = pa.table(
+            {
+                "kind": pa.array([1, 1], pa.int64()),
+                "u": pa.array([int(u[0]), int(u[-1])], pa.int64()),
+                "v": pa.array([int(e[0]), int(e[-1])], pa.int64()),
+                "w": pa.array([int(t[0]), int(t[-1])], pa.int64()),
+            }
+        )
+        parts.append(markers)
+        return pa.concat_tables(parts)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    mixed = ops.hash_exchange(tagged, "_shard", n_shards, shard_edges)
+
+    def split_kind(tbl: pa.Table):
+        k = tbl["kind"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(k == 0)).drop_columns(["kind"])
+
+    edges = mixed.map_batches(
+        split_kind, batch_format="pyarrow", batch_size=None
+    )
+    # boundary stitch: 2 rows per non-empty shard — driver-sized by design
+    marks = (
+        mixed.filter(lambda r: r["kind"] == 1)
+        .to_pandas()
+        .sort_values(["w", "v"])  # (ts_us, event_id) global order
+        .reset_index(drop=True)
+    )
+    src_user = int(marks["u"].iloc[0])
+    bu, bv, bw = [], [], []
+    # markers alternate (first_k, last_k) in ts order; adjacent global rows
+    # across a shard boundary are (last_k, first_{k+1}) = rows 2k+1, 2k+2
+    for r in range(1, len(marks) - 1, 2):
+        a, b = marks.iloc[r], marks.iloc[r + 1]
+        if int(a["u"]) != int(b["u"]):
+            bu.append(int(a["u"]))
+            bv.append(int(b["u"]))
+            bw.append(int(b["w"]) // 1000000 - int(a["w"]) // 1000000 + 1)
+    if bu:
+        edges = edges.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "u": pa.array(bu, pa.int64()),
+                        "v": pa.array(bv, pa.int64()),
+                        "w": pa.array(bw, pa.int64()),
+                    }
+                )
+            )
+        )
+    # re-collapse parallel edges that may now exist across the union
+    edges = (
+        edges.groupby(["u", "v"])
+        .min("w")
+        .map_batches(
+            lambda t: t.rename_columns(["u", "v", "w"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([src_user], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    for _ in range(SSSP_ROUNDS):
+        cand = ops.equi_join(edges, dist, on="u", right_on="user_id",
+                             n_shards=8)
+
+        def relax(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or "v" not in tbl.schema.names:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "user_id": tbl["v"].cast(pa.int64()),
+                    "dist": pa.array(
+                        tbl["w"].to_numpy(zero_copy_only=False)
+                        + tbl["dist"].to_numpy(zero_copy_only=False)
+                    ),
+                }
+            )
+
+        new = cand.map_batches(relax, batch_format="pyarrow", batch_size=None)
+        dist = (
+            dist.union(new)
+            .groupby("user_id")
+            .min("dist")
+            .map_batches(
+                lambda t: t.rename_columns(["user_id", "dist"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+    return dist
+
+
+def _sssp_oracle() -> str:
+    step = """
+SELECT user_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+  SELECT user_id, dist FROM {prev}
+  UNION ALL
+  SELECT e.v AS user_id, d.dist + e.w AS dist
+  FROM {prev} d JOIN e ON e.u = d.user_id
+) GROUP BY 1"""
+    ctes = ["d0 AS (SELECT user_id, CAST(0 AS BIGINT) AS dist FROM s)"]
+    for k in range(1, SSSP_ROUNDS + 1):
+        ctes.append(f"d{k} AS ({step.format(prev=f'd{k-1}')})")
+    return f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+    lead(user_id) OVER w AS nu,
+    lead(epoch_us(ts) // 1000000) OVER w AS nts
+  FROM events WINDOW w AS (ORDER BY ts, event_id)),
+e AS (
+  SELECT user_id AS u, nu AS v, min(nts - ts_s + 1) AS w
+  FROM o WHERE nu IS NOT NULL AND nu <> user_id GROUP BY 1, 2),
+s AS (SELECT user_id FROM events ORDER BY ts, event_id LIMIT 1),
+{", ".join(ctes)}
+SELECT user_id, dist FROM d{SSSP_ROUNDS}
+"""
+
+
+REV_QUANTILES = (0.25, 0.5, 0.9)
+
+
+def _customer_revenue_quantiles(sf_dir):
+    """Aggregate-of-aggregate: the distribution of per-customer order
+    totals, summarized as exact discrete quantiles per customer segment
+    (custkey % 4). Stage 1 is a distributed per-customer sum (integer
+    cents); stage 2 reuses ops.group_quantiles over the stage-1 OUTPUT —
+    quantiles of an aggregate, the two-level shape a naive engine gets
+    wrong by trying to window over raw rows."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "partial": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .sum("partial")
+    )
+
+    def seg(tbl: pa.Table) -> pa.Table:
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl.rename_columns(["o_custkey", "rev_cents"])
+        return t.append_column("seg", pa.array(ck % 4))
+
+    segd = per_cust.map_batches(seg, batch_format="pyarrow", batch_size=None)
+    out = ops.group_quantiles(segd, "seg", "rev_cents", REV_QUANTILES)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        cols = {"seg": tbl["seg"].cast(pa.int64()),
+                "n_customers": tbl["n_events"].cast(pa.int64())}
+        for q in REV_QUANTILES:
+            c = f"q{int(q * 100)}"
+            cols[c] = tbl[c].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _customer_revenue_quantiles_oracle() -> str:
+    qcols = ",\n  ".join(
+        f"CAST(quantile_disc(rev_cents, {q}) AS BIGINT) AS q{int(q * 100)}"
+        for q in REV_QUANTILES
+    )
+    return f"""
+WITH per AS (
+  SELECT o_custkey, CAST(o_custkey % 4 AS BIGINT) AS seg,
+    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1, 2)
+SELECT seg, count(*) AS n_customers,
+  {qcols}
+FROM per GROUP BY seg
+"""
+
+
+def _cumulative_unique_users(sf_dir):
+    """Cumulative distinct users per day — the growth curve every corpus /
+    product dashboard needs, computed without any running-distinct state:
+    distinct-count becomes FIRST-SEEN-DAY per user (a groupby-min), daily
+    new-user counts follow, and the running total is the distributed
+    two-pass prefix scan (ops.prefix_sum) over day order. Exactly the
+    decomposition that scales: no day ever sees more than its own new
+    users."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86400000000
+        )
+        df = pd.DataFrame({"user_id": uid, "day": day})
+        g = df.groupby("user_id", as_index=False).min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first_day = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .min("day")
+    )
+
+    def day_counts(tbl: pa.Table) -> pa.Table:
+        d = tbl["min(day)"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u.astype(np.int64)),
+                "new_users": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    daily = (
+        first_day.map_batches(day_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .sum("new_users")
+        .map_batches(
+            lambda t: t.rename_columns(["day", "new_users"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    scanned = ops.prefix_sum(daily, "day", "new_users")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        nu = tbl["new_users"].to_numpy(zero_copy_only=False)
+        pre = tbl["prefix"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": tbl["day"].cast(pa.int64()),
+                "new_users": pa.array(nu.astype(np.int64)),
+                "cum_users": pa.array((pre + nu).astype(np.int64)),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+CUMULATIVE_UNIQUE_USERS_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY 1),
+d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -14324,6 +14688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": _event_trigrams,
         "doc_top_terms": _doc_top_terms,
         "join_cardinality": _join_cardinality,
+        # --- wave 44 ---
+        "sssp_bounded": _sssp_bounded,
+        "customer_revenue_quantiles": _customer_revenue_quantiles,
+        "cumulative_unique_users": _cumulative_unique_users,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -14567,6 +14935,9 @@ def oracle_sql() -> dict[str, str]:
         "event_trigrams": EVENT_TRIGRAMS_ORACLE,
         "doc_top_terms": DOC_TOP_TERMS_ORACLE,
         "join_cardinality": JOIN_CARDINALITY_ORACLE,
+        "sssp_bounded": _sssp_oracle(),
+        "customer_revenue_quantiles": _customer_revenue_quantiles_oracle(),
+        "cumulative_unique_users": CUMULATIVE_UNIQUE_USERS_ORACLE,
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
