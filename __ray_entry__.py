@@ -14400,6 +14400,275 @@ FROM d
 """
 
 
+# ------------------------------------------------------------------ wave 45
+
+CONE_UNION_A = dict(ra=83.2, dec=12.5, radius=14.0, level=7)
+CONE_UNION_B = dict(ra=110.0, dec=-5.0, radius=18.0, level=7)
+
+
+def _cone_union_search(sf_dir):
+    """Plan algebra, OR branch (completing AND-NOT from
+    cone_minus_polygon): docs inside cone A OR cone B, answered by ONE
+    merged plan — the two covers' cell ranges concatenate, sort and
+    coalesce into a single range list (one searchsorted per row, not one
+    per plan), and the geometric refine is the OR of the two dot tests.
+    This is WHERE-clause disjunction pushed into the index, the same way
+    the reference's OR-of-BETWEEN SQL constraint would merge."""
+    si = SpatialIndex()
+    pa_plan = si.cone_plan(
+        CONE_UNION_A["ra"], CONE_UNION_A["dec"], CONE_UNION_A["radius"],
+        mode=0, level=CONE_UNION_A["level"],
+    )
+    pb_plan = si.cone_plan(
+        CONE_UNION_B["ra"], CONE_UNION_B["dec"], CONE_UNION_B["radius"],
+        mode=0, level=CONE_UNION_B["level"],
+    )
+    # merge + coalesce the two range lists (inclusive [lo, hi])
+    allr = np.concatenate([pa_plan["ranges"], pb_plan["ranges"]])
+    allr = allr[np.argsort(allr[:, 0], kind="stable")]
+    keep = [0]
+    for r in range(1, len(allr)):
+        if allr[r, 0] <= allr[keep[-1], 1] + 1:
+            allr[keep[-1], 1] = max(allr[keep[-1], 1], allr[r, 1])
+        else:
+            keep.append(r)
+    merged = allr[keep]
+    ra_region = pa_plan["region"]
+    rb_region = pb_plan["region"]
+    shift = 2 * (20 - CONE_UNION_A["level"])
+
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+
+    def search(tbl: pa.Table) -> pa.Table:
+        cells = tbl["htm20"].to_numpy(zero_copy_only=False) >> shift
+        m = ops.ranges_mask(cells, merged)
+        if not m.any():
+            return tbl.slice(0, 0).select(["doc_id"])
+        sub = tbl.filter(pa.array(m))
+        xyz = np.column_stack(
+            [
+                sub["x"].to_numpy(zero_copy_only=False),
+                sub["y"].to_numpy(zero_copy_only=False),
+                sub["z"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        gm = ra_region.mask(xyz) | rb_region.mask(xyz)
+        return sub.filter(pa.array(gm)).select(["doc_id"])
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def _cone_union_oracle() -> str:
+    from spatialindex_ray import geom
+
+    ca = geom.Cone(CONE_UNION_A["ra"], CONE_UNION_A["dec"], CONE_UNION_A["radius"])
+    cb = geom.Cone(CONE_UNION_B["ra"], CONE_UNION_B["dec"], CONE_UNION_B["radius"])
+    a, b = ca.center, cb.center
+    return (
+        _xyz_sql()
+        + f"SELECT doc_id FROM n WHERE "
+        f"x*{_d(a[0])} + y*{_d(a[1])} + z*{_d(a[2])} >= {_d(ca.cosrad)} "
+        f"OR x*{_d(b[0])} + y*{_d(b[1])} + z*{_d(b[2])} >= {_d(cb.cosrad)}"
+    )
+
+
+LATE_SHIP_DAYS = 90
+
+
+def _late_shipment_priority(sf_dir):
+    """EXISTS-aggregate (the TPC-H Q4 shape on this schema): per order
+    priority, how many orders have AT LEAST ONE lineitem shipped more
+    than 90 days after the order date. The exists-set reduces lineitem to
+    DISTINCT late orderkeys inside the exchange (semi-join law: the right
+    side of an EXISTS only ever contributes its key set), then one
+    broadcast filter over orders and a tiny priority groupby."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    # join lineitem to order dates (exchange), keep late ones as key set
+    j = ops.equi_join(
+        li,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    late_us = np.int64(LATE_SHIP_DAYS) * 86400000000
+
+    def late_keys(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "o_orderdate" not in tbl.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64())})
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = tbl["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(np.unique(k[sd > od + late_us]))})
+
+    late = (
+        j.map_batches(late_keys, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .count()
+        .select_columns(["l_orderkey"])
+        .to_pandas()
+    )
+    import ray as _ray
+
+    ref = _ray.put(np.sort(late["l_orderkey"].to_numpy().astype(np.int64)))
+
+    def per_priority(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = _ray.get(ref)
+        ok = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, ok), 0, max(len(keys) - 1, 0))
+        m = (len(keys) > 0) & (keys[pos] == ok)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": np.asarray(
+                    tbl["o_orderpriority"].to_numpy(zero_copy_only=False)
+                )[m],
+                "partial": 1,
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        orders.map_batches(per_priority, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["o_orderpriority", "n_late_orders"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+LATE_SHIPMENT_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY)
+GROUP BY 1
+"""
+
+
+CONV_FROM, CONV_TO = "signup", "purchase"
+CONV_QS = (0.5, 0.9)
+
+
+def _conversion_latency_quantiles(sf_dir):
+    """Funnel latency: per user, seconds from the FIRST signup to the first
+    purchase strictly AFTER it; the latency distribution summarized as
+    exact discrete quantiles per user segment (user_id % 3). One exchange
+    by user co-locates each user's funnel events; per shard the
+    conditional first-after is a vectorized two-pass min (first signup via
+    sorted-run reduce, then min purchase beyond it); quantiles reuse
+    ops.group_quantiles' compressed-distribution selection."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        m = (et == CONV_FROM) | (et == CONV_TO)
+        sub = tbl.filter(pa.array(m))
+        out = pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": sub["ts"].cast(pa.int64()),
+                "is_from": pa.array(
+                    (np.asarray(sub["event_type"].to_numpy(zero_copy_only=False))
+                     == CONV_FROM).astype(np.int64)
+                ),
+            }
+        )
+        return ops._shard_tagger("user_id", 16)(out)
+
+    def latency(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "seg": pa.array([], pa.int64()),
+                "latency_s": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        isf = tbl["is_from"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((t, u))
+        u, t, isf = u[order], t[order], isf[order]
+        uu, starts = np.unique(u, return_index=True)
+        n_runs = len(uu)
+        run_id = np.repeat(
+            np.arange(n_runs, dtype=np.int64),
+            np.diff(np.append(starts, len(u))),
+        )
+        big = np.iinfo(np.int64).max
+        # t0: first signup per user = masked per-run min (reduceat);
+        # t1: min purchase with ts > t0 — same masked reduceat trick
+        t0 = np.minimum.reduceat(np.where(isf, t, big), starts)
+        cand = np.where((~isf) & (t > t0[run_id]), t, big)
+        t1 = np.minimum.reduceat(cand, starts)
+        ok = (t0 < big) & (t1 < big)
+        if not ok.any():
+            return empty
+        return pa.table(
+            {
+                "seg": pa.array(uu[ok] % 3),
+                "latency_s": pa.array((t1[ok] - t0[ok]) // 1000000),
+            }
+        )
+
+    tagged = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    lat = ops.hash_exchange(tagged, "_shard", 16, latency)
+    out = ops.group_quantiles(lat, "seg", "latency_s", CONV_QS)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        cols = {"seg": tbl["seg"].cast(pa.int64()),
+                "n_events": tbl["n_events"].cast(pa.int64())}
+        for q in CONV_QS:
+            c = f"q{int(q * 100)}"
+            cols[c] = tbl[c].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _conversion_latency_oracle() -> str:
+    qcols = ",\n  ".join(
+        f"CAST(quantile_disc(latency_s, {q}) AS BIGINT) AS q{int(q * 100)}"
+        for q in CONV_QS
+    )
+    return f"""
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = '{CONV_FROM}' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = '{CONV_TO}' AND epoch_us(e.ts) > f.t0
+  GROUP BY 1),
+l AS (
+  SELECT f.user_id, CAST(f.user_id % 3 AS BIGINT) AS seg,
+    (p.t1 - f.t0) // 1000000 AS latency_s
+  FROM f JOIN p USING (user_id))
+SELECT seg, count(*) AS n_events,
+  {qcols}
+FROM l GROUP BY seg
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -14692,6 +14961,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_bounded": _sssp_bounded,
         "customer_revenue_quantiles": _customer_revenue_quantiles,
         "cumulative_unique_users": _cumulative_unique_users,
+        # --- wave 45 ---
+        "cone_union_search": _cone_union_search,
+        "late_shipment_priority": _late_shipment_priority,
+        "conversion_latency_quantiles": _conversion_latency_quantiles,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -14938,6 +15211,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp_bounded": _sssp_oracle(),
         "customer_revenue_quantiles": _customer_revenue_quantiles_oracle(),
         "cumulative_unique_users": CUMULATIVE_UNIQUE_USERS_ORACLE,
+        "cone_union_search": _cone_union_oracle(),
+        "late_shipment_priority": LATE_SHIPMENT_ORACLE,
+        "conversion_latency_quantiles": _conversion_latency_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
