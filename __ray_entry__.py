@@ -14669,6 +14669,254 @@ FROM l GROUP BY seg
 """
 
 
+# ------------------------------------------------------------------ wave 46
+
+
+def _repetition_score(sf_dir):
+    """Within-document repetition — the degenerate-text signal an LLM
+    corpus filter needs beyond token stats: per doc, the maximum number of
+    times any single word-3-gram repeats (1 = no repetition). Pure map
+    (each doc whole in its row): windowed gram hashes, one (row, gram)
+    lexsort, run-length counts, per-row max via maximum.reduceat — no
+    Python loop, no shuffle."""
+    import ray
+    import pyarrow.compute as pc
+
+    from spatialindex_ray.kernels import hashing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(tbl["text"].combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        th = hashing.sha1_first64_of_tokens(toks.flatten())
+        ntok = offsets[1:] - offsets[:-1]
+        n = len(ids)
+        if len(th) < 3:
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "max_repeat": pa.array(np.ones(n, dtype=np.int64)),
+                }
+            )
+        with np.errstate(over="ignore"):
+            win = (
+                th[:-2] * dedup._G1 + th[1:-1] * dedup._G2 + th[2:] * dedup._G3
+            )
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        ok = row_of[:-2] == row_of[2:]
+        grams = win[ok].view(np.int64)
+        rows = row_of[:-2][ok]
+        out = np.ones(n, dtype=np.int64)
+        if len(grams):
+            order = np.lexsort((grams, rows))
+            g_s, r_s = grams[order], rows[order]
+            starts = np.flatnonzero(
+                np.concatenate(
+                    [[True], (g_s[1:] != g_s[:-1]) | (r_s[1:] != r_s[:-1])]
+                )
+            )
+            runs = np.diff(np.append(starts, len(g_s)))
+            run_rows = r_s[starts]
+            rstarts = np.flatnonzero(
+                np.concatenate([[True], run_rows[1:] != run_rows[:-1]])
+            )
+            per_row_max = np.maximum.reduceat(runs, rstarts)
+            out[run_rows[rstarts]] = per_row_max
+        return pa.table(
+            {"doc_id": pa.array(ids), "max_repeat": pa.array(out)}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+REPETITION_SCORE_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+grams AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+  FROM d, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i) t),
+c AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+m AS (SELECT doc_id, max(c) AS max_repeat FROM c GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(m.max_repeat, 1) AS BIGINT) AS max_repeat
+FROM d LEFT JOIN m USING (doc_id)
+"""
+
+
+SUBSAMPLE_B = 32
+
+
+def _subsample_stability(sf_dir):
+    """Resampling-based uncertainty, deterministic and float-free: B=32
+    half-samples of events (row r in sample b iff splitmix64(b*P + r) is
+    even — an unbiased deterministic coin), each reporting its sum of
+    value milli-units and count; the spread of sum/n across the B rows IS
+    the stability estimate. All B samples evaluate in ONE pass (a B-bit
+    membership matrix per batch, B partial rows out) — the
+    multi-query-amortization pattern again, applied to statistics."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    P = np.int64(1000003)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        bs, sums, ns = [], [], []
+        for b in range(SUBSAMPLE_B):
+            h = ops._splitmix64(np.int64(b) * P + eid)
+            m = (h & np.uint64(1)) == 0
+            bs.append(b)
+            sums.append(int(vm[m].sum()))
+            ns.append(int(m.sum()))
+        return pa.table(
+            {
+                "b": pa.array(np.array(bs, dtype=np.int64)),
+                "sum_milli": pa.array(np.array(sums, dtype=np.int64)),
+                "n": pa.array(np.array(ns, dtype=np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("b")
+        .sum(["sum_milli", "n"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["b", "sum_milli", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _subsample_stability_oracle() -> str:
+    sm = _sql_splitmix64(f"CAST(b.b * 1000003 + event_id AS HUGEINT)")
+    return f"""
+SELECT b.b AS b,
+  CAST(sum(CASE WHEN ({sm}) % 2 = 0
+           THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS sum_milli,
+  CAST(sum(CASE WHEN ({sm}) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM events CROSS JOIN (SELECT unnest(range(0, {SUBSAMPLE_B})) AS b) b
+GROUP BY 1
+"""
+
+
+POLYGONIZE_TILE_DEG = 15.0
+
+
+def _tile_polygonize(sf_dir):
+    """Raster -> vector polygonize: bucket the doc-density raster
+    (15° tiles, bucket = floor(log2(count))) and label 4-connected regions
+    of equal bucket with the region's MINIMUM tile_id — the classic GIS
+    polygonize, decomposed for scale: the heavy part (per-tile counts over
+    every row) is a distributed partial-count groupby; the connected
+    labeling then runs on the AGGREGATED raster, which is grid-bounded
+    (288 tiles at 15° regardless of data size) — union-find to full
+    convergence on the driver, a deliberate driver-sized step recorded as
+    such. The SQL dual reaches the same fixpoint by recursive transitive
+    closure."""
+    import ray
+
+    nx = int(np.ceil(360.0 / POLYGONIZE_TILE_DEG))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        tx = np.floor(lon / POLYGONIZE_TILE_DEG).astype(np.int64)
+        ty = np.floor((lat + 90.0) / POLYGONIZE_TILE_DEG).astype(np.int64)
+        tid = ty * nx + tx
+        u, c = np.unique(tid, return_counts=True)
+        return pa.table(
+            {
+                "tile_id": pa.array(u),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    tiles = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tile_id")
+        .sum("partial")
+        .to_pandas()  # grid-bounded: ≤ 288 tiles at 15°
+    )
+    tid = tiles["tile_id"].to_numpy().astype(np.int64)
+    cnt = tiles["sum(partial)"].to_numpy().astype(np.int64)
+    bucket = np.int64(np.floor(np.log2(cnt))).astype(np.int64)
+    pos = {int(t): k for k, t in enumerate(tid)}
+    parent = list(range(len(tid)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for k, t in enumerate(tid):
+        ty, tx = divmod(int(t), nx)
+        right = ty * nx + (tx + 1) % nx  # lon wraps
+        up = (ty + 1) * nx + tx
+        for nb in (right, up):
+            j = pos.get(nb)
+            if j is not None and bucket[j] == bucket[k]:
+                union(k, j)
+    # label = min tile_id of the component
+    roots = np.array([find(k) for k in range(len(tid))])
+    label = np.empty(len(tid), dtype=np.int64)
+    for r in np.unique(roots):
+        label[roots == r] = tid[roots == r].min()
+    return pa.table(
+        {
+            "tile_id": pa.array(tid),
+            "bucket": pa.array(bucket),
+            "label": pa.array(label),
+        }
+    )
+
+
+def _tile_polygonize_oracle() -> str:
+    nx = int(np.ceil(360.0 / POLYGONIZE_TILE_DEG))
+    return f"""
+WITH RECURSIVE p AS ({_POS_SQL}),
+t AS (
+  SELECT CAST(floor((lat + 90.0) / {POLYGONIZE_TILE_DEG}) AS BIGINT) * {nx}
+       + CAST(floor(lon / {POLYGONIZE_TILE_DEG}) AS BIGINT) AS tile_id,
+    count(*) AS c
+  FROM p GROUP BY 1),
+b AS (SELECT tile_id, CAST(floor(log2(c)) AS BIGINT) AS bucket FROM t),
+e AS (
+  SELECT a.tile_id AS u, n.tile_id AS v
+  FROM b a JOIN b n ON n.bucket = a.bucket AND (
+    n.tile_id = (a.tile_id // {nx}) * {nx} + (a.tile_id % {nx} + 1) % {nx}
+    OR n.tile_id = a.tile_id + {nx})
+  WHERE n.tile_id <> a.tile_id),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach AS (
+  SELECT tile_id AS src, tile_id AS dst FROM b
+  UNION
+  SELECT r.src, s.v AS dst FROM reach r JOIN sym s ON s.u = r.dst)
+SELECT b.tile_id, b.bucket,
+  CAST((SELECT min(dst) FROM reach WHERE src = b.tile_id) AS BIGINT) AS label
+FROM b
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -14965,6 +15213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cone_union_search": _cone_union_search,
         "late_shipment_priority": _late_shipment_priority,
         "conversion_latency_quantiles": _conversion_latency_quantiles,
+        # --- wave 46 ---
+        "repetition_score": _repetition_score,
+        "subsample_stability": _subsample_stability,
+        "tile_polygonize": _tile_polygonize,
         # --- approximate sketches: rows-only checks, property/recall tests ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
@@ -15214,6 +15466,9 @@ def oracle_sql() -> dict[str, str]:
         "cone_union_search": _cone_union_oracle(),
         "late_shipment_priority": LATE_SHIPMENT_ORACLE,
         "conversion_latency_quantiles": _conversion_latency_oracle(),
+        "repetition_score": REPETITION_SCORE_ORACLE,
+        "subsample_stability": _subsample_stability_oracle(),
+        "tile_polygonize": _tile_polygonize_oracle(),
         # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
         # shingle sketches — approximate by design; recall/property tests in
         # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
