@@ -14917,6 +14917,492 @@ FROM b
 """
 
 
+# --------------------------------------------------------------- wave 47
+Q13_EXCLUDED_STATUS = "F"
+
+
+def _q13_order_distribution(sf_dir):
+    """TPC-H Q13 shape (order-count distribution): how many customers placed
+    exactly k qualifying orders, INCLUDING the zero bucket. No join at all:
+    orders fold to (custkey, count) partials in one exchange, the
+    distribution is a second tiny groupby, and the zero bucket is total
+    customers (parquet metadata — no scan) minus customers seen. The
+    classic LEFT JOIN formulation shuffles the entire customer table just
+    to count misses; this shape moves only order keys."""
+    import pyarrow.parquet as pq
+    import ray
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.not_equal(tbl["o_orderstatus"], Q13_EXCLUDED_STATUS)
+        ck = tbl["o_custkey"].filter(m).to_numpy(zero_copy_only=False)
+        k, c = np.unique(ck, return_counts=True)
+        return pa.table({"c_custkey": pa.array(k.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .sum("n")
+    )
+
+    def to_count(tbl: pa.Table) -> pa.Table:
+        return pa.table({"c_count": tbl["sum(n)"].cast(pa.int64())})
+
+    dist = (
+        per_cust.map_batches(to_count, batch_format="pyarrow", batch_size=None)
+        .groupby("c_count")
+        .count()
+    )
+    # distribution is <= max orders/customer rows — driver-sized by law
+    df = dist.to_pandas().rename(columns={"count()": "custdist"})
+    n_with = int(df["custdist"].sum())
+    import pandas as pd
+
+    zero = pd.DataFrame({"c_count": [0], "custdist": [n_cust - n_with]})
+    out = pd.concat([df, zero], ignore_index=True)
+    return out[["c_count", "custdist"]].astype({"c_count": "int64", "custdist": "int64"})
+
+
+Q13_ORACLE = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> '{Q13_EXCLUDED_STATUS}'
+  GROUP BY 1)
+GROUP BY 1
+"""
+
+Q17_BRAND = "Brand#4"
+
+
+def _q17_small_quantity(sf_dir):
+    """TPC-H Q17 shape (correlated avg subquery): revenue from lineitems of
+    one brand whose quantity is below 20% of that part's average quantity.
+    The correlated subquery becomes a per-part (sum_qty, count) aggregate
+    over the SAME filtered lineitem set, broadcast back (brand keys are a
+    small fraction of parts); the 0.2*avg comparison is exact integer
+    cross-multiplication (5*qty*cnt < sum_qty — quantities are
+    integer-valued), so no float divide ever happens."""
+    import ray
+
+    part_keys = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).filter(expr=f"p_brand == '{Q17_BRAND}'")
+    pk = np.sort(part_keys.to_pandas()["p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def brand_only(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        p = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, p), 0, max(len(keys) - 1, 0))
+        m = (len(keys) > 0) & (keys[pos] == p)
+        return tbl.filter(pa.array(m))
+
+    brand_li = li.map_batches(brand_only, batch_format="pyarrow", batch_size=None)
+
+    def qty_partial(tbl: pa.Table) -> pa.Table:
+        p = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(tbl["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        k, inv = np.unique(p, return_inverse=True)
+        sums = np.zeros(len(k), dtype=np.int64)
+        cnts = np.zeros(len(k), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        np.add.at(cnts, inv, 1)
+        return pa.table({"p": pa.array(k), "sq": pa.array(sums), "cn": pa.array(cnts)})
+
+    stats = (
+        brand_li.map_batches(qty_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("p")
+        .sum(["sq", "cn"])
+        .to_pandas()
+    )
+    sp = np.sort(stats["p"].to_numpy().astype(np.int64))
+    order = np.argsort(stats["p"].to_numpy().astype(np.int64))
+    ssq = stats["sum(sq)"].to_numpy().astype(np.int64)[order]
+    scn = stats["sum(cn)"].to_numpy().astype(np.int64)[order]
+    stats_ref = ray.put((sp, ssq, scn))
+
+    def small_qty(tbl: pa.Table) -> pa.Table:
+        keys, sq, cn = ray.get(stats_ref)
+        p = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(tbl["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, p), 0, max(len(keys) - 1, 0))
+        m = (len(keys) > 0) & (keys[pos] == p) & (5 * q * cn[pos] < sq[pos])
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.array([1], dtype=np.int64)),
+                "price_cents": pa.array(np.array([cents.sum()], dtype=np.int64)),
+                "n_rows": pa.array(np.array([int(m.sum())], dtype=np.int64)),
+            }
+        )
+
+    out = (
+        brand_li.map_batches(small_qty, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["price_cents", "n_rows"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "price_cents": tbl["sum(price_cents)"].cast(pa.int64()),
+                "n_rows": tbl["sum(n_rows)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+Q17_ORACLE = f"""
+WITH b AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'),
+s AS (SELECT l_partkey, sum(q) AS sq, count(*) AS cn FROM b GROUP BY 1)
+SELECT CAST(sum(cents) AS BIGINT) AS price_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b JOIN s USING (l_partkey)
+WHERE 5 * b.q * s.cn < s.sq
+"""
+
+
+Q22_CUTOFF = "2000-01-01"
+
+
+def _q22_idle_customers(sf_dir):
+    """TPC-H Q22 shape (global-average filter + anti-join): per market
+    segment, count customers whose balance beats the global positive-balance
+    average AND who have not ordered since Q22_CUTOFF (every customer has
+    SOME order in this data, so the lapsed-since-cutoff form keeps the Q22
+    anti-join shape non-degenerate). The global average is a 2-scalar
+    broadcast; the above-average test is exact integer cross-multiplication
+    (cents * n > sum_cents); the anti-join ships only distinct recent-order
+    custkeys."""
+    import ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def bal_partial(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "one": pa.array(np.array([1], dtype=np.int64)),
+                "s": pa.array(np.array([cents[pos].sum()], dtype=np.int64)),
+                "n": pa.array(np.array([int(pos.sum())], dtype=np.int64)),
+            }
+        )
+
+    g = (
+        cust.map_batches(bal_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["s", "n"])
+        .to_pandas()
+    )
+    s_cents, n_pos = int(g["sum(s)"].iloc[0]), int(g["sum(n)"].iloc[0])
+
+    def above_avg(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return tbl.filter(pa.array(cents * n_pos > s_cents))
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow", batch_size=None)
+    cutoff_us = np.datetime64(Q22_CUTOFF).astype("datetime64[us]").astype(np.int64)
+
+    def recent_keys(tbl: pa.Table) -> pa.Table:
+        od = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": tbl["o_custkey"].filter(pa.array(od >= cutoff_us))})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_keys, batch_format="pyarrow", batch_size=None)
+    idle = ops.equi_join(
+        rich, orders, on="c_custkey", right_on="o_custkey",
+        how="anti", broadcast="right",
+    )
+
+    def seg_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.round(
+            tbl["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"c_mktsegment": tbl["c_mktsegment"].to_pylist(), "cents": cents, "k": 1}
+        )
+        gg = df.groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(gg, preserve_index=False)
+
+    out = (
+        idle.map_batches(seg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .sum(["cents", "k"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": tbl["c_mktsegment"],
+                "numcust": tbl["sum(k)"].cast(pa.int64()),
+                "totacctbal_cents": tbl["sum(cents)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+Q22_ORACLE = """
+WITH g AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+  FROM customer WHERE round(c_acctbal * 100) > 0)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer, g
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- wave 48
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def _q15_top_supplier(sf_dir):
+    """TPC-H Q15 shape (argmax with ALL ties): the supplier(s) whose quarter
+    revenue equals the global maximum. Per-supplier revenue folds in one
+    exchange (exact integer units, cents x (10000 - bps)); the global max is
+    a scalar aggregate over the supplier-sized intermediate; the tie filter
+    re-streams that same small table. Supplier names broadcast — the
+    revenue table never joins through a shuffle."""
+    import ray
+
+    lo = np.datetime64(Q15_DATE_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q15_DATE_HI).astype("datetime64[us]").astype(np.int64)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ts >= lo) & (ts < hi)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        cents = np.round(
+            tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        bps = np.round(
+            tbl["l_discount"].to_numpy(zero_copy_only=False)[m] * 10000.0
+        ).astype(np.int64)
+        k, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(len(k), dtype=np.int64)
+        np.add.at(s, inv, cents * (10000 - bps))
+        return pa.table({"s_suppkey": pa.array(k), "r": pa.array(s)})
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("s_suppkey")
+        .sum("r")
+        .materialize()
+    )
+    best = rev.max("sum(r)")
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    so = np.argsort(supp["s_suppkey"].to_numpy(zero_copy_only=False))
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)[so].astype(np.int64)
+    sn = np.asarray(supp["s_name"].to_pylist(), dtype=object)[so]
+    import ray as _ray
+
+    ref = _ray.put((sk, sn))
+
+    def winners(tbl: pa.Table) -> pa.Table:
+        keys, names = _ray.get(ref)
+        r = tbl["sum(r)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = r == best
+        ids = tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        nm = names[np.searchsorted(keys, ids)]
+        return pa.table(
+            {
+                "s_suppkey": pa.array(ids),
+                "s_name": pa.array(list(nm), type=pa.string()),
+                "total_revenue_unit": pa.array(r[m]),
+            }
+        )
+
+    return rev.map_batches(winners, batch_format="pyarrow", batch_size=None)
+
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_HI}'
+  GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, CAST(r.total AS BIGINT) AS total_revenue_unit
+FROM rev r JOIN supplier s USING (s_suppkey)
+WHERE r.total = (SELECT max(total) FROM rev)
+"""
+
+JACCARD_TAU_NUM = 9
+JACCARD_TAU_DEN = 10
+
+
+def _user_type_jaccard(sf_dir):
+    """Exact set-similarity self-join over a SMALL alphabet: each user's
+    behavior set — the (event_type, weekday) pairs it was active on, a
+    5 x 7 = 35-symbol alphabet — packs into one integer bitmask (symbol id
+    = lexicographic type rank * 7 + weekday). Masks build as a groupby OR
+    over per-batch partial masks; pairs pass an exact integer Jaccard test
+    10*popcount(AND) >= 9*popcount(OR). The mask table broadcasts; each
+    batch of left users pairs against it vectorized — the minhash shape
+    without approximation, valid whenever the alphabet fits a machine word
+    (type x weekday grids, langs, feature flags)."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    types = sorted(
+        ev.groupby("event_type").count().to_pandas()["event_type"].tolist()
+    )
+    tid = {t: i for i, t in enumerate(types)}
+
+    def mask_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        days = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        dow = (days + 4) % 7  # 1970-01-01 is a Thursday; Sunday = 0 (DuckDB)
+        tids = np.array(
+            [tid[t] for t in tbl["event_type"].to_pylist()], dtype=np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "p": np.int64(1) << (tids * 7 + dow),
+            }
+        ).drop_duplicates()
+        g = df.groupby("user_id", as_index=False)["p"].agg(
+            lambda x: int(np.bitwise_or.reduce(x))
+        )
+        g["p"] = g["p"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"p": "pm"}), preserve_index=False
+        )
+
+    # per-batch partial masks OR-combine in a user-keyed groupby fold
+    masks = (
+        ev.map_batches(mask_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(
+            lambda df: df.groupby("user_id", as_index=False)["pm"].agg(
+                lambda x: int(np.bitwise_or.reduce(x))
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    uo = np.argsort(masks["user_id"].to_numpy().astype(np.int64))
+    uk = masks["user_id"].to_numpy().astype(np.int64)[uo]
+    um = masks["pm"].to_numpy().astype(np.int64)[uo]
+    import ray as _ray
+
+    mref = _ray.put((uk, um))
+    from spatialindex_ray.kernels import hashing as _hashing
+
+    mask_ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array(uk), "pm": pa.array(um)})
+    )
+
+    def pair_batch(tbl: pa.Table) -> pa.Table:
+        keys, pm = _ray.get(mref)
+        lu = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lm = tbl["pm"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # each left row pairs against all greater user_ids (inner vectorized)
+        lefts, rights, inters, unis = [], [], [], []
+        for i in range(len(lu)):
+            m = keys > lu[i]
+            if not m.any():
+                continue
+            a = np.uint64(lm[i])  # masks are small non-negative ints
+            inter = _hashing.popcount64(pm[m].view(np.uint64) & a)
+            uni = _hashing.popcount64(pm[m].view(np.uint64) | a)
+            keep = JACCARD_TAU_DEN * inter >= JACCARD_TAU_NUM * uni
+            lefts.append(np.full(int(keep.sum()), lu[i], dtype=np.int64))
+            rights.append(keys[m][keep])
+            inters.append(inter[keep].astype(np.int64))
+            unis.append(uni[keep].astype(np.int64))
+        if not lefts:
+            return pa.table(
+                {"left_user": pa.array([], pa.int64()),
+                 "right_user": pa.array([], pa.int64()),
+                 "inter": pa.array([], pa.int64()),
+                 "uni": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "left_user": pa.array(np.concatenate(lefts)),
+                "right_user": pa.array(np.concatenate(rights)),
+                "inter": pa.array(np.concatenate(inters)),
+                "uni": pa.array(np.concatenate(unis)),
+            }
+        )
+
+    return mask_ds.map_batches(pair_batch, batch_format="pyarrow", batch_size=None)
+
+
+JACCARD_ORACLE = f"""
+WITH ty AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS tid
+  FROM (SELECT DISTINCT event_type FROM events)),
+m AS (
+  SELECT user_id,
+         CAST(sum(DISTINCT (1::BIGINT << (tid * 7 + dayofweek(ts))))
+              AS BIGINT) AS mask
+  FROM events JOIN ty USING (event_type) GROUP BY user_id)
+SELECT l.user_id AS left_user, r.user_id AS right_user,
+       CAST(bit_count(l.mask & r.mask) AS BIGINT) AS inter,
+       CAST(bit_count(l.mask | r.mask) AS BIGINT) AS uni
+FROM m l, m r
+WHERE l.user_id < r.user_id
+  AND {JACCARD_TAU_DEN} * CAST(bit_count(l.mask & r.mask) AS BIGINT)
+      >= {JACCARD_TAU_NUM} * CAST(bit_count(l.mask | r.mask) AS BIGINT)
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -15217,7 +15703,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": _repetition_score,
         "subsample_stability": _subsample_stability,
         "tile_polygonize": _tile_polygonize,
-        # --- approximate sketches: rows-only checks, property/recall tests ---
+        # --- wave 47 ---
+        "image_ahash_dup": multimodal.image_ahash_dup_query,
+        "q13_order_distribution": _q13_order_distribution,
+        "q17_small_quantity": _q17_small_quantity,
+        "q22_idle_customers": _q22_idle_customers,
+        # --- wave 48 ---
+        "q15_top_supplier": _q15_top_supplier,
+        "doc_cosine_pairs": textfn.doc_cosine_pairs_query,
+        "user_type_jaccard": _user_type_jaccard,
+        # --- sketch family: minhash/simhash gained exact SQL duals in round
+        # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
         "simhash": dedup.simhash_query,
         "embedding_near_dup": dedup.embedding_near_dup_query,
@@ -15469,9 +15965,22 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": REPETITION_SCORE_ORACLE,
         "subsample_stability": _subsample_stability_oracle(),
         "tile_polygonize": _tile_polygonize_oracle(),
-        # Remaining rows-only entries: minhash_near_dup / simhash (SHA-1
-        # shingle sketches — approximate by design; recall/property tests in
-        # tests/test_functions.py), embedding_near_dup / ann_topk_ivf
+        # --- wave 47 ---
+        "image_ahash_dup": multimodal.IMAGE_AHASH_DUP_ORACLE,
+        "q13_order_distribution": Q13_ORACLE,
+        "q17_small_quantity": Q17_ORACLE,
+        "q22_idle_customers": Q22_ORACLE,
+        # --- wave 48 ---
+        "q15_top_supplier": Q15_ORACLE,
+        "doc_cosine_pairs": textfn.DOC_COSINE_PAIRS_ORACLE,
+        "user_type_jaccard": JACCARD_ORACLE,
+        # round 3: minhash/simhash token hashing switched from SHA-1 to the
+        # same Horner hash64 the fingerprint oracle walks, making the full
+        # LSH pipeline (signatures -> band buckets -> celebrity chain ->
+        # tau verify) exactly recomputable in DuckDB.
+        "minhash_near_dup": dedup.MINHASH_NEAR_DUP_ORACLE,
+        "simhash": dedup.SIMHASH_ORACLE,
+        # Remaining rows-only entries: embedding_near_dup / ann_topk_ivf
         # (APPROXIMATE IVF scale paths — their exact duals embedding_dup_exact
         # / ann_topk_cosine carry the SQL oracles; recall vs exact asserted in
         # tests), events_user_hll (HLL sketch; <=5% accuracy test in

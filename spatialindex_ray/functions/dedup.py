@@ -64,8 +64,11 @@ _PERM_B = (_rng.randint(0, _MERSENNE, size=N_PERM)).astype(np.uint64)
 # token -> 64-bit hash cache; text is natural language so the working
 # vocabulary is small — each worker process hashes a token once, ever.
 _token_cache: dict[str, int] = {}
-_G1 = np.uint64(0x9E3779B97F4A7C15)
-_G2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# gram-window mixing multipliers. Round 3: top bit cleared (< 2^63) so the
+# DuckDB oracle can evaluate th*G in signed 128-bit HUGEINT without overflow
+# ((2^64-1)*(2^63-1) < 2^127); any odd constants work for mixing.
+_G1 = np.uint64(0x1E3779B97F4A7C15)
+_G2 = np.uint64(0x42B2AE3D27D4EB4F)
 _G3 = np.uint64(0x165667B19E3779F9)
 
 
@@ -83,7 +86,7 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
             out[i] = h
     if miss_w:
         # batch the cache misses through the vectorized SHA-1 kernel
-        hs = hashing.sha1_pairs_of_strings(miss_w)[:, 0]
+        hs = hashing.poly_hash64_of_column(pa.array(miss_w))
         for j, w, h in zip(miss_i, miss_w, hs):
             hv = int(h)
             cache[w] = hv
@@ -92,8 +95,9 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
-    """Distinct word-SHINGLE_W-gram hashes, vectorized: per-token sha1 via a
-    process-local vocab cache, gram hash = weighted wrap-sum of the window."""
+    """Distinct word-SHINGLE_W-gram hashes, vectorized: per-token Horner
+    hash64 via a process-local vocab cache, gram hash = weighted wrap-sum
+    of the window."""
     toks = text.split()
     hs = _token_hashes(toks)
     with np.errstate(over="ignore"):
@@ -109,15 +113,16 @@ def _shingle_hashes(text: str) -> np.ndarray:
 def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     """(N_PERM,) minhash signature per doc: min over distinct shingles of
     (a*h + b) mod 2^61-1. Fully vectorized across the batch (round 2):
-    one Arrow split + one batched SHA-1 over the flat token array, windowed
-    gram hashes, per-row dedupe by sort, then 64 segmented-min passes
+    one Arrow split + one batched Horner hash64 over the flat token array
+    (DuckDB-expressible: the SQL oracle recomputes the exact signatures),
+    windowed gram hashes, per-row dedupe by sort, then 64 segmented-min passes
     (np.minimum.reduceat) — signatures identical to the per-row version."""
     from .text import _token_segments
 
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     n = len(ids)
     flat, offsets = _token_segments(tbl[text_col])
-    th = hashing.sha1_first64_of_tokens(flat)  # uint64 token hashes (per-vocab SHA-1)
+    th = hashing.poly_hash64_of_tokens(flat)  # uint64 Horner token hashes (SQL-expressible)
     ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
     M = np.uint64(_MERSENNE)
 
@@ -299,13 +304,14 @@ def minhash_near_dup_query(sf_dir: str, tau: float = MINHASH_TAU):
 def simhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     """64-bit SimHash over token hashes (unweighted): sign of per-bit vote.
     Fully vectorized (round 2): one Arrow whitespace split, one batched
-    SHA-1 over the flat token array, per-bit segment-sum votes — values
-    identical to the per-row implementation."""
+    Horner hash64 over the flat token array (round 3: replaces SHA-1 so the
+    DuckDB oracle can recompute signatures exactly), per-bit segment-sum
+    votes — values identical to the per-row implementation."""
     from .text import _token_segments
 
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     flat, offsets = _token_segments(tbl[text_col])
-    th = hashing.sha1_first64_of_tokens(flat)  # == sha1(token)[:8], per-vocab
+    th = hashing.poly_hash64_of_tokens(flat)  # Horner hash64, per-vocab (SQL-expressible)
     ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
     out = np.zeros(len(ids), dtype=np.uint64)
     cs = np.empty(len(th) + 1, dtype=np.int64)
@@ -324,6 +330,105 @@ def simhash_query(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------- SQL duals (round 3)
+# Both signatures are now DuckDB-recomputable: token hash = the same Horner
+# hash64 the fingerprint oracle already walks (list_reduce over codepoints,
+# mod 2^64 in HUGEINT), gram windows/minhash perms/band buckets are plain
+# modular arithmetic, and the celebrity-bucket chain rule is a LEAD window.
+_W64 = 18446744073709551616  # 2^64
+_SQL_TOKEN_HASHES = """
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '\\S+'),
+      t -> list_reduce(
+             list_prepend(CAST(1 AS HUGEINT),
+               list_transform(string_split(t, ''),
+                              c -> CAST(unicode(c) AS HUGEINT))),
+             (x, y) -> (x * 1099511628211 + y) % 18446744073709551616)) AS th
+  FROM documents
+"""
+
+_SQL_BITS = ",".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+
+SIMHASH_ORACLE = f"""
+WITH tok AS ({_SQL_TOKEN_HASHES}),
+bits(b, pw) AS (VALUES {_SQL_BITS}),
+tt AS (SELECT doc_id, len(th) AS n, unnest(th) AS h FROM tok WHERE len(th) > 0),
+votes AS (
+  SELECT tt.doc_id, tt.n, bits.b, bits.pw,
+         sum(CASE WHEN (tt.h // bits.pw) % 2 = 1 THEN 1 ELSE 0 END) AS v
+  FROM tt CROSS JOIN bits GROUP BY tt.doc_id, tt.n, bits.b, bits.pw),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * v > n THEN pw ELSE 0::HUGEINT END) AS hu
+  FROM votes GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(sh.hu - CASE WHEN sh.hu >= 9223372036854775808
+                                  THEN 18446744073709551616 ELSE 0 END, 0)
+            AS BIGINT) AS simhash
+FROM tok t LEFT JOIN sh USING (doc_id)
+"""
+
+_SQL_PERMS = ",".join(
+    f"({p}, {int(_PERM_A[p])}::HUGEINT, {int(_PERM_B[p])}::HUGEINT)"
+    for p in range(N_PERM)
+)
+# match >= tau over N_PERM equality votes, computed exactly as the engine's
+# float mean: count/64.0 >= 0.60 (both sides exact doubles)
+MINHASH_NEAR_DUP_ORACLE = f"""
+WITH tok AS ({_SQL_TOKEN_HASHES}),
+perms(p, a, b) AS (VALUES {_SQL_PERMS}),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= {SHINGLE_W} THEN
+      list_transform(range(1, len(th) - 1),
+        i -> ((th[i] * {int(_G1)}) % {_W64}
+            + (th[i+1] * {int(_G2)}) % {_W64}
+            + (th[i+2] * {int(_G3)}) % {_W64}) % {_W64})
+    WHEN len(th) >= 1 THEN
+      [list_reduce(list_transform(th, h -> (h * {int(_G1)}) % {_W64}),
+                   (x, y) -> (x + y) % {_W64})]
+    ELSE [CAST(0 AS HUGEINT)] END AS gl
+  FROM tok),
+dg AS (
+  SELECT DISTINCT doc_id, (g % {_MERSENNE}) AS g
+  FROM (SELECT doc_id, unnest(gl) AS g FROM grams)),
+sigv AS (
+  SELECT dg.doc_id, perms.p,
+         min(((dg.g * perms.a + perms.b) % {_W64}) % {_MERSENNE}) AS s
+  FROM dg CROSS JOIN perms GROUP BY dg.doc_id, perms.p),
+sigl AS (SELECT doc_id, list(s ORDER BY p) AS sig FROM sigv GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, bb.band,
+         ((((sig[4*bb.band+1] * 1099511628211) % {_W64} + sig[4*bb.band+2])
+            * 1099511628211 % {_W64} + sig[4*bb.band+3])
+            * 1099511628211 % {_W64} + sig[4*bb.band+4]) % {_W64} AS bucket
+  FROM sigl CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) bb),
+bsz AS (SELECT band, bucket, count(*) AS k FROM bands GROUP BY band, bucket),
+normal AS (
+  SELECT l.doc_id AS li, r.doc_id AS ri
+  FROM bands l
+  JOIN bands r USING (band, bucket)
+  JOIN bsz USING (band, bucket)
+  WHERE k <= {MINHASH_BUCKET_CAP} AND l.doc_id < r.doc_id),
+chain AS (
+  SELECT doc_id AS li,
+         lead(doc_id) OVER (PARTITION BY band, bucket ORDER BY doc_id) AS ri
+  FROM bands JOIN bsz USING (band, bucket) WHERE k > {MINHASH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT li, ri FROM (
+    SELECT li, ri FROM normal
+    UNION ALL SELECT li, ri FROM chain WHERE ri IS NOT NULL)),
+ver AS (
+  SELECT cand.li, cand.ri
+  FROM cand
+  JOIN sigl sl ON sl.doc_id = cand.li
+  JOIN sigl sr ON sr.doc_id = cand.ri
+  WHERE len(list_filter(range(1, {N_PERM + 1}), i -> sl.sig[i] = sr.sig[i]))
+        / {float(N_PERM)} >= {MINHASH_TAU})
+SELECT CAST(li AS BIGINT) AS left_id, CAST(ri AS BIGINT) AS right_id FROM ver
+"""
 
 
 # ------------------------------------------------------ exact n-gram Jaccard
@@ -375,7 +480,8 @@ def _ngram_scored_pairs(sf_dir: str, limit: int, score_keep):
         """Distinct word-3-gram identities per doc, fully vectorized (round
         3 — replaces the per-row Python loop): one Arrow split_pattern(" ")
         (exact str.split(" ") semantics incl. empty tokens, matching the SQL
-        oracle's string_split), one batched SHA-1 over the flat token array,
+        oracle's string_split), one batched Horner hash64 over the flat token
+        array,
         windowed G1/G2/G3 gram hashes, per-row distinct via lexsort. Tokens
         cannot contain spaces, so (token triple) <-> (joined gram string) is
         bijective — this hash identity partitions grams exactly like the
@@ -389,7 +495,7 @@ def _ngram_scored_pairs(sf_dir: str, limit: int, score_keep):
             toks = toks.combine_chunks()
         offsets = np.asarray(toks.offsets).astype(np.int64)
         flat = toks.flatten()
-        th = hashing.sha1_first64_of_tokens(flat)
+        th = hashing.poly_hash64_of_tokens(flat)
         ntok = offsets[1:] - offsets[:-1]
         if len(th) < SHINGLE_W:
             return pa.table(

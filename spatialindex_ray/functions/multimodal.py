@@ -877,3 +877,148 @@ p AS (
 SELECT doc_id, CAST(bin AS BIGINT) AS bin, count(*) AS n_px
 FROM p GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------- image near-dup (ahash LSH)
+AHASH_DUP_MAX_HAMMING = 2
+_AHASH_DUP_BANDS = 4          # 4 x 16-bit bands: LOSSLESS for hamming <= 3
+_AHASH_DUP_SHARDS = 32
+
+
+def _synth_dup_pngs(tbl: pa.Table) -> pa.Table:
+    """Deterministic REAL-codec payloads with PLANTED near-duplicates:
+    pixel (y, x) = (m*(x + 2y + 3) + x*y) % 256 at 16x16 where m = doc_id %
+    250, and rows with doc_id >= 250 additionally bump one 2x2 block
+    ((m % 8, 3m % 8)) by +60 — so (i, i + 250) are near-identical images
+    whose ahashes differ by 0-2 bits for most pairs while distinct m values
+    stay far apart (435 distinct hashes / 500 docs). Every pixel is integer
+    arithmetic the SQL oracle replays exactly."""
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    yy, xx = np.mgrid[0:16, 0:16]
+    payloads = []
+    for did in ids:
+        m = int(did) % 250
+        g = (m * (xx + 2 * yy + 3) + xx * yy) % 256
+        if int(did) >= 250:
+            bx, by = m % 8, (m * 3) % 8
+            g = g.copy()
+            g[2 * by:2 * by + 2, 2 * bx:2 * bx + 2] = (
+                g[2 * by:2 * by + 2, 2 * bx:2 * bx + 2] + 60
+            ) % 256
+        payloads.append(encode_png(np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)))
+    return pa.table(
+        {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+    )
+
+
+def image_ahash_dup_query(sf_dir: str, max_hamming: int = AHASH_DUP_MAX_HAMMING):
+    """Image near-duplicate PAIR JOIN: hamming(ahash_l, ahash_r) <=
+    max_hamming over real PNG roundtrips, found by banded LSH on the 64-bit
+    ahash — 4 x 16-bit bands, so for max_hamming <= 3 the banding is
+    LOSSLESS by pigeonhole (<= 3 differing bits cannot touch all 4 bands)
+    and the SQL oracle is the pure pair semantics, not a re-walk of the
+    banding. Scale shape mirrors minhash LSH: only (band_key, doc_id,
+    ahash) shuffles — 20 bytes/row/band — grouped by a bounded shard key;
+    per-shard pairing is one vectorized pandas self-merge + popcount64
+    verify. At 10^12 images the band keys get salted by a hash prefix
+    exactly like dedup.py's celebrity cap; payload bytes never move."""
+    import ray
+
+    from ..kernels import hashing
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ah = ds.map_batches(
+        _synth_dup_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(AHash, batch_size=256, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+    def band_explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = tbl["ahash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = []
+        for b in range(_AHASH_DUP_BANDS):
+            key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bk = key * _AHASH_DUP_BANDS + b
+            with np.errstate(over="ignore"):
+                shard = (
+                    bk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ) % np.uint64(_AHASH_DUP_SHARDS)
+            parts.append(
+                pa.table(
+                    {
+                        "shard": pa.array(shard.astype(np.int64)),
+                        "bk": pa.array(bk),
+                        "doc_id": pa.array(ids),
+                        "ahash": tbl["ahash"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def pairs_in_shard(df):
+        import pandas as pd
+
+        sub = df[["bk", "doc_id", "ahash"]]
+        cand = sub.merge(sub, on="bk", suffixes=("_l", "_r"))
+        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        if len(cand) == 0:
+            return pd.DataFrame(
+                {"left_id": np.array([], dtype=np.int64),
+                 "right_id": np.array([], dtype=np.int64)}
+            )
+        x = cand["ahash_l"].to_numpy().astype(np.int64).view(np.uint64) ^ \
+            cand["ahash_r"].to_numpy().astype(np.int64).view(np.uint64)
+        keep = hashing.popcount64(x) <= max_hamming
+        return pd.DataFrame(
+            {
+                "left_id": cand["doc_id_l"].to_numpy()[keep],
+                "right_id": cand["doc_id_r"].to_numpy()[keep],
+            }
+        )
+
+    pairs = (
+        ah.map_batches(band_explode, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+    )
+    out = (
+        pairs.groupby(["left_id", "right_id"]).count()
+        .select_columns(["left_id", "right_id"])
+    )
+    return _typed_ahash_pairs(out)
+
+
+def _typed_ahash_pairs(ds):
+    def cast(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "left_id": tbl["left_id"].cast(pa.int64()),
+                "right_id": tbl["right_id"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow", batch_size=None)
+
+
+IMAGE_AHASH_DUP_ORACLE = f"""
+WITH d AS (SELECT doc_id, doc_id % 250 AS m FROM documents),
+px AS (
+  SELECT doc_id, x, y,
+    CASE WHEN doc_id >= 250 AND x // 2 = m % 8 AND y // 2 = (m * 3) % 8
+         THEN ((m * (x + 2 * y + 3) + x * y) % 256 + 60) % 256
+         ELSE (m * (x + 2 * y + 3) + x * y) % 256 END AS v
+  FROM d, unnest(range(0, 16)) AS ys(y), unnest(range(0, 16)) AS xs(x)),
+tot AS (SELECT doc_id, sum(v) AS ts FROM px GROUP BY 1),
+blk AS (SELECT doc_id, y // 2 AS by, x // 2 AS bx, sum(v) AS bs
+        FROM px GROUP BY 1, 2, 3),
+bits AS (SELECT blk.doc_id, by * 8 + bx AS idx,
+           CASE WHEN bs * 256 > ts * 4 THEN 1 ELSE 0 END AS bit
+         FROM blk JOIN tot USING (doc_id)),
+ah AS (SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0
+                                  WHEN idx = 63 THEN (-9223372036854775807 - 1)
+                                  ELSE 1::BIGINT << idx END) AS ahash
+       FROM bits GROUP BY doc_id)
+SELECT CAST(l.doc_id AS BIGINT) AS left_id, CAST(r.doc_id AS BIGINT) AS right_id
+FROM ah l, ah r
+WHERE l.doc_id < r.doc_id
+  AND bit_count(xor(l.ahash, r.ahash)) <= {AHASH_DUP_MAX_HAMMING}
+"""

@@ -1013,3 +1013,146 @@ g AS (
 SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
 """
+
+
+# ------------------------------------------------ sparse tf cosine pairs
+COSINE_DOC_LIMIT = 300   # bounded subset: keeps the all-pairs oracle tractable
+COSINE_TAU_NUM = 4       # tau = 4/5 = 0.8, compared in exact integers
+COSINE_TAU_DEN = 5
+
+
+def doc_cosine_pairs_query(sf_dir: str, limit: int = COSINE_DOC_LIMIT):
+    """Sparse TF-cosine similarity join via posting lists — the exact dual
+    of embedding ANN for bag-of-words vectors: explode (doc, term, tf),
+    shard by term hash, per-term pair partial products tf_l*tf_r, one
+    pair-keyed groupby-sum for the dot product, then an EXACT integer
+    cosine test (tau^2 * norm_l * norm_r <= tau_den^2 ... cross-multiplied:
+    25*dot^2 >= 16*nl*nr for tau=0.8) — no sqrt, no float, hash-identical
+    to SQL. Bounded to doc_id < limit by spec (all-pairs oracle); at corpus
+    scale the same pipeline runs behind a df-cap prefilter exactly like
+    term_postings' cap. Products stay far under int64 at the bound
+    (dot <= sum tf^2 ~ 1e5 -> 25*dot^2 ~ 2.5e11)."""
+    import ray
+    import pandas as pd
+
+    from .. import ops as _ops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def filter_subset(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.less(tbl["doc_id"], limit))
+
+    sub = ds.map_batches(filter_subset, batch_format="pyarrow", batch_size=None)
+    n_shards = 32
+
+    def tf_explode(tbl: pa.Table) -> pa.Table:
+        flat, offsets = _token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(ids, np.diff(offsets))
+        df = pd.DataFrame({"doc_id": doc_rep, "term": flat.to_pandas()})
+        g = df.groupby(["doc_id", "term"], as_index=False).size()
+        terms = pa.array(g["term"].to_numpy(dtype=object))
+        shard = (_ops.hash64_strings(terms) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+                "tf": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    tf = sub.map_batches(tf_explode, batch_format="pyarrow", batch_size=None)
+
+    # per-doc squared norms: tf is per-doc-per-term final (each doc's text
+    # lives in one row), so one small groupby-sum; the bounded subset makes
+    # the norm table a driver-sized broadcast
+    def norm_partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(["doc_id", "tf"])
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k, inv = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(k), dtype=np.int64)
+        np.add.at(s, inv, v * v)
+        return pa.table({"doc_id": pa.array(k), "n2": pa.array(s)})
+
+    norms = (
+        tf.map_batches(norm_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .sum("n2")
+        .to_pandas()
+    )
+    no = np.argsort(norms["doc_id"].to_numpy().astype(np.int64))
+    nk = norms["doc_id"].to_numpy().astype(np.int64)[no]
+    nv = norms["sum(n2)"].to_numpy().astype(np.int64)[no]
+    import ray as _ray
+
+    nref = _ray.put((nk, nv))
+
+    def pair_partials(tbl: pa.Table) -> pa.Table:
+        t = _ops._drop_shard(tbl)
+        if t.num_rows == 0 or "term" not in t.schema.names:
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas()
+        cand = df.merge(df, on="term", suffixes=("_l", "_r"))
+        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        out = pd.DataFrame(
+            {
+                "left_id": cand["doc_id_l"].to_numpy(),
+                "right_id": cand["doc_id_r"].to_numpy(),
+                "partial": (cand["tf_l"] * cand["tf_r"]).to_numpy(),
+            }
+        )
+        g = out.groupby(["left_id", "right_id"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dots = _ops.hash_exchange(tf, "_shard", n_shards, pair_partials)
+    agg = dots.groupby(["left_id", "right_id"]).sum("partial")
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "left_id" not in tbl.schema.names:
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64()),
+                 "dot": pa.array([], pa.int64())}
+            )
+        keys, n2 = _ray.get(nref)
+        li = tbl["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = tbl["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dot = tbl["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = n2[np.searchsorted(keys, li)]
+        nr = n2[np.searchsorted(keys, ri)]
+        keep = (COSINE_TAU_DEN * COSINE_TAU_DEN) * dot * dot >= (
+            COSINE_TAU_NUM * COSINE_TAU_NUM
+        ) * nl * nr
+        return pa.table(
+            {"left_id": pa.array(li[keep]), "right_id": pa.array(ri[keep]),
+             "dot": pa.array(dot[keep])}
+        )
+
+    return agg.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+DOC_COSINE_PAIRS_ORACLE = rf"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents WHERE doc_id < {COSINE_DOC_LIMIT})
+  GROUP BY 1, 2),
+n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         sum(l.tf * r.tf) AS dot
+  FROM tf l JOIN tf r ON l.term = r.term AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT d.left_id, d.right_id, CAST(d.dot AS BIGINT) AS dot
+FROM dots d JOIN n2 a ON a.doc_id = d.left_id JOIN n2 b ON b.doc_id = d.right_id
+WHERE {COSINE_TAU_DEN * COSINE_TAU_DEN} * d.dot * d.dot
+      >= {COSINE_TAU_NUM * COSINE_TAU_NUM} * a.n2 * b.n2
+"""
