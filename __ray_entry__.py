@@ -15403,6 +15403,391 @@ WHERE l.user_id < r.user_id
 """
 
 
+# --------------------------------------------------------------- wave 49
+PARETO_NUM = 4
+PARETO_DEN = 5  # smallest head of customers covering >= 4/5 of revenue
+
+
+def _revenue_pareto(sf_dir):
+    """Pareto coverage point ("how concentrated is revenue?"): the smallest
+    number of top customers whose summed revenue reaches 80% of the total,
+    plus the exact revenue they cover. Per-customer totals fold in one
+    exchange; the descending cumulative is the two-pass distributed prefix
+    scan (ops.prefix_sum over the NEGATED cents as order key); the boundary
+    test 5*prefix < 4*total is exact integers and TIE-INVARIANT — equal
+    revenues are interchangeable, so the count/cover sums are independent
+    of how the scan breaks ties."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        k, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(k), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"c": pa.array(k), "cents": pa.array(s)})
+
+    rev = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c")
+        .sum("cents")
+    )
+
+    def neg_order(tbl: pa.Table) -> pa.Table:
+        cents = tbl["sum(cents)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array(cents), "neg": pa.array(-cents)})
+
+    keyed = rev.map_batches(neg_order, batch_format="pyarrow", batch_size=None)
+    total = int(keyed.sum("cents"))
+    scanned = ops.prefix_sum(keyed, order_col="neg", value_col="cents")
+
+    def boundary(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "prefix" not in tbl.schema.names:
+            z = np.array([0], dtype=np.int64)
+            return pa.table({"one": pa.array(z + 1), "n": pa.array(z), "cov": pa.array(z)})
+        pfx = tbl["prefix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        need = PARETO_DEN * pfx < PARETO_NUM * total
+        return pa.table(
+            {
+                "one": pa.array(np.array([1], dtype=np.int64)),
+                "n": pa.array(np.array([int(need.sum())], dtype=np.int64)),
+                "cov": pa.array(np.array([int(cents[need].sum())], dtype=np.int64)),
+            }
+        )
+
+    out = (
+        scanned.map_batches(boundary, batch_format="pyarrow", batch_size=None)
+        .groupby("one")
+        .sum(["n", "cov"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_customers": tbl["sum(n)"].cast(pa.int64()),
+                "covered_cents": tbl["sum(cov)"].cast(pa.int64()),
+                "total_cents": pa.array(
+                    np.full(tbl.num_rows, total, dtype=np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+REVENUE_PARETO_ORACLE = f"""
+WITH r AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1),
+t AS (SELECT sum(c) AS tot FROM r),
+w AS (
+  SELECT c, sum(c) OVER (ORDER BY c DESC, o_custkey
+                         ROWS UNBOUNDED PRECEDING) - c AS pfx
+  FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(w.c) AS BIGINT) AS covered_cents,
+       CAST(max(t.tot) AS BIGINT) AS total_cents
+FROM w, t WHERE {PARETO_DEN} * w.pfx < {PARETO_NUM} * t.tot
+"""
+
+DECILE_SPLIT = "1998-01-01"
+DECILE_K = 10
+
+
+def _decile_transition(sf_dir):
+    """Customer revenue-decile migration matrix between two periods (orders
+    before vs since DECILE_SPLIT): per period, rank customers by (revenue,
+    custkey) through the shared window_rank exchange — PARTITIONED BY
+    PERIOD, so both ranking passes ride ONE exchange — bucket with the
+    exact-integer ntile formula (rank-1)*10 // n + 1, then a customer-keyed
+    equi-join of the two period tables and a 10x10 groupby count. The
+    output is the classic cohort-migration heatmap, every step exact."""
+    import ray
+
+    split = np.datetime64(DECILE_SPLIT).astype("datetime64[us]").astype(np.int64)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        od = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"period": np.where(od < split, 0, 1), "c_custkey": ck, "cents": cents}
+        )
+        g = df.groupby(["period", "c_custkey"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["period", "c_custkey"])
+        .sum("cents")
+    )
+
+    def clean(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "period": tbl["period"].cast(pa.int64()),
+                "c_custkey": tbl["c_custkey"].cast(pa.int64()),
+                "cents": tbl["sum(cents)"].cast(pa.int64()),
+            }
+        )
+
+    rev = rev.map_batches(clean, batch_format="pyarrow", batch_size=None)
+    ranked = ops.window_rank(
+        rev, part_col="period", order_col="cents", tiebreak_col="c_custkey",
+        rank_col="rk", part_size_col="n", n_shards=8,
+    )
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "rk" not in tbl.schema.names:
+            return pa.table(
+                {"period": pa.array([], pa.int64()),
+                 "c_custkey": pa.array([], pa.int64()),
+                 "dec": pa.array([], pa.int64())}
+            )
+        rk = tbl["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "period": tbl["period"],
+                "c_custkey": tbl["c_custkey"],
+                "dec": pa.array((rk - 1) * DECILE_K // n + 1),
+            }
+        )
+
+    dec = ranked.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+    a = dec.filter(expr="period == 0").select_columns(["c_custkey", "dec"])
+    b = dec.filter(expr="period == 1").select_columns(["c_custkey", "dec"])
+
+    def rn(col):
+        def f(tbl: pa.Table) -> pa.Table:
+            return tbl.rename_columns(["c_custkey", col])
+
+        return f
+
+    a = a.map_batches(rn("dec_before"), batch_format="pyarrow", batch_size=None)
+    b = b.map_batches(rn("dec_after"), batch_format="pyarrow", batch_size=None)
+    j = ops.equi_join(a, b, on="c_custkey")
+    out = j.groupby(["dec_before", "dec_after"]).count()
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dec_before": tbl["dec_before"].cast(pa.int64()),
+                "dec_after": tbl["dec_after"].cast(pa.int64()),
+                "n_customers": tbl["count()"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+DECILE_TRANSITION_ORACLE = f"""
+WITH rev AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{DECILE_SPLIT}' THEN 0 ELSE 1 END
+           AS period,
+         o_custkey AS c_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT period, c_custkey,
+         row_number() OVER (PARTITION BY period
+                            ORDER BY cents, c_custkey) AS rk,
+         count(*) OVER (PARTITION BY period) AS n
+  FROM rev),
+d AS (SELECT period, c_custkey,
+             (rk - 1) * {DECILE_K} // n + 1 AS dec FROM r)
+SELECT CAST(a.dec AS BIGINT) AS dec_before, CAST(b.dec AS BIGINT) AS dec_after,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM d a JOIN d b ON a.c_custkey = b.c_custkey
+WHERE a.period = 0 AND b.period = 1
+GROUP BY 1, 2
+"""
+
+NEAREST_FROM_TYPE = "error"
+NEAREST_TO_TYPE = "click"
+
+
+def _nearest_event_join(sf_dir):
+    """Nearest-in-time join (the symmetric cousin of as-of): for each
+    'error' event, the same user's 'click' whose timestamp is CLOSEST in
+    either direction — tie broken toward the earlier click, then the lower
+    event_id. Per-user sorted click arrays meet the error stream in a
+    user-keyed exchange; inside a shard it is two searchsorted probes
+    (predecessor + successor) per error, vectorized — never a time-window
+    blowup. Errors whose user has no click drop (inner semantics)."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def split(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(
+            tbl["event_type"],
+            value_set=pa.array([NEAREST_FROM_TYPE, NEAREST_TO_TYPE]),
+        )
+        t = tbl.filter(m)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "is_from": pc.equal(t["event_type"], NEAREST_FROM_TYPE),
+                "ts": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    both = ev.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+    def per_user(df):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"event_id": np.array([], dtype=np.int64),
+             "nearest_click": np.array([], dtype=np.int64),
+             "dt_us": np.array([], dtype=np.int64)}
+        )
+        fr = df[df["is_from"]]
+        to = df[~df["is_from"]]
+        if len(fr) == 0 or len(to) == 0:
+            return empty
+        # clicks sorted by (ts, event_id): ties toward lower event_id
+        to = to.sort_values(["ts", "event_id"], kind="mergesort")
+        cts = to["ts"].to_numpy()
+        cid = to["event_id"].to_numpy()
+        ets = fr["ts"].to_numpy()
+        pos = np.searchsorted(cts, ets)  # first click with ts >= error ts
+        prev = np.clip(pos - 1, 0, len(cts) - 1)
+        # duplicate click timestamps: the whole equal-ts run ties on |dt|,
+        # and the LOWEST event_id must win (clicks sorted by (ts, id), so
+        # that is the run's FIRST index, not the last one searchsorted hit)
+        prev = np.searchsorted(cts, cts[prev], side="left")
+        nxt = np.clip(pos, 0, len(cts) - 1)
+        d_prev = np.abs(ets - cts[prev])
+        d_next = np.abs(cts[nxt] - ets)
+        has_prev = pos > 0
+        has_next = pos < len(cts)
+        d_prev = np.where(has_prev, d_prev, np.int64(2**62))
+        d_next = np.where(has_next, d_next, np.int64(2**62))
+        # tie -> earlier click; the prev candidate is never later than next
+        take_prev = d_prev <= d_next
+        best = np.where(take_prev, prev, nxt)
+        return pd.DataFrame(
+            {
+                "event_id": fr["event_id"].to_numpy(),
+                "nearest_click": cid[best],
+                "dt_us": np.minimum(d_prev, d_next),
+            }
+        )
+
+    return both.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+NEAREST_EVENT_ORACLE = f"""
+SELECT e.event_id,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = '{NEAREST_TO_TYPE}'
+        ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)), c.ts, c.event_id
+        LIMIT 1) AS nearest_click,
+       (SELECT min(abs(epoch_us(c.ts) - epoch_us(e.ts))) FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = '{NEAREST_TO_TYPE}')
+         AS dt_us
+FROM events e
+WHERE e.event_type = '{NEAREST_FROM_TYPE}'
+  AND EXISTS (SELECT 1 FROM events c
+              WHERE c.user_id = e.user_id
+                AND c.event_type = '{NEAREST_TO_TYPE}')
+"""
+
+
+# --------------------------------------------------------------- wave 50
+KNN_CLASSIFY_K = 7
+KNN_CLASSIFY_QUERIES = [
+    (0, 10.0, 10.0), (1, 200.0, -45.0), (2, 310.5, 72.0),
+    (3, 45.0, -60.0), (4, 120.0, 30.0), (5, 355.0, 5.0),
+]
+
+
+def _spatial_knn_classify(sf_dir):
+    """kNN majority-vote classification — the spatial ML primitive: each
+    query point takes the modal ``lang`` label among its KNN_CLASSIFY_K
+    nearest documents (ties: higher count, then lexicographically smaller
+    label). The neighbor search is the distributed brute kNN (broadcast
+    query matrix, per-batch top-k, distributed topk_reduce); the label
+    lookup BROADCASTS the tiny Q*k neighbor table into the pruned
+    documents stream (never the reverse); the vote is a Q x L groupby."""
+    import ray
+
+    ds = _docs_encoded(sf_dir)
+    top = ops.knn(ds, KNN_CLASSIFY_QUERIES, KNN_CLASSIFY_K)
+    top_ds = ray.data.from_arrow(
+        top.select(["query_id", "doc_id"]) if hasattr(top, "select") else top
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    lab = ops.equi_join(docs, top_ds, on="doc_id", broadcast="right")
+    votes = lab.groupby(["query_id", "lang"]).count().to_pandas()
+    votes = votes.rename(columns={"count()": "votes"})
+    votes = votes.sort_values(
+        ["query_id", "votes", "lang"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    best = votes.groupby("query_id", as_index=False).first()
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "query_id": best["query_id"].astype("int64"),
+            "pred_lang": best["lang"],
+            "votes": best["votes"].astype("int64"),
+        }
+    )
+
+
+def _spatial_knn_classify_oracle():
+    parts = []
+    for qid, qlon, qlat in KNN_CLASSIFY_QUERIES:
+        qv = ops.xyz_from_lonlat(np.array([qlon]), np.array([qlat]))[0]
+        qx, qy, qz = (f"({_d(c)})" for c in qv)
+        parts.append(
+            f"""
+(SELECT {qid} AS query_id, doc_id,
+  CAST(row_number() OVER (
+    ORDER BY (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}) + (z-{qz})*(z-{qz}),
+             doc_id) AS BIGINT) AS rank
+FROM n QUALIFY rank <= {KNN_CLASSIFY_K})"""
+        )
+    return (
+        _xyz_sql()
+        + ", top AS ("
+        + " UNION ALL ".join(parts)
+        + """)
+SELECT query_id, lang AS pred_lang, CAST(count(*) AS BIGINT) AS votes
+FROM top JOIN documents USING (doc_id)
+GROUP BY query_id, lang
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY count(*) DESC, lang) = 1
+"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -15712,6 +16097,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _q15_top_supplier,
         "doc_cosine_pairs": textfn.doc_cosine_pairs_query,
         "user_type_jaccard": _user_type_jaccard,
+        # --- wave 49 ---
+        "revenue_pareto": _revenue_pareto,
+        "decile_transition": _decile_transition,
+        "nearest_event_join": _nearest_event_join,
+        # --- wave 50 ---
+        "bpe_top_merges": textfn.bpe_top_merges_query,
+        "spatial_knn_classify": _spatial_knn_classify,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -15974,6 +16366,13 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": Q15_ORACLE,
         "doc_cosine_pairs": textfn.DOC_COSINE_PAIRS_ORACLE,
         "user_type_jaccard": JACCARD_ORACLE,
+        # --- wave 49 ---
+        "revenue_pareto": REVENUE_PARETO_ORACLE,
+        "decile_transition": DECILE_TRANSITION_ORACLE,
+        "nearest_event_join": NEAREST_EVENT_ORACLE,
+        # --- wave 50 ---
+        "bpe_top_merges": textfn.BPE_TOP_MERGES_ORACLE,
+        "spatial_knn_classify": _spatial_knn_classify_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -1156,3 +1156,76 @@ FROM dots d JOIN n2 a ON a.doc_id = d.left_id JOIN n2 b ON b.doc_id = d.right_id
 WHERE {COSINE_TAU_DEN * COSINE_TAU_DEN} * d.dot * d.dot
       >= {COSINE_TAU_NUM * COSINE_TAU_NUM} * a.n2 * b.n2
 """
+
+
+# ----------------------------------------------- BPE merge-step statistics
+BPE_TOP_K = 20
+
+
+def bpe_top_merges_query(sf_dir: str, k: int = BPE_TOP_K):
+    """The first step of BPE tokenizer training, distributed: corpus-wide
+    counts of ADJACENT CHARACTER PAIRS inside whitespace tokens (the pair a
+    byte-pair encoder would merge first), top-k with a deterministic
+    (count DESC, pair ASC) tie-break. Per batch it is ONE np.bincount over
+    the 65536-slot pair space computed straight off the flat Arrow token
+    buffer (pair code = byte*256 + byte); only the nonzero (pair, count)
+    rows — a few thousand — enter the groupby, so the shuffle is
+    vocabulary-of-pairs sized no matter the corpus. ASCII corpus contract:
+    pair codes order exactly like the SQL oracle's (char, char) strings."""
+    import ray
+
+    from ..kernels import hashing as _hashing
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        flat, offsets = _token_segments(tbl["text"])
+        data, toff = _hashing.arrow_string_buffer(flat)
+        if len(data) == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        codes = data[:-1].astype(np.int64) * 256 + data[1:].astype(np.int64)
+        # drop pairs that straddle a token boundary: the pair at position i
+        # spans bytes (i, i+1), invalid exactly when i+1 starts a new token
+        # (toff is strictly increasing over nonempty tokens, so interior
+        # boundaries are in [1, len(data) - 1])
+        valid = np.ones(len(data) - 1, dtype=bool)
+        valid[toff[1:-1] - 1] = False
+        counts = np.bincount(codes[valid], minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"pair": pa.array(nz.astype(np.int64)),
+             "n": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .sum("n")
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(n)": "n"})
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+    top = agg.head(k)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "a": [chr(int(p) // 256) for p in top["pair"]],
+            "b": [chr(int(p) % 256) for p in top["pair"]],
+            "n": top["n"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+BPE_TOP_MERGES_ORACLE = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+pr AS (
+  SELECT substring(t, i, 1) AS a, substring(t, i + 1, 1) AS b
+  FROM tok, unnest(range(1, length(t))) AS r(i)),
+c AS (SELECT a, b, count(*) AS n FROM pr GROUP BY 1, 2)
+SELECT a, b, CAST(n AS BIGINT) AS n FROM c
+ORDER BY n DESC, a, b LIMIT {BPE_TOP_K}
+"""
