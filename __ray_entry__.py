@@ -15653,50 +15653,77 @@ def _nearest_event_join(sf_dir):
             }
         )
 
-    both = ev.map_batches(split, batch_format="pyarrow", batch_size=None)
+    n_shards = 32
 
-    def per_user(df):
-        import pandas as pd
-
-        empty = pd.DataFrame(
-            {"event_id": np.array([], dtype=np.int64),
-             "nearest_click": np.array([], dtype=np.int64),
-             "dt_us": np.array([], dtype=np.int64)}
+    def tag(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column(
+            "_shard", pa.array(((u % n_shards) + n_shards) % n_shards)
         )
-        fr = df[df["is_from"]]
-        to = df[~df["is_from"]]
-        if len(fr) == 0 or len(to) == 0:
+
+    both = ev.map_batches(split, batch_format="pyarrow", batch_size=None)
+    tagged = both.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def per_shard(tbl: pa.Table) -> pa.Table:
+        """ALL users of a shard in one vectorized pass (round-3 refactor:
+        per-user map_groups is one task per user — pathological at millions
+        of users). Clicks sort by (user, ts, id); the probe key packs
+        (dense user rank, ts offset) into one int64 so a single
+        np.searchsorted serves every error at once; out-of-slice probes
+        are detected by comparing the neighbor's user rank."""
+        t = ops._drop_shard(tbl)
+        empty = pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "nearest_click": pa.array([], pa.int64()),
+             "dt_us": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "is_from" not in t.schema.names:
             return empty
-        # clicks sorted by (ts, event_id): ties toward lower event_id
-        to = to.sort_values(["ts", "event_id"], kind="mergesort")
-        cts = to["ts"].to_numpy()
-        cid = to["event_id"].to_numpy()
-        ets = fr["ts"].to_numpy()
-        pos = np.searchsorted(cts, ets)  # first click with ts >= error ts
-        prev = np.clip(pos - 1, 0, len(cts) - 1)
-        # duplicate click timestamps: the whole equal-ts run ties on |dt|,
-        # and the LOWEST event_id must win (clicks sorted by (ts, id), so
-        # that is the run's FIRST index, not the last one searchsorted hit)
-        prev = np.searchsorted(cts, cts[prev], side="left")
-        nxt = np.clip(pos, 0, len(cts) - 1)
-        d_prev = np.abs(ets - cts[prev])
-        d_next = np.abs(cts[nxt] - ets)
-        has_prev = pos > 0
-        has_next = pos < len(cts)
-        d_prev = np.where(has_prev, d_prev, np.int64(2**62))
-        d_next = np.where(has_next, d_next, np.int64(2**62))
-        # tie -> earlier click; the prev candidate is never later than next
-        take_prev = d_prev <= d_next
+        isf = t["is_from"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if isf.all() or not isf.any():
+            return empty
+        # dense user ranks + packed keys: rank * span + (ts - ts_min) + 1;
+        # span fits int64 for any shard (ranks <= rows, ts span bounded)
+        users = np.unique(uid)
+        rank = np.searchsorted(users, uid)
+        tmin = ts.min()
+        span = np.int64(ts.max() - tmin + 2)
+        assert int(len(users)) * int(span) < (1 << 62), "key space overflow"
+        key = rank * span + (ts - tmin) + 1
+        c = ~isf
+        corder = np.lexsort((eid[c], key[c]))  # (user, ts, event_id)
+        ckey = key[c][corder]
+        cid = eid[c][corder]
+        crank = rank[c][corder]
+        cts = ts[c][corder]
+        ekey = key[isf]
+        pos = np.searchsorted(ckey, ekey)  # first click key >= error key
+        prev = np.clip(pos - 1, 0, len(ckey) - 1)
+        # equal-ts click runs: lowest event_id (run's first index) wins
+        prev = np.searchsorted(ckey, ckey[prev], side="left")
+        nxt = np.clip(pos, 0, len(ckey) - 1)
+        erank = rank[isf]
+        ets = ts[isf]
+        has_prev = (pos > 0) & (crank[prev] == erank)
+        has_next = (pos < len(ckey)) & (crank[nxt] == erank)
+        far = np.int64(2**62)
+        d_prev = np.where(has_prev, np.abs(ets - cts[prev]), far)
+        d_next = np.where(has_next, np.abs(cts[nxt] - ets), far)
+        take_prev = d_prev <= d_next  # tie -> earlier click
         best = np.where(take_prev, prev, nxt)
-        return pd.DataFrame(
+        keep = has_prev | has_next
+        return pa.table(
             {
-                "event_id": fr["event_id"].to_numpy(),
-                "nearest_click": cid[best],
-                "dt_us": np.minimum(d_prev, d_next),
+                "event_id": pa.array(eid[isf][keep]),
+                "nearest_click": pa.array(cid[best][keep]),
+                "dt_us": pa.array(np.minimum(d_prev, d_next)[keep]),
             }
         )
 
-    return both.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ops.hash_exchange(tagged, "_shard", n_shards, per_shard)
 
 
 NEAREST_EVENT_ORACLE = f"""
@@ -15786,6 +15813,258 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY count(*) DESC, lang) = 1
 """
     )
+
+
+# --------------------------------------------------------------- wave 51
+BACKLOG_WINDOW_DAYS = 30
+
+
+def _orders_backlog(sf_dir):
+    """Daily open-order backlog via interval differencing — the sweep-line
+    scan pattern: each order contributes +1 on its order day and -1 on
+    day + BACKLOG_WINDOW_DAYS; per-batch deltas fold with np.bincount over
+    the day grid, one day-keyed groupby sums them, and the running backlog
+    is the two-pass distributed prefix scan over days. The shuffle carries
+    one row per (batch, active day), never per order."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def deltas(tbl: pa.Table) -> pa.Table:
+        od = (
+            tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        lo = od.min()
+        # opens and closes stay SEPARATE rows (both always positive): a day
+        # whose opens and closes cancel inside one batch must still reach
+        # the groupby, because the output's day domain is "any day touched
+        # by an open or close" — the same domain the SQL dual's UNION ALL
+        # produces — not "days with nonzero net delta in some batch"
+        opens = np.bincount(od - lo)
+        closes = np.bincount(od - lo)
+        onz = np.flatnonzero(opens)
+        cnz = np.flatnonzero(closes)
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([onz + lo, cnz + lo + BACKLOG_WINDOW_DAYS])
+                ),
+                "delta": pa.array(
+                    np.concatenate([opens[onz], -closes[cnz]]).astype(np.int64)
+                ),
+            }
+        )
+
+    day_deltas = (
+        orders.map_batches(deltas, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .sum("delta")
+    )
+
+    def clean(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": tbl["day"].cast(pa.int64()),
+                "delta": tbl["sum(delta)"].cast(pa.int64()),
+            }
+        )
+
+    day_deltas = day_deltas.map_batches(clean, batch_format="pyarrow", batch_size=None)
+    scanned = ops.prefix_sum(day_deltas, order_col="day", value_col="delta")
+
+    def backlog(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "prefix" not in tbl.schema.names:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "backlog": pa.array([], pa.int64())}
+            )
+        # prefix is EXCLUSIVE; day keys are unique after the groupby, so
+        # inclusive backlog at end of `day` = prefix + delta
+        return pa.table(
+            {
+                "day": tbl["day"],
+                "backlog": pa.array(
+                    tbl["prefix"].to_numpy(zero_copy_only=False)
+                    + tbl["delta"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    return scanned.map_batches(backlog, batch_format="pyarrow", batch_size=None)
+
+
+ORDERS_BACKLOG_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS od
+  FROM orders),
+delta AS (
+  SELECT od AS day, count(*) AS delta FROM d GROUP BY 1
+  UNION ALL
+  SELECT od + {BACKLOG_WINDOW_DAYS} AS day, -count(*) AS delta
+  FROM d GROUP BY od),
+g AS (SELECT day, sum(delta) AS delta FROM delta GROUP BY 1)
+SELECT day, CAST(sum(delta) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog
+FROM g
+"""
+
+RFM_K = 4  # quartiles
+
+
+def _rfm_segments(sf_dir):
+    """RFM customer segmentation — three exact quartile ranks through ONE
+    window_rank exchange: per-customer (recency = last order day,
+    frequency = order count, monetary = revenue cents) MELT into
+    (measure, c_custkey, value) rows, rank with part_col=measure (the
+    period trick from decile_transition generalized to three measures),
+    bucket with the exact ntile formula, re-assemble the 3-digit code
+    r*100 + f*10 + m with two tiny customer-keyed joins, and count
+    customers per code."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (
+            tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": ck, "r": od, "f": 1, "m": cents})
+        g = df.groupby("c_custkey", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .aggregate(
+            ray.data.aggregate.Max("r"),
+            ray.data.aggregate.Sum("f"),
+            ray.data.aggregate.Sum("m"),
+        )
+    )
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        ck = tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = [("max(r)", 0), ("sum(f)", 1), ("sum(m)", 2)]
+        parts = []
+        for col, mid in cols:
+            parts.append(
+                pa.table(
+                    {
+                        "measure": pa.array(np.full(len(ck), mid, dtype=np.int64)),
+                        "c_custkey": pa.array(ck),
+                        "value": tbl[col].cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    melted = per_cust.map_batches(melt, batch_format="pyarrow", batch_size=None)
+    ranked = ops.window_rank(
+        melted, part_col="measure", order_col="value", tiebreak_col="c_custkey",
+        rank_col="rk", part_size_col="n", n_shards=8,
+    )
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "rk" not in tbl.schema.names:
+            return pa.table(
+                {"measure": pa.array([], pa.int64()),
+                 "c_custkey": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        rk = tbl["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "measure": tbl["measure"],
+                "c_custkey": tbl["c_custkey"],
+                "q": pa.array((rk - 1) * RFM_K // n + 1),
+            }
+        )
+
+    q = ranked.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+
+    def weigh(tbl: pa.Table) -> pa.Table:
+        mid = tbl["measure"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qv = tbl["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.select([mid == 0, mid == 1], [100, 10], 1)
+        return pa.table(
+            {"c_custkey": tbl["c_custkey"], "part": pa.array(qv * w)}
+        )
+
+    code = (
+        q.map_batches(weigh, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .sum("part")
+    )
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        v = tbl["sum(part)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"rfm_code": pa.array(k), "n": pa.array(c.astype(np.int64))}
+        )
+
+    out = (
+        code.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("rfm_code")
+        .sum("n")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rfm_code": tbl["rfm_code"].cast(pa.int64()),
+                "n_customers": tbl["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+RFM_SEGMENTS_ORACLE = f"""
+WITH cust AS (
+  SELECT o_custkey AS c_custkey,
+         max(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY 1),
+melted AS (
+  SELECT 0 AS measure, c_custkey, r AS value FROM cust
+  UNION ALL SELECT 1, c_custkey, f FROM cust
+  UNION ALL SELECT 2, c_custkey, m FROM cust),
+rk AS (
+  SELECT measure, c_custkey,
+         row_number() OVER (PARTITION BY measure
+                            ORDER BY value, c_custkey) AS rk,
+         count(*) OVER (PARTITION BY measure) AS n
+  FROM melted),
+q AS (SELECT measure, c_custkey,
+             (rk - 1) * {RFM_K} // n + 1 AS q FROM rk),
+code AS (
+  SELECT c_custkey,
+         sum(q * CASE measure WHEN 0 THEN 100 WHEN 1 THEN 10 ELSE 1 END)
+           AS rfm_code
+  FROM q GROUP BY 1)
+SELECT CAST(rfm_code AS BIGINT) AS rfm_code,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM code GROUP BY 1
+"""
 
 
 def entry() -> Any:
@@ -16104,6 +16383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 50 ---
         "bpe_top_merges": textfn.bpe_top_merges_query,
         "spatial_knn_classify": _spatial_knn_classify,
+        # --- wave 51 ---
+        "orders_backlog": _orders_backlog,
+        "rfm_segments": _rfm_segments,
+        # --- wave 52 ---
+        "prefix_containment": dedup.prefix_containment_query,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -16373,6 +16657,11 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 50 ---
         "bpe_top_merges": textfn.BPE_TOP_MERGES_ORACLE,
         "spatial_knn_classify": _spatial_knn_classify_oracle(),
+        # --- wave 51 ---
+        "orders_backlog": ORDERS_BACKLOG_ORACLE,
+        "rfm_segments": RFM_SEGMENTS_ORACLE,
+        # --- wave 52 ---
+        "prefix_containment": dedup.PREFIX_CONTAINMENT_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -995,3 +995,153 @@ SELECT a.doc_id AS left_id, b.doc_id AS right_id
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.slug, b.slug) <= 1
 """
+
+
+# ------------------------------------------------- prefix containment dedup
+PREFIX_DOC_LIMIT = 400   # bounded subset: keeps the all-pairs oracle tractable
+PREFIX_MIN_CHARS = 20    # ignore trivial short prefixes
+
+_PB = np.uint64(1099511628211)                      # poly_hash64 base (odd)
+_PB_INV = np.uint64(pow(1099511628211, -1, 1 << 64))  # exact inverse mod 2^64
+
+
+def prefix_containment_query(sf_dir: str, limit: int = PREFIX_DOC_LIMIT,
+                             min_chars: int = PREFIX_MIN_CHARS):
+    """Prefix-containment dedup — catches truncation duplicates (a doc that
+    is byte-for-byte a PREFIX of a longer doc: snippets, pagination cuts,
+    re-crawls of partial pages) that whole-text exact dedup misses.
+
+    Vectorized prefix hashing: poly_hash64 of EVERY prefix of a row comes
+    from one cumulative sum, because the base is odd and therefore
+    invertible mod 2^64 — h(prefix k) = B^k + B^(k-1) * (CS[o+k] - CS[o])
+    where CS = cumsum(byte_j * B^(-j_rel)), all in wrapping uint64. The
+    probe evaluates only at the DISTINCT short-doc lengths (a loop over a
+    few hundred lengths, each fully vectorized across rows), and matches
+    against the broadcast (length, full_hash) short-side table. Hash
+    equality at equal length stands in for string equality; the SQL oracle
+    compares the strings themselves, so a collision would surface as a
+    gate mismatch. Bounded to doc_id < limit by spec."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def filter_subset(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.less(tbl["doc_id"], limit))
+
+    sub = ds.map_batches(filter_subset, batch_format="pyarrow", batch_size=None)
+
+    def full_hash(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hashing.poly_hash64_of_column(tbl["text"])
+        ln = pc.binary_length(tbl["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ln >= min_chars
+        return pa.table(
+            {
+                "plen": pa.array(ln[keep]),
+                "ph": pa.array(h[keep].view(np.int64)),
+                "short_id": pa.array(ids[keep]),
+            }
+        )
+
+    # bounded subset => the short-side (plen, hash, id) table broadcasts
+    sp = sub.map_batches(full_hash, batch_format="pyarrow", batch_size=None).to_pandas()
+    order = np.lexsort(
+        (sp["short_id"].to_numpy(), sp["ph"].to_numpy(), sp["plen"].to_numpy())
+    )
+    s_len = sp["plen"].to_numpy().astype(np.int64)[order]
+    s_h = sp["ph"].to_numpy().astype(np.int64)[order]
+    s_id = sp["short_id"].to_numpy().astype(np.int64)[order]
+    import ray as _ray
+
+    ref = _ray.put((s_len, s_h, s_id))
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        sl, sh, sid = _ray.get(ref)
+        data, offsets = hashing.arrow_string_buffer(tbl["text"].combine_chunks())
+        offsets = offsets.astype(np.int64)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_s, out_l = [], []
+        if len(data) and len(sl):
+            lens = offsets[1:] - offsets[:-1]
+            lmax = int(lens.max())
+            with np.errstate(over="ignore"):
+                powB = np.empty(lmax + 1, dtype=np.uint64)
+                powB[0] = np.uint64(1)
+                if lmax:
+                    np.multiply.accumulate(
+                        np.full(lmax, _PB, dtype=np.uint64), out=powB[1:]
+                    )
+                powI = np.empty(lmax + 1, dtype=np.uint64)
+                powI[0] = np.uint64(1)
+                if lmax:
+                    np.multiply.accumulate(
+                        np.full(lmax, _PB_INV, dtype=np.uint64), out=powI[1:]
+                    )
+                row_starts = offsets[:-1]
+                within = np.arange(len(data), dtype=np.int64) - np.repeat(
+                    row_starts, lens
+                )
+                contrib = data.astype(np.uint64) * powI[within]
+                cs = np.empty(len(data) + 1, dtype=np.uint64)
+                cs[0] = np.uint64(0)
+                np.cumsum(contrib, out=cs[1:])
+                for ln in np.unique(sl):
+                    k = int(ln)
+                    rows = np.flatnonzero(lens > k)  # strict: short < long
+                    if len(rows) == 0:
+                        continue
+                    o = row_starts[rows]
+                    poly = powB[k - 1] * (cs[o + k] - cs[o])
+                    hk = (powB[k] + poly).view(np.int64)
+                    lo_i = np.searchsorted(sl, k, side="left")
+                    hi_i = np.searchsorted(sl, k, side="right")
+                    seg_h = sh[lo_i:hi_i]  # sorted within the length slice
+                    pos = np.searchsorted(seg_h, hk)
+                    pos_c = np.clip(pos, 0, max(len(seg_h) - 1, 0))
+                    hit = (len(seg_h) > 0) & (seg_h[pos_c] == hk)
+                    # duplicate (plen, hash) shorts (identical short texts):
+                    # walk the tie run vectorized-ish; runs are tiny
+                    for ri, pi in zip(rows[hit], pos_c[hit]):
+                        j = int(pi)
+                        while j < len(seg_h) and seg_h[j] == seg_h[int(pi)]:
+                            sid_j = sid[lo_i + j]
+                            if sid_j != ids[ri]:
+                                out_s.append(int(sid_j))
+                                out_l.append(int(ids[ri]))
+                            j += 1
+        return pa.table(
+            {
+                "short_id": pa.array(np.array(out_s, dtype=np.int64)),
+                "long_id": pa.array(np.array(out_l, dtype=np.int64)),
+            }
+        )
+
+    pairs = sub.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    out = pairs.groupby(["short_id", "long_id"]).count().select_columns(
+        ["short_id", "long_id"]
+    )
+
+    def cast(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "short_id": tbl["short_id"].cast(pa.int64()),
+                "long_id": tbl["long_id"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow", batch_size=None)
+
+
+PREFIX_CONTAINMENT_ORACLE = f"""
+SELECT s.doc_id AS short_id, l.doc_id AS long_id
+FROM documents s, documents l
+WHERE s.doc_id < {PREFIX_DOC_LIMIT} AND l.doc_id < {PREFIX_DOC_LIMIT}
+  AND s.doc_id <> l.doc_id
+  AND length(s.text) >= {PREFIX_MIN_CHARS}
+  AND length(s.text) < length(l.text)
+  AND left(l.text, length(s.text)) = s.text
+"""

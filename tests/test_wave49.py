@@ -88,3 +88,48 @@ def test_spatial_knn_classify_deterministic(ray_session):
     assert out1.equals(out2)
     assert len(out1) == len(entry.KNN_CLASSIFY_QUERIES)
     assert (out1["votes"] >= 1).all() and (out1["votes"] <= entry.KNN_CLASSIFY_K).all()
+
+
+# ------------------------------------------------------------- wave 51
+def test_orders_backlog_brute(ray_session):
+    out = entry._orders_backlog(SF).to_pandas().sort_values("day")
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate"])
+    od = orders["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    days = np.unique(np.concatenate([od, od + entry.BACKLOG_WINDOW_DAYS]))
+    want = {
+        int(d): int(((od <= d) & (d < od + entry.BACKLOG_WINDOW_DAYS)).sum())
+        for d in days
+    }
+    got = {int(r.day): int(r.backlog) for r in out.itertuples()}
+    assert got == want
+    # conservation: backlog returns to zero after the last close
+    assert got[int(days.max())] == 0
+
+
+def test_rfm_segments_totals_and_code_range(ray_session):
+    out = entry._rfm_segments(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    assert int(out["n_customers"].sum()) == orders["o_custkey"].nunique()
+    codes = out["rfm_code"].to_numpy()
+    r, f, m = codes // 100, (codes // 10) % 10, codes % 10
+    for q in (r, f, m):
+        assert ((1 <= q) & (q <= entry.RFM_K)).all()
+
+
+# ------------------------------------------------------------- wave 52
+def test_prefix_containment_brute(ray_session):
+    from spatialindex_ray.functions import dedup
+
+    out = dedup.prefix_containment_query(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs[docs["doc_id"] < dedup.PREFIX_DOC_LIMIT]
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    want = set()
+    for s, st in txt.items():
+        if len(st) < dedup.PREFIX_MIN_CHARS:
+            continue
+        for l, lt in txt.items():
+            if s != l and len(st) < len(lt) and lt.startswith(st):
+                want.add((s, l))
+    got = set(zip(out["short_id"], out["long_id"])) if len(out) else set()
+    assert got == want
