@@ -15948,19 +15948,41 @@ def _rfm_segments(sf_dir):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("c_custkey")
-        .aggregate(
-            ray.data.aggregate.Max("r"),
-            ray.data.aggregate.Sum("f"),
-            ray.data.aggregate.Sum("m"),
+    n_shards = 32
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ck = tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column("_shard", pa.array(ck % n_shards))
+
+    def fold_shard(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = ops._drop_shard(tbl)
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "r": pa.array([], pa.int64()),
+                 "f": pa.array([], pa.int64()),
+                 "m": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas()
+        g = df.groupby("c_custkey", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
         )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # custkey-hash exchange + per-shard pandas fold: Ray's sort-based
+    # 3-aggregate groupby measured ~4x slower than the shard fold at 20M
+    # orders / 500k customers (same pattern as window_rank / term_postings)
+    per_cust = ops.hash_exchange(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(tag, batch_format="pyarrow", batch_size=None),
+        "_shard", n_shards, fold_shard,
     )
 
     def melt(tbl: pa.Table) -> pa.Table:
         ck = tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cols = [("max(r)", 0), ("sum(f)", 1), ("sum(m)", 2)]
+        cols = [("r", 0), ("f", 1), ("m", 2)]
         parts = []
         for col, mid in cols:
             parts.append(
@@ -16007,13 +16029,35 @@ def _rfm_segments(sf_dir):
             {"c_custkey": tbl["c_custkey"], "part": pa.array(qv * w)}
         )
 
-    code = (
+    def tag2(tbl: pa.Table) -> pa.Table:
+        ck = tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column("_shard", pa.array(ck % n_shards))
+
+    def fold_code(tbl: pa.Table) -> pa.Table:
+        t = ops._drop_shard(tbl)
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "sum(part)": pa.array([], pa.int64())}
+            )
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pv = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, inv = np.unique(ck, return_inverse=True)
+        sv = np.zeros(len(k), dtype=np.int64)
+        np.add.at(sv, inv, pv)
+        return pa.table({"c_custkey": pa.array(k), "sum(part)": pa.array(sv)})
+
+    code = ops.hash_exchange(
         q.map_batches(weigh, batch_format="pyarrow", batch_size=None)
-        .groupby("c_custkey")
-        .sum("part")
+        .map_batches(tag2, batch_format="pyarrow", batch_size=None),
+        "_shard", n_shards, fold_code,
     )
 
     def count_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "sum(part)" not in tbl.schema.names:
+            return pa.table(
+                {"rfm_code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
         v = tbl["sum(part)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         k, c = np.unique(v, return_counts=True)
         return pa.table(
