@@ -288,6 +288,12 @@ def run_suite() -> dict:
         "late_events", "grid_resample", "jsonl_roundtrip",
         "partitioned_write_read", "events_range_window", "doc_score_model",
         "interarrival_hist", "value_ranks", "order_lineitem_recon",
+        # round-3 fourth-session operators (waves 47-52)
+        "image_ahash_dup", "q13_order_distribution", "q17_small_quantity",
+        "q22_idle_customers", "q15_top_supplier", "doc_cosine_pairs",
+        "user_type_jaccard", "revenue_pareto", "decile_transition",
+        "nearest_event_join", "bpe_top_merges", "spatial_knn_classify",
+        "orders_backlog", "rfm_segments", "prefix_containment",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted

@@ -885,7 +885,7 @@ _AHASH_DUP_BANDS = 4          # 4 x 16-bit bands: LOSSLESS for hamming <= 3
 _AHASH_DUP_SHARDS = 32
 
 
-def _synth_dup_pngs(tbl: pa.Table) -> pa.Table:
+def _synth_dup_pngs(tbl: pa.Table, modulus: int = 250) -> pa.Table:
     """Deterministic REAL-codec payloads with PLANTED near-duplicates:
     pixel (y, x) = (m*(x + 2y + 3) + x*y) % 256 at 16x16 where m = doc_id %
     250, and rows with doc_id >= 250 additionally bump one 2x2 block
@@ -897,9 +897,9 @@ def _synth_dup_pngs(tbl: pa.Table) -> pa.Table:
     yy, xx = np.mgrid[0:16, 0:16]
     payloads = []
     for did in ids:
-        m = int(did) % 250
+        m = int(did) % modulus
         g = (m * (xx + 2 * yy + 3) + xx * yy) % 256
-        if int(did) >= 250:
+        if int(did) >= modulus:
             bx, by = m % 8, (m * 3) % 8
             g = g.copy()
             g[2 * by:2 * by + 2, 2 * bx:2 * bx + 2] = (
@@ -911,7 +911,9 @@ def _synth_dup_pngs(tbl: pa.Table) -> pa.Table:
     )
 
 
-def image_ahash_dup_query(sf_dir: str, max_hamming: int = AHASH_DUP_MAX_HAMMING):
+def image_ahash_dup_query(sf_dir: str, max_hamming: int = AHASH_DUP_MAX_HAMMING,
+                          modulus: int = 250, num_blocks: int | None = None,
+                          concurrency: int = 2):
     """Image near-duplicate PAIR JOIN: hamming(ahash_l, ahash_r) <=
     max_hamming over real PNG roundtrips, found by banded LSH on the 64-bit
     ahash — 4 x 16-bit bands, so for max_hamming <= 3 the banding is
@@ -926,10 +928,19 @@ def image_ahash_dup_query(sf_dir: str, max_hamming: int = AHASH_DUP_MAX_HAMMING)
 
     from ..kernels import hashing
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # num_blocks: codec work is per-image CPU; a single-file read is ONE
+    # block -> one synth task, so large corpora pass override_num_blocks
+    # to spread the encode across the pool (the gate-scale default reads
+    # normally). concurrency sizes the decode actor pool the same way.
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        override_num_blocks=num_blocks,
+    )
     ah = ds.map_batches(
-        _synth_dup_pngs, batch_format="pyarrow", batch_size=None
-    ).map_batches(AHash, batch_size=256, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        lambda t: _synth_dup_pngs(t, modulus),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(AHash, batch_size=256, batch_format="pyarrow",
+                  concurrency=concurrency, num_cpus=1)
 
     def band_explode(tbl: pa.Table) -> pa.Table:
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
