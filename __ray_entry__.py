@@ -14965,8 +14965,12 @@ def _q13_order_distribution(sf_dir):
     n_with = int(df["custdist"].sum())
     import pandas as pd
 
-    zero = pd.DataFrame({"c_count": [0], "custdist": [n_cust - n_with]})
-    out = pd.concat([df, zero], ignore_index=True)
+    out = df
+    if n_cust - n_with > 0:
+        # the zero bucket only EXISTS when some customer has no qualifying
+        # orders (the oracle's LEFT JOIN emits no c_count=0 group otherwise)
+        zero = pd.DataFrame({"c_count": [0], "custdist": [n_cust - n_with]})
+        out = pd.concat([df, zero], ignore_index=True)
     return out[["c_count", "custdist"]].astype({"c_count": "int64", "custdist": "int64"})
 
 
@@ -16111,6 +16115,372 @@ FROM code GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 53: the remaining TPC-H join shapes expressible on this schema.
+# lineitem lacks commitdate/receiptdate/shipmode, so "late" is defined as
+# shipped > Q21_LATE_DAYS after the order date (same convention as
+# late_shipment_priority / ship_latency_quantiles above).
+
+Q21_LATE_DAYS = 60
+
+
+def _q21_waiting_supplier(sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders ('F'), count per supplier the multi-supplier orders where that
+    supplier is the ONLY one who shipped late. Plan: exchange equi-join
+    lineitem x orders on orderkey (both sides data-sized — no broadcast),
+    per-batch combine to distinct (orderkey, suppkey, any_late) triples so
+    only the deduped pair stream shuffles, then one hash exchange by
+    orderkey whose shard fn resolves n_supp / n_late / sole-late-supplier
+    per order with segment reductions. Supplier names attach via a
+    broadcast dimension lookup at the end (O(suppliers) driver rows)."""
+    import ray
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def finished(tbl: pa.Table) -> pa.Table:
+        m = pc.equal(tbl["o_orderstatus"], "F")
+        return tbl.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(finished, batch_format="pyarrow", batch_size=None)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    j = ops.equi_join(li, orders_f, on="l_orderkey", right_on="o_orderkey")
+    late_us = np.int64(Q21_LATE_DAYS) * 86400000000
+    n_shards = 32
+
+    def _pair_combine(ok, sk, late):
+        order = np.lexsort((sk, ok))
+        ok, sk, late = ok[order], sk[order], late[order]
+        brk = np.ones(len(ok), dtype=bool)
+        brk[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(ok)]])
+        cs = np.concatenate([[0], np.cumsum(late, dtype=np.int64)])
+        any_late = (cs[ends] - cs[starts]) > 0
+        return ok[starts], sk[starts], any_late.astype(np.int64)
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "o_orderdate" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "late": pa.array([], pa.int64()),
+                }
+            )
+        ok = tbl["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = (sd > od + late_us).astype(np.int64)
+        ok, sk, late = _pair_combine(ok, sk, late)
+        return pa.table(
+            {
+                "shard": pa.array(ok % np.int64(n_shards)),
+                "l_orderkey": pa.array(ok),
+                "l_suppkey": pa.array(sk),
+                "late": pa.array(late),
+            }
+        )
+
+    def waiting_shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "l_orderkey" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        ok = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = tbl["late"].to_numpy(zero_copy_only=False)
+        ok, sk, late = _pair_combine(ok, sk, late)  # re-dedupe across batches
+        starts = np.flatnonzero(
+            np.concatenate([[True], ok[1:] != ok[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(ok)]])
+        n_supp = ends - starts
+        cs = np.concatenate([[0], np.cumsum(late, dtype=np.int64)])
+        n_late = cs[ends] - cs[starts]
+        qualify = (n_late == 1) & (n_supp > 1)
+        late_pos = np.flatnonzero(late == 1)
+        grp = np.searchsorted(starts, late_pos, side="right") - 1
+        winners = sk[late_pos[qualify[grp]]]
+        uk, cnt = np.unique(winners, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uk.astype(np.int64)),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = j.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    per_supp = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, waiting_shard)
+        .groupby("s_suppkey")
+        .sum("partial")
+    )
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snames = np.asarray(sup["s_name"].to_numpy(zero_copy_only=False))
+    so = np.argsort(skeys)
+    ref = ray.put((skeys[so], snames[so]))
+
+    def attach_name(tbl: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        k = tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, k)
+        return pa.table(
+            {
+                "s_name": pa.array(names[pos]),
+                "numwait": tbl["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return per_supp.map_batches(attach_name, batch_format="pyarrow", batch_size=None)
+
+
+Q21_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM li GROUP BY 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1
+"""
+
+
+Q12_FAST_DAYS = 30
+
+
+def _q12_latency_bands(sf_dir):
+    """TPC-H Q12 shape (shipmode -> latency band on this schema): band each
+    lineitem FAST/SLOW by ship latency vs the order date and count lines
+    from high- vs low-priority orders per band. Exchange equi-join (both
+    sides data-sized), then per-batch 4-cell contingency partials — only
+    (band, hi) counts reach the final two-row groupby."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = ops.equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    fast_us = np.int64(Q12_FAST_DAYS) * 86400000000
+    bands = np.array(["FAST", "SLOW"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "o_orderdate" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.string()),
+                    "high_line_count": pa.array([], pa.int64()),
+                    "low_line_count": pa.array([], pa.int64()),
+                }
+            )
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = tbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        slow = (sd > od + fast_us).astype(np.int64)
+        hi = pc.is_in(
+            tbl["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = np.bincount(2 * slow + hi, minlength=4)
+        return pa.table(
+            {
+                "band": pa.array(bands),
+                "high_line_count": pa.array(cells[[1, 3]].astype(np.int64)),
+                "low_line_count": pa.array(cells[[0, 2]].astype(np.int64)),
+            }
+        )
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("band")
+        .sum(["high_line_count", "low_line_count"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": tbl["band"],
+                "high_line_count": tbl["sum(high_line_count)"].cast(pa.int64()),
+                "low_line_count": tbl["sum(low_line_count)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+Q12_ORACLE = f"""
+WITH j AS (
+  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL {Q12_FAST_DAYS} DAY
+              THEN 'FAST' ELSE 'SLOW' END AS band,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT band,
+       CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM j GROUP BY 1
+"""
+
+
+Q9_PART_TOKEN = "widget"
+
+
+def _q9_nation_profit(sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year; no
+    ps_supplycost on this schema, so profit = discounted revenue in exact
+    integer units: price cents x (10000 - discount bps)). Both dimension
+    sides broadcast: the p_name-filtered partkey set and the
+    supplier->nation name mapping ship ONCE via ray.put; the fact scan is
+    one pruned pass over lineitem with per-batch (nation, year) partials —
+    nothing wider than nations x years ever shuffles."""
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pm = pc.match_substring(part["p_name"], Q9_PART_TOKEN).to_numpy(
+        zero_copy_only=False
+    )
+    pkeys = np.sort(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[pm]
+    )
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = np.asarray(nat["n_name"].to_numpy(zero_copy_only=False))
+    no = np.argsort(nk)
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(skeys)
+    ref = ray.put((pkeys, skeys[so], snat[so], nk[no], nn[no]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pk_set, sk_sorted, sn_sorted, nk_sorted, _ = ray.get(ref)
+        lp = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(pk_set, lp)
+        pos_c = np.clip(pos, 0, max(len(pk_set) - 1, 0))
+        m = (len(pk_set) > 0) & (pk_set[pos_c] == lp)
+        if not m.any():
+            return pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "yr": pa.array([], pa.int64()),
+                    "profit_unit": pa.array([], pa.int64()),
+                }
+            )
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)[m]
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+        cents = np.round(price * 100.0).astype(np.int64)
+        bps = np.round(disc * 10000.0).astype(np.int64)
+        unit = cents * (np.int64(10000) - bps)
+        nation = sn_sorted[np.searchsorted(sk_sorted, sk)]
+        yr = (
+            sd.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        # combined (nation, year) key: years fit in [1970, 2100). Integer
+        # segment sums (cumsum diff), NOT bincount-with-float-weights:
+        # per-key totals can exceed the 2^53 float mantissa.
+        key = nation * np.int64(4096) + (yr - 1970)
+        order = np.argsort(key, kind="stable")
+        ks, us = key[order], unit[order]
+        brk = np.ones(len(ks), dtype=bool)
+        brk[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        cs = np.concatenate([[0], np.cumsum(us, dtype=np.int64)])
+        uk = ks[starts]
+        return pa.table(
+            {
+                "n_nationkey": pa.array(uk // 4096),
+                "yr": pa.array(uk % 4096 + 1970),
+                "profit_unit": pa.array(cs[ends] - cs[starts]),
+            }
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["n_nationkey", "yr"])
+        .sum("profit_unit")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        _, _, _, nk_sorted, nn_sorted = ray.get(ref)
+        k = tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(nn_sorted[np.searchsorted(nk_sorted, k)]),
+                "yr": tbl["yr"].cast(pa.int64()),
+                "profit_unit": tbl["sum(profit_unit)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+Q9_ORACLE = f"""
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS yr,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS profit_unit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%{Q9_PART_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -16432,6 +16802,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _rfm_segments,
         # --- wave 52 ---
         "prefix_containment": dedup.prefix_containment_query,
+        # --- wave 53 ---
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "q12_latency_bands": _q12_latency_bands,
+        "q9_nation_profit": _q9_nation_profit,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -16706,6 +17080,10 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": RFM_SEGMENTS_ORACLE,
         # --- wave 52 ---
         "prefix_containment": dedup.PREFIX_CONTAINMENT_ORACLE,
+        # --- wave 53 ---
+        "q21_waiting_supplier": Q21_ORACLE,
+        "q12_latency_bands": Q12_ORACLE,
+        "q9_nation_profit": Q9_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
