@@ -16481,6 +16481,519 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 54: the partsupp-dependent TPC-H shapes (Q2/Q11/Q16/Q20), re-expressed
+# over the supplier-part relation DERIVED from lineitem — the schema has no
+# partsupp table, so "supplier offers part" := "supplier shipped part", with
+# an exact-integer unit-cost proxy (price cents * 1000 // integer quantity).
+
+Q2_REGIONKEY = 1
+Q2_SIZE_MAX = 10
+
+
+def _q2_min_cost_supplier(sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part within a region): among
+    suppliers of region Q2_REGIONKEY, the cheapest observed unit cost per
+    part with p_size <= Q2_SIZE_MAX, with the winning supplier (min suppkey
+    on cost ties). Unit cost is the exact integer price_cents*1000 //
+    quantity, so no float divide crosses the engine/oracle boundary. Both
+    dimension filters broadcast (region-supplier set, size-filtered partkey
+    set); lineitem folds to per-batch (part, supp, min_cost) partials; one
+    hash exchange by partkey resolves the per-part argmin."""
+    import ray
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nr = nat["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    no = np.argsort(nk)
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    in_region = nr[no][np.searchsorted(nk[no], snat)] == Q2_REGIONKEY
+    sup_set = np.sort(skeys[in_region])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    psz = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk_set = np.sort(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            psz <= Q2_SIZE_MAX
+        ]
+    )
+    ref = ray.put((sup_set, pk_set))
+    n_shards = 32
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def _in_sorted(sorted_set, vals):
+        pos = np.clip(np.searchsorted(sorted_set, vals), 0, max(len(sorted_set) - 1, 0))
+        return (len(sorted_set) > 0) & (sorted_set[pos] == vals)
+
+    def _pair_min(pk, sk, cost):
+        order = np.lexsort((cost, sk, pk))
+        pk, sk, cost = pk[order], sk[order], cost[order]
+        brk = np.ones(len(pk), dtype=bool)
+        brk[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(brk)  # first row per pair = its min cost
+        return pk[starts], sk[starts], cost[starts]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        sup_s, pk_s = ray.get(ref)
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _in_sorted(pk_s, pk) & _in_sorted(sup_s, sk)
+        if not m.any():
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "l_partkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "unit_cost": pa.array([], pa.int64()),
+                }
+            )
+        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        qty = tbl["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        cents = np.round(price * 100.0).astype(np.int64)
+        cost = cents * np.int64(1000) // qty.astype(np.int64)
+        pk2, sk2, c2 = _pair_min(pk[m], sk[m], cost)
+        return pa.table(
+            {
+                "shard": pa.array(pk2 % np.int64(n_shards)),
+                "l_partkey": pa.array(pk2),
+                "l_suppkey": pa.array(sk2),
+                "unit_cost": pa.array(c2),
+            }
+        )
+
+    def argmin_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "s_suppkey": pa.array([], pa.int64()),
+                "unit_cost": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "l_partkey" not in tbl.schema.names:
+            return empty
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False)
+        cost = tbl["unit_cost"].to_numpy(zero_copy_only=False)
+        pk, sk, cost = _pair_min(pk, sk, cost)  # exact pair mins across batches
+        # per part: min cost, then min suppkey among cost ties
+        order = np.lexsort((sk, cost, pk))
+        pk, sk, cost = pk[order], sk[order], cost[order]
+        starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[starts]),
+                "s_suppkey": pa.array(sk[starts]),
+                "unit_cost": pa.array(cost[starts]),
+            }
+        )
+
+    keyed = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed, "shard", n_shards, argmin_shard)
+
+
+Q2_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+             // CAST(l_quantity AS BIGINT)) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE n_regionkey = {Q2_REGIONKEY} AND p_size <= {Q2_SIZE_MAX}
+  GROUP BY 1, 2),
+best AS (SELECT l_partkey, min(unit_cost) AS unit_cost FROM ps GROUP BY 1)
+SELECT ps.l_partkey AS p_partkey,
+       CAST(min(ps.l_suppkey) AS BIGINT) AS s_suppkey,
+       CAST(min(ps.unit_cost) AS BIGINT) AS unit_cost
+FROM ps JOIN best
+  ON ps.l_partkey = best.l_partkey AND ps.unit_cost = best.unit_cost
+GROUP BY 1
+"""
+
+
+Q11_NATIONKEY = 3
+Q11_FRAC_DEN = 1000
+
+
+def _q11_important_parts(sf_dir):
+    """TPC-H Q11 shape (important parts scalar subquery): per-part
+    discounted-revenue value from suppliers of ONE nation; keep parts whose
+    value exceeds total // Q11_FRAC_DEN. The nation's supplier set
+    broadcasts; lineitem folds to per-batch per-part integer partials; the
+    per-part aggregate (dimension-sized) materializes ONCE, its global
+    total folds on-cluster, and the threshold filter is one more map."""
+    import ray
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_set = np.sort(skeys[snat == Q11_NATIONKEY])
+    ref = ray.put(sup_set)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        sup_s = ray.get(ref)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sup_s) == 0:
+            m = np.zeros(len(sk), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(sup_s, sk), 0, len(sup_s) - 1)
+            m = sup_s[pos] == sk
+        if not m.any():
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "value_unit": pa.array([], pa.int64()),
+                }
+            )
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        price = tbl["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = tbl["l_discount"].to_numpy(zero_copy_only=False)[m]
+        unit = np.round(price * 100.0).astype(np.int64) * (
+            np.int64(10000) - np.round(disc * 10000.0).astype(np.int64)
+        )
+        order = np.argsort(pk, kind="stable")
+        ks, us = pk[order], unit[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        cs = np.concatenate([[0], np.cumsum(us, dtype=np.int64)])
+        return pa.table(
+            {
+                "l_partkey": pa.array(ks[starts]),
+                "value_unit": pa.array(cs[ends] - cs[starts]),
+            }
+        )
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_partkey")
+        .sum("value_unit")
+        .materialize()  # dimension-sized: one row per part of the nation
+    )
+    total = int(per_part.sum("sum(value_unit)"))
+    threshold = total // Q11_FRAC_DEN
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        v = tbl["sum(value_unit)"].cast(pa.int64())
+        out = pa.table({"l_partkey": tbl["l_partkey"], "value_unit": v})
+        return out.filter(
+            pa.array(v.to_numpy(zero_copy_only=False) > threshold)
+        )
+
+    return per_part.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+Q11_ORACLE = f"""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+              AS BIGINT) AS value_unit
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = {Q11_NATIONKEY}
+  GROUP BY 1)
+SELECT l_partkey, value_unit FROM v
+WHERE value_unit > (SELECT CAST(sum(value_unit) AS BIGINT) // {Q11_FRAC_DEN}
+                    FROM v)
+"""
+
+
+Q16_EXCLUDED_BRAND = "Brand#1"
+Q16_MIN_ACCTBAL = 2000.0
+
+
+def _q16_supplier_counts(sf_dir):
+    """TPC-H Q16 shape (distinct suppliers per part group): count DISTINCT
+    shipping suppliers per (p_brand, p_size), excluding one brand and
+    suppliers below an account-balance floor (the schema's stand-in for the
+    complaints anti-set). Distinctness is resolved by sharding on SUPPKEY:
+    each supplier's rows land in exactly one shard, so per-shard
+    (brand, size, suppkey) dedupe + counts sum to exact global distincts
+    with no second shuffle."""
+    import ray
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brands = np.asarray(part["p_brand"].to_numpy(zero_copy_only=False))
+    sizes = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep_part = brands != Q16_EXCLUDED_BRAND
+    po = np.argsort(pkeys[keep_part])
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    sk_all = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bal = sup["s_acctbal"].to_numpy(zero_copy_only=False)
+    sup_ok = np.sort(sk_all[bal >= Q16_MIN_ACCTBAL])
+    ref = ray.put(
+        (pkeys[keep_part][po], brands[keep_part][po], sizes[keep_part][po], sup_ok)
+    )
+    n_shards = 32
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        pk_s, br_s, sz_s, sup_s = ray.get(ref)
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppos = np.clip(np.searchsorted(pk_s, pk), 0, max(len(pk_s) - 1, 0))
+        spos = np.clip(np.searchsorted(sup_s, sk), 0, max(len(sup_s) - 1, 0))
+        m = (
+            (len(pk_s) > 0)
+            & (pk_s[ppos] == pk)
+            & (len(sup_s) > 0)
+            & (sup_s[spos] == sk)
+        )
+        if not m.any():
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "p_brand": pa.array([], pa.string()),
+                    "p_size": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                }
+            )
+        sk = sk[m]
+        br = br_s[ppos[m]]
+        sz = sz_s[ppos[m]]
+        # per-batch dedupe of (suppkey, brand, size): brands are a tiny
+        # vocabulary — encode to codes for a pure-int lexsort
+        import pandas as pd
+
+        br_codes, br_uniq = pd.factorize(br)
+        key_order = np.lexsort((sz, br_codes, sk))
+        sk, br_codes, sz = sk[key_order], br_codes[key_order], sz[key_order]
+        brk = np.ones(len(sk), dtype=bool)
+        brk[1:] = (
+            (sk[1:] != sk[:-1])
+            | (br_codes[1:] != br_codes[:-1])
+            | (sz[1:] != sz[:-1])
+        )
+        keep = np.flatnonzero(brk)
+        return pa.table(
+            {
+                "shard": pa.array(sk[keep] % np.int64(n_shards)),
+                "p_brand": pa.array(br_uniq.take(br_codes[keep])),
+                "p_size": pa.array(sz[keep]),
+                "l_suppkey": pa.array(sk[keep]),
+            }
+        )
+
+    def count_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "supplier_cnt": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "l_suppkey" not in tbl.schema.names:
+            return empty
+        df = tbl.select(["p_brand", "p_size", "l_suppkey"]).to_pandas()
+        df = df.drop_duplicates()
+        g = (
+            df.groupby(["p_brand", "p_size"], as_index=False)["l_suppkey"]
+            .count()
+            .rename(columns={"l_suppkey": "supplier_cnt"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("p_brand", pa.string()),
+                    ("p_size", pa.int64()),
+                    ("supplier_cnt", pa.int64()),
+                ]
+            )
+        )
+
+    keyed_ds = li.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, count_shard)
+        .groupby(["p_brand", "p_size"])
+        .sum("supplier_cnt")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": tbl["p_brand"],
+                "p_size": tbl["p_size"].cast(pa.int64()),
+                "supplier_cnt": tbl["sum(supplier_cnt)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+Q16_ORACLE = f"""
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                    WHERE s_acctbal >= {Q16_MIN_ACCTBAL})
+GROUP BY 1, 2
+"""
+
+
+Q20_PART_TOKEN = "blue"
+Q20_YEAR_LO = "1997-01-01"
+Q20_YEAR_HI = "1998-01-01"
+Q20_SHARE_MUL = 5  # keep pairs shipping > 1/5 of the part's total
+
+
+def _q20_dominant_suppliers(sf_dir):
+    """TPC-H Q20 shape (suppliers with excess share of a part family):
+    suppliers who shipped MORE than 1/Q20_SHARE_MUL of the total shipped
+    quantity of some '{token}' part during one year. The partkey family
+    broadcasts; per-batch integer (part, supp, qty) partials exchange by
+    PARTKEY so each shard resolves both the pair totals and the part total
+    locally; qualifying suppliers dedupe in a final tiny groupby and pick
+    up names from the broadcast supplier dim."""
+    import ray
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    import pyarrow.compute as pc
+
+    pm = pc.match_substring(part["p_name"], Q20_PART_TOKEN).to_numpy(
+        zero_copy_only=False
+    )
+    pk_set = np.sort(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[pm]
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snames = np.asarray(sup["s_name"].to_numpy(zero_copy_only=False))
+    so = np.argsort(skeys)
+    ref = ray.put((pk_set, skeys[so], snames[so]))
+    lo = np.datetime64(Q20_YEAR_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q20_YEAR_HI).astype("datetime64[us]").astype(np.int64)
+    n_shards = 32
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pk_s, _, _ = ray.get(ref)
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = tbl["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pk_s, pk), 0, max(len(pk_s) - 1, 0))
+        m = (len(pk_s) > 0) & (pk_s[pos] == pk) & (sd >= lo) & (sd < hi)
+        if not m.any():
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "l_partkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        pk = pk[m]
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        q = tbl["l_quantity"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        brk = np.ones(len(pk), dtype=bool)
+        brk[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(pk)]])
+        cs = np.concatenate([[0], np.cumsum(q, dtype=np.int64)])
+        return pa.table(
+            {
+                "shard": pa.array(pk[starts] % np.int64(n_shards)),
+                "l_partkey": pa.array(pk[starts]),
+                "l_suppkey": pa.array(sk[starts]),
+                "qty": pa.array(cs[ends] - cs[starts]),
+            }
+        )
+
+    def share_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], pa.int64())})
+        if tbl.num_rows == 0 or "l_partkey" not in tbl.schema.names:
+            return empty
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = tbl["l_suppkey"].to_numpy(zero_copy_only=False)
+        q = tbl["qty"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        brk = np.ones(len(pk), dtype=bool)
+        brk[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(pk)]])
+        cs = np.concatenate([[0], np.cumsum(q, dtype=np.int64)])
+        pq_pair = cs[ends] - cs[starts]
+        ppk, psk = pk[starts], sk[starts]
+        pstarts = np.flatnonzero(np.concatenate([[True], ppk[1:] != ppk[:-1]]))
+        pends = np.concatenate([pstarts[1:], [len(ppk)]])
+        pcs = np.concatenate([[0], np.cumsum(pq_pair, dtype=np.int64)])
+        tot = pcs[pends] - pcs[pstarts]
+        grp = np.searchsorted(pstarts, np.arange(len(ppk)), side="right") - 1
+        winners = psk[pq_pair * np.int64(Q20_SHARE_MUL) > tot[grp]]
+        return pa.table({"s_suppkey": pa.array(np.unique(winners))})
+
+    keyed = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    distinct = (
+        ops.hash_exchange(keyed, "shard", n_shards, share_shard)
+        .groupby("s_suppkey")
+        .count()
+    )
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        _, sks, sns = ray.get(ref)
+        k = tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k),
+                "s_name": pa.array(sns[np.searchsorted(sks, k)]),
+            }
+        )
+
+    return distinct.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+Q20_ORACLE = f"""
+WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR_LO}'
+    AND l_shipdate < TIMESTAMP '{Q20_YEAR_HI}'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%{Q20_PART_TOKEN}%')
+  GROUP BY 1, 2),
+t AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot FROM q GROUP BY 1)
+SELECT DISTINCT q.l_suppkey AS s_suppkey, s_name
+FROM q JOIN t USING (l_partkey) JOIN supplier ON q.l_suppkey = s_suppkey
+WHERE qty * {Q20_SHARE_MUL} > tot
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -16806,6 +17319,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_supplier": _q21_waiting_supplier,
         "q12_latency_bands": _q12_latency_bands,
         "q9_nation_profit": _q9_nation_profit,
+        # --- wave 54 ---
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q11_important_parts": _q11_important_parts,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_dominant_suppliers": _q20_dominant_suppliers,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -17084,6 +17602,11 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_supplier": Q21_ORACLE,
         "q12_latency_bands": Q12_ORACLE,
         "q9_nation_profit": Q9_ORACLE,
+        # --- wave 54 ---
+        "q2_min_cost_supplier": Q2_ORACLE,
+        "q11_important_parts": Q11_ORACLE,
+        "q16_supplier_counts": Q16_ORACLE,
+        "q20_dominant_suppliers": Q20_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
