@@ -16994,6 +16994,404 @@ WHERE qty * {Q20_SHARE_MUL} > tot
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 55: k-core graph peeling, SCD2 dimension-history build, trending terms.
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _k_core(sf_dir):
+    """Bounded k-core decomposition (KCORE_ROUNDS peel rounds, k=KCORE_K)
+    of the undirected user-transition graph: an edge {u, v} whenever an
+    event of u is globally adjacent to an event of v in (ts, event_id)
+    order. Edge build reuses the distributed adjacent-pair pattern
+    (range-partition by ts, in-shard pairs, O(n_shards) driver boundary
+    stitch — see _sssp_bounded). Each peel round is Ray Data primitives
+    only: endpoint-explode -> groupby degree -> filter >= k -> two
+    distributed SEMI joins (u then v) back onto the edge set — no node or
+    edge list ever materializes on the driver, so the peel is exactly the
+    shape you'd run on a billion-node graph. Output: nodes of the round-R
+    subgraph with their degree (the fixed point at test scales — asserted
+    in tests)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 16
+    mm = ds.aggregate(ray.data.aggregate.Min("ts"), ray.data.aggregate.Max("ts"))
+    lo = int(np.int64(np.datetime64(mm["min(ts)"], "us").astype(np.int64)))
+    hi = int(np.int64(np.datetime64(mm["max(ts)"], "us").astype(np.int64))) + 1
+    width = max((hi - lo + n_shards - 1) // n_shards, 1)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": pa.array(ts),
+                "_shard": pa.array((ts - lo) // width),
+            }
+        )
+
+    def shard_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        u, e, t = uid[order], eid[order], ts[order]
+        parts = []
+        m = u[:-1] != u[1:]
+        if m.any():
+            a, b = u[:-1][m], u[1:][m]
+            key = np.unique(
+                np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1), axis=0
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(len(key), dtype=np.int64)),
+                        "u": pa.array(key[:, 0]),
+                        "v": pa.array(key[:, 1]),
+                        "w": pa.array(np.zeros(len(key), dtype=np.int64)),
+                    }
+                )
+            )
+        # boundary markers: shard's first/last row as (user, event_id in v
+        # for tie order, ts_us in w) — two rows per shard, driver-stitched
+        parts.append(
+            pa.table(
+                {
+                    "kind": pa.array([1, 1], pa.int64()),
+                    "u": pa.array([int(u[0]), int(u[-1])], pa.int64()),
+                    "v": pa.array([int(e[0]), int(e[-1])], pa.int64()),
+                    "w": pa.array([int(t[0]), int(t[-1])], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    mixed = ops.hash_exchange(tagged, "_shard", n_shards, shard_pairs)
+
+    def only_edges(tbl: pa.Table) -> pa.Table:
+        k = tbl["kind"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(k == 0)).select(["u", "v"])
+
+    edges = mixed.map_batches(only_edges, batch_format="pyarrow", batch_size=None)
+    marks = (
+        mixed.filter(lambda r: r["kind"] == 1)
+        .to_pandas()
+        .sort_values(["w", "v"])
+        .reset_index(drop=True)
+    )
+    bu, bv = [], []
+    for r in range(1, len(marks) - 1, 2):
+        a, b = int(marks["u"].iloc[r]), int(marks["u"].iloc[r + 1])
+        if a != b:
+            bu.append(min(a, b))
+            bv.append(max(a, b))
+    import ray as _ray
+
+    if bu:
+        edges = edges.union(
+            _ray.data.from_arrow(
+                pa.table(
+                    {"u": pa.array(bu, pa.int64()), "v": pa.array(bv, pa.int64())}
+                )
+            )
+        )
+    # global pair dedupe (cross-shard + boundary duplicates)
+    edges = (
+        edges.groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "u" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+            )
+        both = np.concatenate(
+            [
+                tbl["u"].to_numpy(zero_copy_only=False),
+                tbl["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        k, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(k.astype(np.int64)),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
+            .groupby("node")
+            .sum("partial")
+        )
+        keep = deg.filter(
+            lambda r, k=KCORE_K: r["sum(partial)"] >= k
+        ).select_columns(["node"])
+        edges = ops.equi_join(edges, keep, on="u", right_on="node", how="semi")
+        edges = ops.equi_join(
+            edges, keep, on="v", right_on="node", how="semi"
+        ).materialize()
+
+    deg = (
+        edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .sum("partial")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl["node"].cast(pa.int64()),
+                "degree": tbl["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return deg.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def _k_core_oracle() -> str:
+    ctes = [
+        """o AS MATERIALIZED (
+  SELECT user_id, lead(user_id) OVER (ORDER BY ts, event_id) AS nu
+  FROM events)""",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(user_id, nu) AS u, greatest(user_id, nu) AS v
+  FROM o WHERE nu IS NOT NULL AND nu <> user_id)""",
+    ]
+    for k in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""n{k} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{k-1}
+                    UNION ALL SELECT v AS node FROM e{k-1})
+  GROUP BY node HAVING count(*) >= {KCORE_K})"""
+        )
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+  SELECT u, v FROM e{k-1}
+  WHERE u IN (SELECT node FROM n{k}) AND v IN (SELECT node FROM n{k}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS user_id, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM e{KCORE_ROUNDS}
+      UNION ALL SELECT v AS node FROM e{KCORE_ROUNDS})
+GROUP BY 1"""
+    )
+
+
+def _scd2_history(sf_dir):
+    """SCD Type-2 dimension-history build: collapse each user's event-type
+    stream (ordered by ts, event_id) into versioned validity intervals —
+    one row per maximal run with (valid_from_us, valid_to_us = next run's
+    start, NULL for the current version, version = 1..n). The gaps-and-
+    islands kernel of user_type_islands plus a next-start lookback, all
+    inside one hash exchange by user — per-user history never leaves its
+    shard."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def scd2_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "version": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t, c = uid[order], ts[order], codes[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(brk)
+        iu = u[starts]
+        ivf = t[starts]
+        user_head = np.ones(len(starts), dtype=bool)
+        user_head[1:] = iu[1:] != iu[:-1]
+        seq_base = np.flatnonzero(user_head)
+        run_id = np.cumsum(user_head) - 1
+        version = np.arange(len(starts), dtype=np.int64) - seq_base[run_id] + 1
+        # valid_to = next island's start within the same user, NULL for last
+        nxt = np.zeros(len(starts), dtype=np.int64)
+        nxt[:-1] = ivf[1:]
+        same_user = np.zeros(len(starts), dtype=bool)
+        same_user[:-1] = iu[1:] == iu[:-1]
+        valid_to = pa.array(nxt, mask=~same_user)
+        return pa.table(
+            {
+                "user_id": pa.array(iu),
+                "event_type": et.take(pa.array(order[starts])),
+                "valid_from_us": pa.array(ivf),
+                "valid_to_us": valid_to,
+                "version": pa.array(version),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, scd2_shard)
+
+
+SCD2_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, ts_us
+  FROM o WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+       CAST(ts_us AS BIGINT) AS valid_from_us,
+       CAST(lead(ts_us) OVER w2 AS BIGINT) AS valid_to_us,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+"""
+
+
+TREND_MIN_TOTAL = 5
+TREND_K = 50
+
+
+def _trending_terms(sf_dir):
+    """Trending terms between two deterministic corpus halves (doc_id
+    parity stands in for the old/new crawl snapshot): per-term counts in
+    each half, smoothed integer trend score (recent+1)*1000 // (old+1)
+    over terms with >= TREND_MIN_TOTAL occurrences, global top-TREND_K by
+    (score desc, term). Per-batch (term, half) partials shrink the shuffle
+    to vocabulary size; the ranked head is a sort + limit over the
+    filtered aggregate."""
+    import ray
+    from spatialindex_ray.functions.text import _token_segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = _token_segments(tbl["text"])
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        half = (did % 2).astype(np.int64)
+        row_of = np.repeat(np.arange(len(did)), (offsets[1:] - offsets[:-1]))
+        df = pd.DataFrame(
+            {
+                "term": flat.to_numpy(zero_copy_only=False),
+                "h": half[row_of],
+            }
+        )
+        g = df.groupby("term", as_index=False).agg(
+            n_old=("h", lambda s: int((s == 0).sum())),
+            n_recent=("h", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [("term", pa.string()), ("n_old", pa.int64()), ("n_recent", pa.int64())]
+            )
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum(["n_old", "n_recent"])
+    )
+
+    def score(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "term" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "n_old": pa.array([], pa.int64()),
+                    "n_recent": pa.array([], pa.int64()),
+                    "score_milli": pa.array([], pa.int64()),
+                }
+            )
+        old = tbl["sum(n_old)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rec = tbl["sum(n_recent)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (old + rec) >= TREND_MIN_TOTAL
+        sc = (rec + 1) * np.int64(1000) // (old + 1)
+        return pa.table(
+            {
+                "term": tbl["term"].filter(pa.array(m)),
+                "n_old": pa.array(old[m]),
+                "n_recent": pa.array(rec[m]),
+                "score_milli": pa.array(sc[m]),
+            }
+        )
+
+    scored = counts.map_batches(score, batch_format="pyarrow", batch_size=None)
+    return scored.sort(["score_milli", "term"], descending=[True, False]).limit(
+        TREND_K
+    )
+
+
+TRENDING_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id % 2 AS half, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents),
+c AS (
+  SELECT term,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
+  FROM t GROUP BY 1)
+SELECT term, n_old, n_recent,
+       CAST((n_recent + 1) * 1000 // (n_old + 1) AS BIGINT) AS score_milli
+FROM c
+WHERE n_old + n_recent >= {TREND_MIN_TOTAL}
+ORDER BY score_milli DESC, term
+LIMIT {TREND_K}
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -17324,6 +17722,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": _q11_important_parts,
         "q16_supplier_counts": _q16_supplier_counts,
         "q20_dominant_suppliers": _q20_dominant_suppliers,
+        # --- wave 55 ---
+        "k_core": _k_core,
+        "scd2_history": _scd2_history,
+        "trending_terms": _trending_terms,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -17607,6 +18009,10 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": Q11_ORACLE,
         "q16_supplier_counts": Q16_ORACLE,
         "q20_dominant_suppliers": Q20_ORACLE,
+        # --- wave 55 ---
+        "k_core": _k_core_oracle(),
+        "scd2_history": SCD2_ORACLE,
+        "trending_terms": TRENDING_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

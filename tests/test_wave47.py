@@ -99,11 +99,22 @@ def test_minhash_near_dup_still_finds_near_duplicates(ray_session):
 # --------------------------------------------------------- TPC-H shapes
 def test_q13_includes_zero_bucket_and_totals(ray_session):
     out = entry._q13_order_distribution(SF)
+    import pandas as pd
     import pyarrow.parquet as pq
 
     n_cust = pq.read_metadata(f"{SF}/customer.parquet").num_rows
-    assert int(out["custdist"].sum()) == n_cust
-    assert (out["c_count"] == 0).any()
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
+    n_with = orders[orders["o_orderstatus"] != entry.Q13_EXCLUDED_STATUS][
+        "o_custkey"
+    ].nunique()
+    # the zero bucket exists IFF some customer has no qualifying orders
+    # (the oracle's LEFT JOIN emits no c_count=0 group otherwise)
+    if n_cust > n_with:
+        assert int(out["custdist"].sum()) == n_cust
+        assert (out["c_count"] == 0).any()
+    else:
+        assert int(out["custdist"].sum()) == n_with
+        assert not (out["c_count"] == 0).any()
 
 
 def test_q17_brand_filter_nonempty(ray_session):
