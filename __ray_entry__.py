@@ -17001,19 +17001,12 @@ KCORE_K = 3
 KCORE_ROUNDS = 6
 
 
-def _k_core(sf_dir):
-    """Bounded k-core decomposition (KCORE_ROUNDS peel rounds, k=KCORE_K)
-    of the undirected user-transition graph: an edge {u, v} whenever an
+def _transition_pairs_ds(sf_dir):
+    """Deduped UNDIRECTED user-transition edges {u, v}: an edge whenever an
     event of u is globally adjacent to an event of v in (ts, event_id)
-    order. Edge build reuses the distributed adjacent-pair pattern
-    (range-partition by ts, in-shard pairs, O(n_shards) driver boundary
-    stitch — see _sssp_bounded). Each peel round is Ray Data primitives
-    only: endpoint-explode -> groupby degree -> filter >= k -> two
-    distributed SEMI joins (u then v) back onto the edge set — no node or
-    edge list ever materializes on the driver, so the peel is exactly the
-    shape you'd run on a billion-node graph. Output: nodes of the round-R
-    subgraph with their degree (the fixed point at test scales — asserted
-    in tests)."""
+    order. The distributed adjacent-pair pattern (range-partition by ts,
+    in-shard pairs, O(n_shards) driver boundary stitch — see
+    _sssp_bounded). Shared by _k_core and _connected_components."""
     import ray
 
     ds = ray.data.read_parquet(
@@ -17114,12 +17107,20 @@ def _k_core(sf_dir):
             )
         )
     # global pair dedupe (cross-shard + boundary duplicates)
-    edges = (
+    return (
         edges.groupby(["u", "v"])
         .count()
         .select_columns(["u", "v"])
         .materialize()
     )
+
+
+def _make_explode_endpoints():
+    """Edge table -> per-node incident-edge partial counts. Returned as a
+    CLOSURE (not a module-level function) on purpose: __ray_entry__ is not
+    importable on Ray workers when the driver's cwd is elsewhere, so any
+    UDF must pickle by value — cloudpickle only does that for locally
+    defined functions."""
 
     def explode(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0 or "u" not in tbl.schema.names:
@@ -17139,6 +17140,21 @@ def _k_core(sf_dir):
                 "partial": pa.array(c.astype(np.int64)),
             }
         )
+
+    return explode
+
+
+def _k_core(sf_dir):
+    """Bounded k-core decomposition (KCORE_ROUNDS peel rounds, k=KCORE_K)
+    of the undirected user-transition graph (_transition_pairs_ds). Each
+    peel round is Ray Data primitives only: endpoint-explode -> groupby
+    degree -> filter >= k -> two distributed SEMI joins (u then v) back
+    onto the edge set — no node or edge list ever materializes on the
+    driver, so the peel is exactly the shape you'd run on a billion-node
+    graph. Output: nodes of the round-R subgraph with their degree (the
+    fixed point at test scales — asserted in tests)."""
+    edges = _transition_pairs_ds(sf_dir)
+    explode = _make_explode_endpoints()
 
     for _ in range(KCORE_ROUNDS):
         deg = (
@@ -17201,6 +17217,214 @@ FROM (SELECT u AS node FROM e{KCORE_ROUNDS}
       UNION ALL SELECT v AS node FROM e{KCORE_ROUNDS})
 GROUP BY 1"""
     )
+
+
+CC_ROUNDS = 6
+
+
+def _connected_components(sf_dir):
+    """Bounded connected components by min-label propagation (CC_ROUNDS
+    rounds) over the undirected user-transition graph: every node starts
+    labelled with its own id; each round every node takes the min of its
+    own label and its neighbors' — after R rounds each label is the min
+    node id within R hops (the exact component id once R >= diameter —
+    fixed point asserted in tests). The edge set is SYMMETRIZED once
+    ((u,v) and (v,u) as src->dst), so every round is ONE distributed
+    equi-join (labels onto src) + one groupby-min: the Hash-Min algorithm
+    of Kang et al.'s PEGASUS, as Ray Data primitives; nothing node- or
+    edge-sized ever reaches the driver."""
+    edges = _transition_pairs_ds(sf_dir)
+
+    def symmetrize(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "u" not in tbl.schema.names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]).astype(np.int64)),
+                "dst": pa.array(np.concatenate([v, u]).astype(np.int64)),
+            }
+        )
+
+    sym = edges.map_batches(
+        symmetrize, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    labels = (
+        edges.map_batches(
+            _make_explode_endpoints(), batch_format="pyarrow", batch_size=None
+        )
+        .groupby("node")
+        .sum("partial")
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].cast(pa.int64()), "label": t["node"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()
+    )
+
+    def fwd(tbl: pa.Table) -> pa.Table:
+        # joined edge (src,dst)+label(src) -> candidate label for dst
+        if tbl.num_rows == 0 or "label" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch combine: one candidate per dst (min) before the shuffle
+        order = np.lexsort((lab, dst))
+        d, l = dst[order], lab[order]
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        return pa.table({"node": pa.array(d[starts]), "label": pa.array(l[starts])})
+
+    for _ in range(CC_ROUNDS):
+        ju = ops.equi_join(
+            sym, labels, on="src", right_on="node", n_shards=8
+        ).map_batches(fwd, batch_format="pyarrow", batch_size=None)
+        labels = (
+            labels.union(ju)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
+        )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl["node"].cast(pa.int64()),
+                "component": tbl["label"].cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def _connected_components_oracle() -> str:
+    ctes = [
+        """o AS MATERIALIZED (
+  SELECT user_id, lead(user_id) OVER (ORDER BY ts, event_id) AS nu
+  FROM events)""",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT least(user_id, nu) AS u, greatest(user_id, nu) AS v
+  FROM o WHERE nu IS NOT NULL AND nu <> user_id)""",
+        """l0 AS MATERIALIZED (
+  SELECT node, node AS label FROM (
+    SELECT u AS node FROM e UNION SELECT v AS node FROM e))""",
+    ]
+    for k in range(1, CC_ROUNDS + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM l{k-1}
+    UNION ALL
+    SELECT e.v AS node, l.label FROM e JOIN l{k-1} l ON e.u = l.node
+    UNION ALL
+    SELECT e.u AS node, l.label FROM e JOIN l{k-1} l ON e.v = l.node)
+  GROUP BY 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS user_id, CAST(label AS BIGINT) AS component
+FROM l{CC_ROUNDS}"""
+    )
+
+
+EWMA_W = 8  # truncated window; weights 2^(W-1) .. 1 (halving decay)
+
+
+def _ewma_trend(sf_dir):
+    """Exact-integer truncated EWMA per user: for each event, the
+    2^k-weighted sum of its own and the previous EWMA_W-1 event values
+    (cents) in (ts, event_id) order — a halving-decay trend signal with
+    NO floats (the classic recursive EWMA is irreproducible across
+    summation orders; the truncated form is exact and windowed). One hash
+    exchange by user; inside each shard the W lagged contributions are W
+    vectorized shifted adds with a same-user guard — no per-row Python."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "value": tbl["value"],
+            }
+        )
+
+    def ewma_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ewma_unit": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, e = uid[order], eid[order]
+        cents = np.round(val[order] * 100.0).astype(np.int64)
+        out = np.zeros(len(u), dtype=np.int64)
+        for k in range(EWMA_W):
+            w = np.int64(1) << (EWMA_W - 1 - k)
+            if k == 0:
+                out += w * cents
+            else:
+                same = u[k:] == u[:-k]
+                out[k:] += np.where(same, w * cents[:-k], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(e),
+                "user_id": pa.array(u),
+                "ewma_unit": pa.array(out),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, ewma_shard)
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n         ".join(
+        f"lag(cents, {k}) OVER w AS l{k}" for k in range(1, EWMA_W)
+    )
+    terms = " + ".join(
+        [f"{1 << (EWMA_W - 1)} * cents"]
+        + [f"{1 << (EWMA_W - 1 - k)} * COALESCE(l{k}, 0)" for k in range(1, EWMA_W)]
+    )
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         {lags}
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, CAST({terms} AS BIGINT) AS ewma_unit
+FROM c
+"""
 
 
 def _scd2_history(sf_dir):
@@ -17726,6 +17950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": _k_core,
         "scd2_history": _scd2_history,
         "trending_terms": _trending_terms,
+        # --- wave 56 ---
+        "connected_components": _connected_components,
+        "ewma_trend": _ewma_trend,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18013,6 +18240,9 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_oracle(),
         "scd2_history": SCD2_ORACLE,
         "trending_terms": TRENDING_ORACLE,
+        # --- wave 56 ---
+        "connected_components": _connected_components_oracle(),
+        "ewma_trend": _ewma_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
