@@ -17616,6 +17616,217 @@ LIMIT {TREND_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 57: model-evaluation operators — exact ROC-AUC (Mann-Whitney with
+# midrank ties, all-integer) and calibration bins over the embeddings table.
+
+AUC_SCALE = 1_000_000  # score quantization: micro-units of embedding[0]
+
+
+def _roc_auc(sf_dir):
+    """Exact ROC-AUC of score = embedding dim 0 against the binary label
+    (label % 2), with proper midrank tie handling — equivalently the
+    Mann-Whitney U statistic. The distributed shape is the HISTOGRAM
+    method: scores quantize to integer micro-units, one groupby folds the
+    dataset to per-distinct-score (n, n_pos) counts — bounded by the
+    quantized score range (~2e6 rows) REGARDLESS of input rows, so the
+    final rank fold is driver-sized by law, exactly like a fixed-width
+    quantile sketch. All arithmetic is integer: auc_num/auc_den are exact,
+    auc_milli = num*1000 // den."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "sc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                }
+            )
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0])
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        s0 = flat.reshape(tbl.num_rows, dim)[:, 0]
+        sc = np.round(s0 * AUC_SCALE).astype(np.int64)
+        pos = (
+            tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        )
+        order = np.argsort(sc, kind="stable")
+        ss, pp = sc[order], pos[order]
+        starts = np.flatnonzero(np.concatenate([[True], ss[1:] != ss[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ss)]])
+        cp = np.concatenate([[0], np.cumsum(pp, dtype=np.int64)])
+        return pa.table(
+            {
+                "sc": pa.array(ss[starts]),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "n_pos": pa.array(cp[ends] - cp[starts]),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("sc")
+        .sum(["n", "n_pos"])
+    )
+    # histogram is bounded by the quantized score range — driver-sized
+    df = hist.to_pandas().sort_values("sc").reset_index(drop=True)
+    n = df["sum(n)"].to_numpy().astype(np.int64)
+    npos = df["sum(n_pos)"].to_numpy().astype(np.int64)
+    P = int(npos.sum())
+    N = int(n.sum()) - P
+    below = np.concatenate([[0], np.cumsum(n)[:-1]])
+    # 2*midrank of a tie block = 2*(below+1) + (cnt-1) = 2*below + cnt + 1
+    r2_pos = int((npos * (2 * below + n + 1)).sum())
+    auc_num = r2_pos - P * (P + 1)
+    auc_den = 2 * P * N
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "auc_num": [auc_num],
+            "auc_den": [auc_den],
+            "auc_milli": [auc_num * 1000 // auc_den if auc_den else 0],
+            "n_pos": [P],
+            "n_neg": [N],
+        }
+    ).astype("int64")
+
+
+ROC_AUC_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * {AUC_SCALE}) AS BIGINT)
+           AS sc,
+         CAST(label % 2 AS BIGINT) AS pos
+  FROM embeddings),
+r AS (
+  SELECT pos,
+         RANK() OVER (ORDER BY sc) AS r1,
+         count(*) OVER (PARTITION BY sc) AS cnt
+  FROM s),
+agg AS (
+  SELECT CAST(sum(CASE WHEN pos = 1 THEN 2 * r1 + cnt - 1 ELSE 0 END)
+              AS BIGINT) AS r2_pos,
+         CAST(sum(pos) AS BIGINT) AS p,
+         CAST(count(*) - sum(pos) AS BIGINT) AS n
+  FROM r)
+SELECT r2_pos - p * (p + 1) AS auc_num,
+       2 * p * n AS auc_den,
+       CAST((r2_pos - p * (p + 1)) * 1000 // (2 * p * n) AS BIGINT)
+         AS auc_milli,
+       p AS n_pos, n AS n_neg
+FROM agg
+"""
+
+
+CALIB_BINS = 10
+
+
+def _calibration_bins(sf_dir):
+    """Score-calibration histogram: quantized scores bucket into
+    CALIB_BINS equal-width integer bins over the OBSERVED [min, max]
+    (two-pass: one min/max aggregate, then per-batch (bin, n, n_pos)
+    partials). Bin math is all-integer — ((sc - mn) * B) // (mx - mn + 1)
+    — so the engine and the SQL dual agree bit-for-bit with no float
+    division anywhere."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def to_score(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"sc": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0])
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        s0 = flat.reshape(tbl.num_rows, dim)[:, 0]
+        return pa.table(
+            {
+                "sc": pa.array(np.round(s0 * AUC_SCALE).astype(np.int64)),
+                "pos": pa.array(
+                    tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    % 2
+                ),
+            }
+        )
+
+    scores = ds.map_batches(to_score, batch_format="pyarrow", batch_size=None)
+    import ray.data.aggregate as agg
+
+    mm = scores.aggregate(agg.Min("sc"), agg.Max("sc"))
+    mn, mx = int(mm["min(sc)"]), int(mm["max(sc)"])
+    span = mx - mn + 1
+
+    def binned(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "sc" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                }
+            )
+        sc = tbl["sc"].to_numpy(zero_copy_only=False)
+        pos = tbl["pos"].to_numpy(zero_copy_only=False)
+        b = (sc - mn) * np.int64(CALIB_BINS) // span
+        order = np.argsort(b, kind="stable")
+        bb, pp = b[order], pos[order]
+        starts = np.flatnonzero(np.concatenate([[True], bb[1:] != bb[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bb)]])
+        cp = np.concatenate([[0], np.cumsum(pp, dtype=np.int64)])
+        return pa.table(
+            {
+                "bin": pa.array(bb[starts]),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "n_pos": pa.array(cp[ends] - cp[starts]),
+            }
+        )
+
+    out = (
+        scores.map_batches(binned, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .sum(["n", "n_pos"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": tbl["bin"].cast(pa.int64()),
+                "n": tbl["sum(n)"].cast(pa.int64()),
+                "n_pos": tbl["sum(n_pos)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+CALIBRATION_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * {AUC_SCALE}) AS BIGINT)
+           AS sc,
+         CAST(label % 2 AS BIGINT) AS pos
+  FROM embeddings),
+b AS (
+  SELECT (sc - (SELECT min(sc) FROM s)) * {CALIB_BINS}
+           // ((SELECT max(sc) FROM s) - (SELECT min(sc) FROM s) + 1) AS bin,
+         pos
+  FROM s)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos
+FROM b GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -17953,6 +18164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 56 ---
         "connected_components": _connected_components,
         "ewma_trend": _ewma_trend,
+        # --- wave 57 ---
+        "roc_auc": _roc_auc,
+        "calibration_bins": _calibration_bins,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18243,6 +18457,9 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 56 ---
         "connected_components": _connected_components_oracle(),
         "ewma_trend": _ewma_oracle(),
+        # --- wave 57 ---
+        "roc_auc": ROC_AUC_ORACLE,
+        "calibration_bins": CALIBRATION_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
