@@ -17827,6 +17827,120 @@ FROM b GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 58: inter-rater agreement — Cohen's kappa between the stored lang
+# column and the LangID stage's prediction, all-integer from the k x k
+# contingency margins. Composes the model-scoring stage with its own SQL
+# dual (the lang_id oracle nests as a CTE).
+
+
+def _cohen_kappa(sf_dir):
+    """Cohen's kappa between documents.lang ("rater A") and the LangID
+    actor-pool stage ("rater B"). The distributed part folds the dataset
+    to a k x k contingency table via per-batch (lang, lang_pred, n)
+    partials (k = languages + 'und' — tiny); the kappa fold is exact
+    integer: kappa = (n*agree - S) / (n^2 - S) with S = sum over
+    categories of rowmargin * colmargin. Output num/den + floor-milli so
+    no float ever crosses the oracle boundary."""
+    import ray
+    from spatialindex_ray.functions.text import LangID
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    class LangPair(LangID):
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            pred = LangID.__call__(
+                self, tbl.select(["doc_id", "text"])
+            )["lang_pred"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {
+                    "lang": np.asarray(
+                        tbl["lang"].to_numpy(zero_copy_only=False)
+                    ),
+                    "lang_pred": np.asarray(pred),
+                }
+            )
+            g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "n"}), preserve_index=False
+            ).cast(
+                pa.schema(
+                    [
+                        ("lang", pa.string()),
+                        ("lang_pred", pa.string()),
+                        ("n", pa.int64()),
+                    ]
+                )
+            )
+
+    cont = (
+        ds.map_batches(
+            LangPair, batch_format="pyarrow", batch_size=None, concurrency=2
+        )
+        .groupby(["lang", "lang_pred"])
+        .sum("n")
+        .to_pandas()  # k x k categories — driver-sized by law
+        .rename(columns={"sum(n)": "n"})
+    )
+    n = int(cont["n"].sum())
+    agree = int(cont[cont["lang"] == cont["lang_pred"]]["n"].sum())
+    rows = cont.groupby("lang")["n"].sum()
+    cols = cont.groupby("lang_pred")["n"].sum()
+    S = int(sum(int(rows[c]) * int(cols[c]) for c in rows.index if c in cols.index))
+    kappa_num = n * agree - S
+    kappa_den = n * n - S
+    # kappa can be NEGATIVE (below-chance agreement); DuckDB's integer //
+    # truncates toward zero while Python floors — truncate explicitly
+    milli = (
+        (abs(kappa_num) * 1000 // kappa_den) * (1 if kappa_num >= 0 else -1)
+        if kappa_den
+        else 0
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "kappa_num": [kappa_num],
+            "kappa_den": [kappa_den],
+            "kappa_milli": [milli],
+            "n_docs": [n],
+            "n_agree": [agree],
+        }
+    ).astype("int64")
+
+
+def _cohen_kappa_oracle() -> str:
+    from spatialindex_ray.functions.text import LANG_ID_ORACLE
+
+    return f"""
+WITH pred AS ({LANG_ID_ORACLE}),
+j AS (
+  SELECT d.lang, p.lang_pred
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+c AS (SELECT lang, lang_pred, count(*) AS n FROM j GROUP BY 1, 2),
+m AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM c),
+s AS (
+  SELECT CAST(COALESCE(sum(r.rn * q.cn), 0) AS BIGINT) AS sprod
+  FROM (SELECT lang AS cat, sum(n) AS rn FROM c GROUP BY 1) r
+  JOIN (SELECT lang_pred AS cat, sum(n) AS cn FROM c GROUP BY 1) q
+    ON r.cat = q.cat)
+SELECT tot * agree - sprod AS kappa_num,
+       tot * tot - sprod AS kappa_den,
+       CAST((tot * agree - sprod) * 1000 // (tot * tot - sprod) AS BIGINT)
+         AS kappa_milli,
+       tot AS n_docs, agree AS n_agree
+FROM m, s
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -18167,6 +18281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 57 ---
         "roc_auc": _roc_auc,
         "calibration_bins": _calibration_bins,
+        # --- wave 58 ---
+        "cohen_kappa": _cohen_kappa,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18460,6 +18576,8 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 57 ---
         "roc_auc": ROC_AUC_ORACLE,
         "calibration_bins": CALIBRATION_ORACLE,
+        # --- wave 58 ---
+        "cohen_kappa": _cohen_kappa_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
