@@ -929,9 +929,16 @@ def image_ahash_dup_query(sf_dir: str, max_hamming: int = AHASH_DUP_MAX_HAMMING,
     from ..kernels import hashing
 
     # num_blocks: codec work is per-image CPU; a single-file read is ONE
-    # block -> one synth task, so large corpora pass override_num_blocks
-    # to spread the encode across the pool (the gate-scale default reads
-    # normally). concurrency sizes the decode actor pool the same way.
+    # block -> one synth task, so by default both the synth block count and
+    # the decode actor pool SIZE TO THE CLUSTER (codec stages are the rare
+    # case where wall time is pure per-row CPU — leaving them at 1 block /
+    # 2 actors serializes the whole pipeline on a 32-core node).
+    if num_blocks is None or concurrency == 2:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        if num_blocks is None:
+            num_blocks = max(4, cpus * 2)
+        if concurrency == 2:
+            concurrency = max(2, cpus // 4)
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"],
         override_num_blocks=num_blocks,
