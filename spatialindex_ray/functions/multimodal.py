@@ -975,29 +975,72 @@ def image_ahash_dup_query(sf_dir: str, max_hamming: int = AHASH_DUP_MAX_HAMMING,
     def pairs_in_shard(df):
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"left_id": np.array([], dtype=np.int64),
+             "right_id": np.array([], dtype=np.int64)}
+        )
         sub = df[["bk", "doc_id", "ahash"]]
-        cand = sub.merge(sub, on="bk", suffixes=("_l", "_r"))
-        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        # pair DISTINCT hash values per bucket first, then expand only the
+        # hamming-passing hash pairs back to doc pairs — the doc-level
+        # self-merge is quadratic in duplicate DENSITY (a corpus where every
+        # image has d near-copies costs d^2 per bucket); the hash-level
+        # merge is bounded by the distinct-hash vocabulary
+        dh = sub.drop_duplicates(["bk", "ahash"])
+        cand = dh.merge(dh, on="bk", suffixes=("_l", "_r"))
+        cand = cand[cand["ahash_l"] <= cand["ahash_r"]]
         if len(cand) == 0:
-            return pd.DataFrame(
-                {"left_id": np.array([], dtype=np.int64),
-                 "right_id": np.array([], dtype=np.int64)}
-            )
+            return empty
         x = cand["ahash_l"].to_numpy().astype(np.int64).view(np.uint64) ^ \
             cand["ahash_r"].to_numpy().astype(np.int64).view(np.uint64)
-        keep = hashing.popcount64(x) <= max_hamming
+        cand = cand[hashing.popcount64(x) <= max_hamming]
+        if len(cand) == 0:
+            return empty
+        hp = cand[["bk", "ahash_l", "ahash_r"]]
+        left = hp.merge(
+            sub.rename(columns={"ahash": "ahash_l", "doc_id": "left_id"}),
+            on=["bk", "ahash_l"],
+        )
+        both = left.merge(
+            sub.rename(columns={"ahash": "ahash_r", "doc_id": "right_id"}),
+            on=["bk", "ahash_r"],
+        )
+        a = both["left_id"].to_numpy().astype(np.int64)
+        b = both["right_id"].to_numpy().astype(np.int64)
+        m = a != b
+        a, b = a[m], b[m]
+        # normalize to (min, max): a cross-hash pair may surface with its
+        # smaller doc id on either side (downstream groupby dedupes the
+        # same-hash double emission)
         return pd.DataFrame(
+            {"left_id": np.minimum(a, b), "right_id": np.maximum(a, b)}
+        )
+
+    def pairs_shard(tbl: pa.Table) -> pa.Table:
+        # hash_exchange shard fn (Ray's sort-based groupby().map_groups on
+        # the shard key measured ~10x slower on this access pattern — same
+        # pathology rfm_segments hit; see ops.hash_exchange docstring)
+        empty = pa.table(
             {
-                "left_id": cand["doc_id_l"].to_numpy()[keep],
-                "right_id": cand["doc_id_r"].to_numpy()[keep],
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "bk" not in tbl.schema.names:
+            return empty
+        df = pairs_in_shard(tbl.select(["bk", "doc_id", "ahash"]).to_pandas())
+        if len(df) == 0:
+            return empty
+        return pa.table(
+            {
+                "left_id": pa.array(df["left_id"].to_numpy().astype(np.int64)),
+                "right_id": pa.array(df["right_id"].to_numpy().astype(np.int64)),
             }
         )
 
-    pairs = (
-        ah.map_batches(band_explode, batch_format="pyarrow", batch_size=None)
-        .groupby("shard")
-        .map_groups(pairs_in_shard, batch_format="pandas")
-    )
+    from .. import ops as _ops
+
+    keyed = ah.map_batches(band_explode, batch_format="pyarrow", batch_size=None)
+    pairs = _ops.hash_exchange(keyed, "shard", _AHASH_DUP_SHARDS, pairs_shard)
     out = (
         pairs.groupby(["left_id", "right_id"]).count()
         .select_columns(["left_id", "right_id"])
