@@ -2175,6 +2175,28 @@ def connected_components(
             }
         )
 
+    def shortcut_shard(tl: pa.Table, tr: pa.Table) -> pa.Table:
+        # pointer doubling: label' = label[label] — join labels-as-edges
+        # (node, label) with labels keyed by node=label value
+        import pandas as pd
+
+        if "node" not in tl.schema.names or "node" not in tr.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        l = _drop_shard(tl).to_pandas()
+        r = _drop_shard(tr).to_pandas()
+        m = l.merge(
+            r.rename(columns={"node": "_t", "label": "_l2"}),
+            left_on="label",
+            right_on="_t",
+            how="left",
+        )
+        lab2 = m["_l2"].fillna(m["label"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": pa.array(m["node"].to_numpy()), "label": pa.array(lab2)}
+        )
+
     prev_sum = None
     for _ in range(max_iters):
         labels_tagged = labels.map_batches(
@@ -2189,7 +2211,21 @@ def connected_components(
         tagged = labels.union(cand).map_batches(
             _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
         )
-        labels = hash_exchange(tagged, "_shard", n_shards, min_by_node).materialize()
+        labels = hash_exchange(tagged, "_shard", n_shards, min_by_node)
+        # pointer-doubling pass (label' = label[label]): collapses chain
+        # components in O(log diameter) rounds instead of O(diameter) —
+        # min-label result is unchanged (labels only ever DECREASE toward
+        # the component min; following one extra hop is still a component
+        # member's label)
+        by_label = labels.map_batches(
+            _shard_tagger("label", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        by_node = labels.map_batches(
+            _shard_tagger("node", n_shards), batch_format="pyarrow", batch_size=None
+        )
+        labels = hash_exchange2(
+            by_label, by_node, "_shard", "_shard", n_shards, shortcut_shard
+        ).materialize()
         cur = labels.sum("label")
         if cur == prev_sum:
             break
