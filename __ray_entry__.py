@@ -17156,6 +17156,7 @@ def _k_core(sf_dir):
     edges = _transition_pairs_ds(sf_dir)
     explode = _make_explode_endpoints()
 
+    prev_edges = edges.count()
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
@@ -17169,6 +17170,13 @@ def _k_core(sf_dir):
         edges = ops.equi_join(
             edges, keep, on="v", right_on="node", how="semi"
         ).materialize()
+        cur = edges.count()
+        if cur == prev_edges:
+            # fixed point: no node fell below k, so every later round is the
+            # identity — the bounded-round oracle result is already reached
+            # (peel is monotone: unchanged edge count => unchanged edge SET)
+            break
+        prev_edges = cur
 
     deg = (
         edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
@@ -17223,86 +17231,32 @@ CC_ROUNDS = 6
 
 
 def _connected_components(sf_dir):
-    """Bounded connected components by min-label propagation (CC_ROUNDS
-    rounds) over the undirected user-transition graph: every node starts
-    labelled with its own id; each round every node takes the min of its
-    own label and its neighbors' — after R rounds each label is the min
-    node id within R hops (the exact component id once R >= diameter —
-    fixed point asserted in tests). The edge set is SYMMETRIZED once
-    ((u,v) and (v,u) as src->dst), so every round is ONE distributed
-    equi-join (labels onto src) + one groupby-min: the Hash-Min algorithm
-    of Kang et al.'s PEGASUS, as Ray Data primitives; nothing node- or
-    edge-sized ever reaches the driver."""
+    """Connected components of the undirected user-transition graph —
+    delegates to ops.connected_components (Hash-Min label propagation with
+    a pointer-doubling shortcut per round, exchange-keyed min combines,
+    label-sum convergence detection; see ops.py). The engine converges to
+    the exact component min-label fixed point; the SQL oracle unrolls
+    CC_ROUNDS plain Hash-Min rounds, which equals the fixed point whenever
+    CC_ROUNDS >= the graph diameter — asserted by the fixed-point test at
+    every test scale (the transition graph is small-world: diameter ~3)."""
     edges = _transition_pairs_ds(sf_dir)
-
-    def symmetrize(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0 or "u" not in tbl.schema.names:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
-        u = tbl["u"].to_numpy(zero_copy_only=False)
-        v = tbl["v"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([u, v]).astype(np.int64)),
-                "dst": pa.array(np.concatenate([v, u]).astype(np.int64)),
-            }
-        )
-
-    sym = edges.map_batches(
-        symmetrize, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    labels = (
+    nodes = (
         edges.map_batches(
             _make_explode_endpoints(), batch_format="pyarrow", batch_size=None
         )
         .groupby("node")
         .sum("partial")
-        .map_batches(
-            lambda t: pa.table(
-                {"node": t["node"].cast(pa.int64()), "label": t["node"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .materialize()
+        .select_columns(["node"])
     )
-
-    def fwd(tbl: pa.Table) -> pa.Table:
-        # joined edge (src,dst)+label(src) -> candidate label for dst
-        if tbl.num_rows == 0 or "label" not in tbl.schema.names:
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
-            )
-        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # per-batch combine: one candidate per dst (min) before the shuffle
-        order = np.lexsort((lab, dst))
-        d, l = dst[order], lab[order]
-        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-        return pa.table({"node": pa.array(d[starts]), "label": pa.array(l[starts])})
-
-    for _ in range(CC_ROUNDS):
-        ju = ops.equi_join(
-            sym, labels, on="src", right_on="node", n_shards=8
-        ).map_batches(fwd, batch_format="pyarrow", batch_size=None)
-        labels = (
-            labels.union(ju)
-            .groupby("node")
-            .min("label")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-            .materialize()
-        )
+    labels = ops.connected_components(
+        edges, nodes, left_col="u", right_col="v", node_col="node"
+    )
 
     def project(tbl: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "user_id": tbl["node"].cast(pa.int64()),
-                "component": tbl["label"].cast(pa.int64()),
+                "component": tbl["cluster_id"].cast(pa.int64()),
             }
         )
 
