@@ -17895,6 +17895,102 @@ FROM m, s
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 59: per-group percentile threshold join — flag activity above each
+# user's OWN p90 (nearest-rank, exact integer cents).
+
+P90_NUM, P90_DEN = 9, 10
+
+
+def _above_user_p90(sf_dir):
+    """Per-user nearest-rank p90 of event value (threshold = the
+    ceil(0.9*n)-th smallest cents) and the count of that user's events
+    STRICTLY above it — the "self-join against your own percentile"
+    pattern with no float quantile anywhere. One hash exchange by user;
+    inside a shard one lexsort orders every user's cents and the
+    threshold/above-count come from segment index arithmetic + cumulative
+    positions (no per-user loop)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": tbl["user_id"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def p90_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "thr_cents": pa.array([], pa.int64()),
+                "n_above": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, uid))
+        u, c = uid[order], cents[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u)]])
+        n = ends - starts
+        k = (P90_NUM * n + P90_NUM) // P90_DEN  # ceil(0.9*n), 1-based
+        p = starts + k - 1  # threshold position within the sorted segment
+        thr = c[p]
+        # strictly-above count = segment end - (last index of the
+        # threshold's equal-run + 1), fully vectorized via run ends over
+        # the (user, cents)-sorted stream — no per-user loop
+        brk2 = np.ones(len(u), dtype=bool)
+        brk2[:-1] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        run_end = np.flatnonzero(brk2)  # last index of each equal run
+        run_of = np.searchsorted(run_end, np.arange(len(u)), side="left")
+        above = ends - (run_end[run_of[p]] + 1)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "thr_cents": pa.array(thr),
+                "n_above": pa.array(above),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, p90_shard)
+
+
+ABOVE_P90_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+k AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM c),
+t AS (SELECT user_id, cents AS thr_cents
+      FROM k WHERE rn = ({P90_NUM} * n + {P90_NUM}) // {P90_DEN})
+SELECT c.user_id, CAST(t.thr_cents AS BIGINT) AS thr_cents,
+       CAST(sum(CASE WHEN c.cents > t.thr_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM c JOIN t USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -18237,6 +18333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_bins": _calibration_bins,
         # --- wave 58 ---
         "cohen_kappa": _cohen_kappa,
+        # --- wave 59 ---
+        "above_user_p90": _above_user_p90,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18532,6 +18630,8 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": CALIBRATION_ORACLE,
         # --- wave 58 ---
         "cohen_kappa": _cohen_kappa_oracle(),
+        # --- wave 59 ---
+        "above_user_p90": ABOVE_P90_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
