@@ -17896,6 +17896,172 @@ FROM m, s
 
 
 # --------------------------------------------------------------------------
+# Wave 60: group-disjoint train/val/test split (leakage-safe by USER, the
+# thing a per-row split gets wrong) and a Benford first-digit audit.
+
+GSPLIT_VAL_PCT = 10  # val = hash% < 10, test = < 20, else train
+GSPLIT_TEST_PCT = 20
+
+
+def _events_group_split(sf_dir):
+    """GROUP-disjoint train/val/test assignment: the split coin is
+    splitmix64(user_id) — NOT the row id — so every event of a user lands
+    in the same fold (the leakage rule row-level splits violate). Pure
+    map + tiny groupby: per split, distinct-user count and event count.
+    Disjointness is structural (one coin per user), asserted in tests."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._splitmix64(uid)  # uint64
+        pct = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            pct < GSPLIT_VAL_PCT,
+            "val",
+            np.where(pct < GSPLIT_TEST_PCT, "test", "train"),
+        )
+        df = pd.DataFrame({"split": split, "user_id": uid})
+        g = df.groupby("split", as_index=False).size()
+        pairs = df.drop_duplicates()
+        # per-batch partial: exact event counts (user_id = -1 marker rows)
+        # + the batch's distinct (split, user) pairs for an exact distinct
+        # count downstream
+        return pa.table(
+            {
+                "split": pa.array(
+                    np.concatenate([g["split"].to_numpy(), pairs["split"].to_numpy()])
+                ),
+                "n_events": pa.array(
+                    np.concatenate(
+                        [
+                            g["size"].to_numpy().astype(np.int64),
+                            np.zeros(len(pairs), dtype=np.int64),
+                        ]
+                    )
+                ),
+                "user_id": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(len(g), -1, dtype=np.int64),
+                            pairs["user_id"].to_numpy().astype(np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    mixed = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def split_users(tbl: pa.Table) -> pa.Table:
+        m = tbl["user_id"].to_numpy(zero_copy_only=False) >= 0
+        return tbl.filter(pa.array(m)).select(["split", "user_id"])
+
+    def split_events(tbl: pa.Table) -> pa.Table:
+        m = tbl["user_id"].to_numpy(zero_copy_only=False) < 0
+        return tbl.filter(pa.array(m)).select(["split", "n_events"])
+
+    users = (
+        mixed.map_batches(split_users, batch_format="pyarrow", batch_size=None)
+        .groupby(["split", "user_id"])
+        .count()
+        .groupby("split")
+        .count()
+    )
+    events = (
+        mixed.map_batches(split_events, batch_format="pyarrow", batch_size=None)
+        .groupby("split")
+        .sum("n_events")
+    )
+    import pandas as pd
+
+    u = users.to_pandas().rename(columns={"count()": "n_users"})
+    e = events.to_pandas().rename(columns={"sum(n_events)": "n_events"})
+    out = u.merge(e, on="split")
+    return out[["split", "n_users", "n_events"]].astype(
+        {"n_users": "int64", "n_events": "int64"}
+    )
+
+
+def _events_group_split_oracle() -> str:
+    sm = _sql_splitmix64("CAST(user_id AS HUGEINT)")
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN ({sm}) % 100 < {GSPLIT_VAL_PCT} THEN 'val'
+              WHEN ({sm}) % 100 < {GSPLIT_TEST_PCT} THEN 'test'
+              ELSE 'train' END AS split
+  FROM events)
+SELECT split,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1
+"""
+
+
+def _benford_first_digit(sf_dir):
+    """Benford first-digit audit over order totals (cents): distribution
+    of the leading digit, exact integer extraction (12 halving-divides —
+    no log10 float anywhere). The fraud/data-quality screen as one pure
+    map + 9-row groupby."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cents = np.round(
+            tbl["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        d = cents.copy()
+        for _ in range(18):  # int64 has <= 19 digits
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        k, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(k.astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("digit")
+        .sum("n")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "digit": tbl["digit"].cast(pa.int64()),
+                "n": tbl["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE round(o_totalprice * 100) > 0)
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Wave 59: per-group percentile threshold join — flag activity above each
 # user's OWN p90 (nearest-rank, exact integer cents).
 
@@ -18335,6 +18501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohen_kappa": _cohen_kappa,
         # --- wave 59 ---
         "above_user_p90": _above_user_p90,
+        # --- wave 60 ---
+        "events_group_split": _events_group_split,
+        "benford_first_digit": _benford_first_digit,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18632,6 +18801,9 @@ def oracle_sql() -> dict[str, str]:
         "cohen_kappa": _cohen_kappa_oracle(),
         # --- wave 59 ---
         "above_user_p90": ABOVE_P90_ORACLE,
+        # --- wave 60 ---
+        "events_group_split": _events_group_split_oracle(),
+        "benford_first_digit": BENFORD_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
