@@ -60,7 +60,9 @@ def test_query_vs_oracle(ray_session, oracle_con, name):
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
         if av.dtype.kind == "f":
-            assert np.array_equal(av, bv), col
+            # equal_nan: nullable int64 results (e.g. SCD2 open intervals)
+            # surface as float NaN on both sides
+            assert np.array_equal(av, bv, equal_nan=True), col
         else:
             assert (av == bv).all(), col
 
