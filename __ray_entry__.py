@@ -17896,6 +17896,169 @@ FROM m, s
 
 
 # --------------------------------------------------------------------------
+# Wave 61: last-touch purchase attribution and exact per-vector medians.
+
+ATTR_TARGET = "purchase"
+
+
+def _purchase_attribution(sf_dir):
+    """Last-touch attribution: each '{purchase}' event is credited to the
+    LAST strictly-prior non-purchase event type of the same user ('direct'
+    when none exists). One hash exchange by user; inside a shard the
+    credited type is a vectorized forward-fill (cummax of non-purchase
+    positions over the (ts, event_id)-sorted stream) — the IGNORE NULLS
+    window dual with no per-row Python. Output: (attr_type, n_buys)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def attr_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "attr_type": pa.array([], pa.string()),
+                "n_buys": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], et[order]
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        user_head = np.ones(n, dtype=bool)
+        user_head[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(user_head, dtype=np.int64) - 1
+        seg_start = idx[user_head][seg_id]
+        is_buy = t == ATTR_TARGET
+        # banded cummax forward-fill: per row, the key encodes (segment,
+        # 1 + relative position of the row if it is a non-purchase). Band
+        # bases strictly increase per segment, so one global cummax fills
+        # within segments with an automatic reset at each user head.
+        band = seg_id * np.int64(n + 1)
+        key = np.where(~is_buy, band + (idx - seg_start) + 1, band)
+        filled = np.maximum.accumulate(key)
+        prev = np.concatenate([[np.int64(-1)], filled[:-1]])
+        prior_valid = (~user_head) & (prev > band)  # strictly-prior non-buy
+        attr_pos = np.clip(seg_start + (prev - band) - 1, 0, n - 1)
+        attr = np.where(prior_valid & is_buy, t[attr_pos], "direct")
+        vals, counts = np.unique(attr[is_buy], return_counts=True)
+        return pa.table(
+            {
+                "attr_type": pa.array(vals),
+                "n_buys": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, attr_shard)
+        .groupby("attr_type")
+        .sum("n_buys")
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "attr_type": tbl["attr_type"],
+                "n_buys": tbl["sum(n_buys)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type,
+    last_value(CASE WHEN event_type <> '{ATTR_TARGET}' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM events)
+SELECT COALESCE(attr, 'direct') AS attr_type,
+       CAST(count(*) AS BIGINT) AS n_buys
+FROM o WHERE event_type = '{ATTR_TARGET}'
+GROUP BY 1
+"""
+
+
+def _embedding_median(sf_dir):
+    """Exact per-vector median of the 64 embedding dims in integer
+    micro-units: outputs 2*median (= the sum of the two middle order
+    statistics for the even dim count) so the engine/oracle compare stays
+    pure-integer. Embarrassingly parallel row-wise np.partition."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def med(tbl: pa.Table) -> pa.Table:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "median_micros2": pa.array([], pa.int64()),
+                }
+            )
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0])
+        m = np.round(
+            np.asarray(emb.flatten(), dtype=np.float64).reshape(len(ids), dim)
+            * 1_000_000
+        ).astype(np.int64)
+        part = np.partition(m, [dim // 2 - 1, dim // 2], axis=1)
+        med2 = part[:, dim // 2 - 1] + part[:, dim // 2]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "median_micros2": pa.array(med2),
+            }
+        )
+
+    return ds.map_batches(med, batch_format="pyarrow", batch_size=None)
+
+
+EMBEDDING_MEDIAN_ORACLE = """
+WITH m AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS v
+  FROM embeddings),
+r AS (
+  SELECT vec_id, v,
+         row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY vec_id) AS n
+  FROM m)
+SELECT vec_id,
+       CAST(sum(CASE WHEN rn IN (n // 2, n // 2 + 1) THEN v ELSE 0 END)
+            AS BIGINT) AS median_micros2
+FROM r GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Wave 60: group-disjoint train/val/test split (leakage-safe by USER, the
 # thing a per-row split gets wrong) and a Benford first-digit audit.
 
@@ -18504,6 +18667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 60 ---
         "events_group_split": _events_group_split,
         "benford_first_digit": _benford_first_digit,
+        # --- wave 61 ---
+        "purchase_attribution": _purchase_attribution,
+        "embedding_median": _embedding_median,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18804,6 +18970,9 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 60 ---
         "events_group_split": _events_group_split_oracle(),
         "benford_first_digit": BENFORD_ORACLE,
+        # --- wave 61 ---
+        "purchase_attribution": ATTRIBUTION_ORACLE,
+        "embedding_median": EMBEDDING_MEDIAN_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
