@@ -17896,6 +17896,144 @@ FROM m, s
 
 
 # --------------------------------------------------------------------------
+# Wave 62: daily session bounce rate and top user paths — compositions of
+# the sessionize / path machinery with their own SQL duals.
+
+
+def _session_bounce_rate(sf_dir):
+    """Per-day session quality: sessions STARTING that day and how many
+    bounced (exactly one event) — the gap-sessionize kernel
+    (SESSION_GAP_US) emitting (day, n_sessions, n_bounce) partials per
+    shard instead of per-user rollups; one tiny day groupby after."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    n_shards = 32
+    day_us = np.int64(86_400_000_000)
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    def bounce_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_bounce": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        u, t = uid[order], ts[order]
+        new_sess = np.ones(len(u), dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > SESSION_GAP_US)
+        sess_id = np.cumsum(new_sess) - 1
+        sizes = np.bincount(sess_id)
+        start_day = t[new_sess] // day_us
+        order2 = np.argsort(start_day, kind="stable")
+        sd, sz = start_day[order2], sizes[order2]
+        heads = np.flatnonzero(np.concatenate([[True], sd[1:] != sd[:-1]]))
+        ends = np.concatenate([heads[1:], [len(sd)]])
+        cb = np.concatenate([[0], np.cumsum((sz == 1).astype(np.int64))])
+        return pa.table(
+            {
+                "day": pa.array(sd[heads]),
+                "n_sessions": pa.array((ends - heads).astype(np.int64)),
+                "n_bounce": pa.array(cb[ends] - cb[heads]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, bounce_shard)
+        .groupby("day")
+        .sum(["n_sessions", "n_bounce"])
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": tbl["day"].cast(pa.int64()),
+                "n_sessions": tbl["sum(n_sessions)"].cast(pa.int64()),
+                "n_bounce": tbl["sum(n_bounce)"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+SESSION_BOUNCE_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t),
+g AS (SELECT user_id, sess, count(*) AS n, min(ts_us) AS start_us
+      FROM s GROUP BY 1, 2)
+SELECT CAST(start_us // 86400000000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM g GROUP BY 1
+"""
+
+
+TOP_PATHS_K = 10
+
+
+def _top_paths(sf_dir):
+    """Top-K most common 5-step user paths (ties by path): the
+    user_event_paths stage folded to (path, n_users) + global sort-limit
+    — path cardinality is bounded by type-alphabet^5, so the ranked
+    aggregate is tiny no matter the corpus."""
+    paths = _user_event_paths(sf_dir)
+    out = paths.groupby("path").count()
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": tbl["path"],
+                "n_users": tbl["count()"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        out.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .sort(["n_users", "path"], descending=[True, False])
+        .limit(TOP_PATHS_K)
+    )
+
+
+TOP_PATHS_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM r WHERE rk <= 5 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path
+LIMIT {TOP_PATHS_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Wave 61: last-touch purchase attribution and exact per-vector medians.
 
 ATTR_TARGET = "purchase"
@@ -18670,6 +18808,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 61 ---
         "purchase_attribution": _purchase_attribution,
         "embedding_median": _embedding_median,
+        # --- wave 62 ---
+        "session_bounce_rate": _session_bounce_rate,
+        "top_paths": _top_paths,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -18973,6 +19114,9 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 61 ---
         "purchase_attribution": ATTRIBUTION_ORACLE,
         "embedding_median": EMBEDDING_MEDIAN_ORACLE,
+        # --- wave 62 ---
+        "session_bounce_rate": SESSION_BOUNCE_ORACLE,
+        "top_paths": TOP_PATHS_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
