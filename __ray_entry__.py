@@ -17896,6 +17896,116 @@ FROM m, s
 
 
 # --------------------------------------------------------------------------
+# Wave 63: language purity and entity extraction counts per document.
+
+
+def _lang_purity(sf_dir):
+    """Mixed-language detection: per doc, total stopword votes across ALL
+    languages vs the winning language's votes — purity_pct = integer
+    100*top//total (0 when no votes). Same vectorized Arrow split +
+    per-language is_in + segment sums as LangID (actor-pool stage, value
+    sets built once per actor)."""
+    import ray
+    from spatialindex_ray.functions.text import LangID, _segment_sum, _token_segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    class Purity(LangID):
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            flat, offsets = _token_segments(tbl["text"])
+            n = len(tbl)
+            scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+            for k, lang in enumerate(self.langs):
+                member = pc.is_in(flat, value_set=self.value_sets[lang])
+                vals = member.to_numpy(zero_copy_only=False).astype(np.int64)
+                scores[:, k] = _segment_sum(vals, offsets).astype(np.int64)
+            top = scores.max(axis=1)
+            total = scores.sum(axis=1)
+            purity = np.where(total > 0, 100 * top // np.maximum(total, 1), 0)
+            return pa.table(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "votes_top": pa.array(top),
+                    "votes_total": pa.array(total),
+                    "purity_pct": pa.array(purity.astype(np.int64)),
+                }
+            )
+
+    return ds.map_batches(Purity, batch_format="pyarrow", batch_size=None, concurrency=2)
+
+
+def _lang_purity_oracle() -> str:
+    from spatialindex_ray.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    tot = " + ".join(f"s_{lang}" for lang in langs)
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+v AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+SELECT doc_id,
+       CAST({g} AS BIGINT) AS votes_top,
+       CAST({tot} AS BIGINT) AS votes_total,
+       CAST(CASE WHEN ({tot}) > 0 THEN 100 * ({g}) // ({tot}) ELSE 0 END
+            AS BIGINT) AS purity_pct
+FROM v
+"""
+
+
+# RE2 patterns — pyarrow's count_substring_regex and DuckDB's
+# regexp_extract_all are BOTH RE2, so one literal serves engine + oracle.
+ENTITY_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+ENTITY_URL_RE = r"https?://[^ \t\n]+"
+
+
+def _doc_entity_counts(sf_dir):
+    """Entity extraction counts per document (emails, URLs) — two RE2
+    kernels over the raw text column, zero-copy Arrow in, three int
+    columns out; the oracle runs the IDENTICAL pattern strings through
+    DuckDB's RE2. Pure map stage."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        emails = pc.count_substring_regex(tbl["text"], ENTITY_EMAIL_RE)
+        urls = pc.count_substring_regex(tbl["text"], ENTITY_URL_RE)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_emails": emails.cast(pa.int64()),
+                "n_urls": urls.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=None)
+
+
+DOC_ENTITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{ENTITY_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ENTITY_URL_RE}')) AS BIGINT)
+         AS n_urls
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Wave 62: daily session bounce rate and top user paths — compositions of
 # the sessionize / path machinery with their own SQL duals.
 
@@ -18811,6 +18921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 62 ---
         "session_bounce_rate": _session_bounce_rate,
         "top_paths": _top_paths,
+        # --- wave 63 ---
+        "lang_purity": _lang_purity,
+        "doc_entity_counts": _doc_entity_counts,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -19117,6 +19230,9 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 62 ---
         "session_bounce_rate": SESSION_BOUNCE_ORACLE,
         "top_paths": TOP_PATHS_ORACLE,
+        # --- wave 63 ---
+        "lang_purity": _lang_purity_oracle(),
+        "doc_entity_counts": DOC_ENTITY_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
