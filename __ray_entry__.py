@@ -17896,6 +17896,148 @@ FROM m, s
 
 
 # --------------------------------------------------------------------------
+# Wave 64: greedy coverage-maximizing corpus selection (submodular pick).
+
+GREEDY_K = 5
+
+
+def _greedy_coverage_docs(sf_dir):
+    """Greedy max-coverage document selection over BIGRAMS (the word
+    vocabulary is ~31 terms in this corpus — one doc covers it, so the
+    coverage unit is adjacent-token pairs): GREEDY_K rounds, each
+    picking the doc adding the most NOT-YET-COVERED distinct bigrams (ties:
+    min doc_id; docs adding zero terms are ineligible). The classic
+    submodular data-curation loop. Each round is one distributed pass:
+    the covered-term set broadcasts via ray.put, every batch computes its
+    docs' uncovered counts (one is_in over the flat token array + segment
+    sums) and emits only its LOCAL top candidate — K x O(corpus) total
+    work, driver traffic K x batches x 1 row. The winner's terms come
+    from one pruned filter pass over the same cached token stream."""
+    import ray
+    from spatialindex_ray.functions.text import _segment_sum, _token_segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+
+    covered: set[str] = set()
+    picks = []
+    for rank in range(1, GREEDY_K + 1):
+        cov_ref = ray.put(pa.array(sorted(covered)))
+
+        def best_in_batch(tbl: pa.Table, ref=cov_ref) -> pa.Table:
+            import pyarrow.compute as pc
+
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                }
+            )
+            if tbl.num_rows == 0:
+                return empty
+            flat, offsets = _token_segments(tbl["text"])
+            cov = ray.get(ref)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            row_tok = np.repeat(
+                np.arange(len(ids)), (offsets[1:] - offsets[:-1])
+            )
+            # adjacent-pair bigrams within each doc (Arrow join kernel)
+            if len(flat) < 2:
+                return empty
+            big = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1), flat.slice(1), " "
+            )
+            same_row = row_tok[1:] == row_tok[:-1]
+            big = big.filter(pa.array(same_row))
+            row_of = row_tok[:-1][same_row]
+            toks = np.asarray(big.to_numpy(zero_copy_only=False))
+            if len(cov) > 0:
+                new_mask = np.invert(
+                    pc.is_in(big, value_set=cov).to_numpy(zero_copy_only=False)
+                )
+            else:
+                new_mask = np.ones(len(toks), dtype=bool)
+            row_of, toks = row_of[new_mask], toks[new_mask]
+            if len(toks) == 0:
+                return empty
+            order = np.lexsort((toks, row_of))
+            r, t = row_of[order], toks[order]
+            first = np.ones(len(r), dtype=bool)
+            first[1:] = (r[1:] != r[:-1]) | (t[1:] != t[:-1])
+            nc = np.bincount(r[first], minlength=len(ids)).astype(np.int64)
+            best = np.lexsort((ids, -nc))[0]
+            if nc[best] == 0:
+                return empty
+            return pa.table(
+                {
+                    "doc_id": pa.array([ids[best]]),
+                    "nc": pa.array([nc[best]]),
+                }
+            )
+
+        cands = ds.map_batches(
+            best_in_batch, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if len(cands) == 0:
+            break
+        cands = cands.sort_values(["nc", "doc_id"], ascending=[False, True])
+        pick = int(cands["doc_id"].iloc[0])
+        new_terms = int(cands["nc"].iloc[0])
+        picks.append((rank, pick, new_terms))
+        # collect the winner's bigrams with one pruned pass
+        win = ds.filter(expr=f"doc_id == {pick}").to_pandas()
+        wt = win["text"].iloc[0].split()
+        covered.update(f"{a} {b}" for a, b in zip(wt, wt[1:]))
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        picks, columns=["pick_rank", "doc_id", "new_terms"]
+    ).astype("int64")
+
+
+def _greedy_coverage_oracle() -> str:
+    ctes = [
+        r"""tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents)""",
+        r"""dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS term
+  FROM tk, unnest(range(1, len(toks))) AS r(i))""",
+        "c0 AS (SELECT term FROM dt WHERE false)",
+    ]
+    sel = []
+    for r in range(1, GREEDY_K + 1):
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT doc_id, count(*) AS nc
+  FROM dt WHERE term NOT IN (SELECT term FROM c{r-1})
+  GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, nc FROM u{r} WHERE nc >= 1
+  ORDER BY nc DESC, doc_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT term FROM c{r-1}
+  UNION
+  SELECT term FROM dt WHERE doc_id IN (SELECT doc_id FROM p{r}))"""
+        )
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS pick_rank, doc_id, "
+            f"CAST(nc AS BIGINT) AS new_terms FROM p{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(sel)
+    )
+
+
+# --------------------------------------------------------------------------
 # Wave 63: language purity and entity extraction counts per document.
 
 
@@ -18924,6 +19066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 63 ---
         "lang_purity": _lang_purity,
         "doc_entity_counts": _doc_entity_counts,
+        # --- wave 64 ---
+        "greedy_coverage_docs": _greedy_coverage_docs,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -19233,6 +19377,8 @@ def oracle_sql() -> dict[str, str]:
         # --- wave 63 ---
         "lang_purity": _lang_purity_oracle(),
         "doc_entity_counts": DOC_ENTITY_ORACLE,
+        # --- wave 64 ---
+        "greedy_coverage_docs": _greedy_coverage_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
