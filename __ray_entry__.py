@@ -17896,6 +17896,103 @@ FROM m, s
 
 
 # --------------------------------------------------------------------------
+# Wave 65: time-weighted average price (TWAP) integral per event type.
+
+
+def _twap_by_type(sf_dir):
+    """Time-weighted value integral per event type: each observation holds
+    until the NEXT event of the same type, contributing cents x
+    floor(gap_seconds) — exact integers end to end (the float TWAP is the
+    ratio twap_unit / span_s, left to the consumer). One hash exchange by
+    type; per shard a single lexsort + shifted-difference gap computation,
+    segment-summed."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        # shard by a stable content hash of the type string (batch-local
+        # dictionary codes are NOT stable across batches)
+        import zlib
+
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(et, return_inverse=True)
+        shards = np.array(
+            [zlib.crc32(u.encode()) % n_shards for u in uniq], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shards[inv]),
+                "event_id": tbl["event_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+                "cents": pa.array(
+                    np.round(
+                        tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def twap_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "twap_unit": pa.array([], pa.int64()),
+                "span_s": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        et = np.asarray(tbl["event_type"].to_numpy(zero_copy_only=False))
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, inv))
+        g, t, c = inv[order], ts[order], cents[order]
+        same = np.zeros(len(g), dtype=bool)
+        same[:-1] = g[1:] == g[:-1]
+        gap_s = np.zeros(len(g), dtype=np.int64)
+        gap_s[:-1] = (t[1:] - t[:-1]) // 1_000_000
+        gap_s[~same] = 0
+        unit = c * gap_s
+        tw = np.zeros(len(uniq), dtype=np.int64)
+        sp = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tw, g, unit)
+        np.add.at(sp, g, gap_s)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq),
+                "twap_unit": pa.array(tw),
+                "span_s": pa.array(sp),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, twap_shard)
+
+
+TWAP_ORACLE = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lead(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nts
+  FROM events)
+SELECT event_type,
+       CAST(sum(cents * ((nts - ts_us) // 1000000)) AS BIGINT) AS twap_unit,
+       CAST(sum((nts - ts_us) // 1000000) AS BIGINT) AS span_s
+FROM o WHERE nts IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Wave 64: greedy coverage-maximizing corpus selection (submodular pick).
 
 GREEDY_K = 5
@@ -19068,6 +19165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entity_counts": _doc_entity_counts,
         # --- wave 64 ---
         "greedy_coverage_docs": _greedy_coverage_docs,
+        # --- wave 65 ---
+        "twap_by_type": _twap_by_type,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -19379,6 +19478,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_entity_counts": DOC_ENTITY_ORACLE,
         # --- wave 64 ---
         "greedy_coverage_docs": _greedy_coverage_oracle(),
+        # --- wave 65 ---
+        "twap_by_type": TWAP_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
