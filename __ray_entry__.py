@@ -18807,6 +18807,400 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 66: rank correlation, distribution distance, survival counts, hapax.
+
+KT_X_COL = "l_discount"  # 11 distinct basis-point values
+KT_Y_COL = "l_quantity"  # 50 distinct integer values
+
+
+def _kendall_tau_components(sf_dir):
+    """Exact Kendall-tau pair counts over the (discount_bp, quantity)
+    contingency: concordant / discordant / tie-x-only / tie-y-only /
+    tie-both in pure int64. Both variables live on SMALL domains (11 x 50
+    cells), so the distributed work is a per-batch 2-D bincount partial +
+    one tiny groupby-sum; the O(cells^2) pair arithmetic runs on <=550
+    aggregated rows — never on row pairs. The same shape serves any
+    rank-correlation over bounded-cardinality columns at 10^12 rows
+    (the cell table stays 550 rows regardless of n)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=[KT_X_COL, KT_Y_COL]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = np.round(
+            tbl[KT_X_COL].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = np.round(tbl[KT_Y_COL].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        key = x * 1000 + y
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "x_bp": pa.array(u // 1000),
+                "y_q": pa.array(u % 1000),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["x_bp", "y_q"])
+        .sum("partial")
+        .to_pandas()
+    )
+    x = cells["x_bp"].to_numpy().astype(np.int64)
+    y = cells["y_q"].to_numpy().astype(np.int64)
+    n = cells["sum(partial)"].to_numpy().astype(np.int64)
+    # ordered cell pairs (a, b): each unordered ROW pair lands in exactly one
+    # bucket below, so no /2 anywhere and everything stays integral.
+    gx = x[None, :] > x[:, None]
+    gy = y[None, :] > y[:, None]
+    ex = x[None, :] == x[:, None]
+    ey = y[None, :] == y[:, None]
+    w = n[:, None] * n[None, :]
+    conc = int(w[gx & gy].sum())
+    disc = int(w[gx & ~gy & ~ey].sum())
+    tie_x = int(w[ex & gy].sum())
+    tie_y = int(w[ey & gx].sum())
+    tie_xy = int((n * (n - 1) // 2).sum())
+    return pa.table(
+        {
+            "concordant": pa.array([conc], pa.int64()),
+            "discordant": pa.array([disc], pa.int64()),
+            "tie_x": pa.array([tie_x], pa.int64()),
+            "tie_y": pa.array([tie_y], pa.int64()),
+            "tie_xy": pa.array([tie_xy], pa.int64()),
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+        }
+    )
+
+
+KENDALL_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round({KT_X_COL} * 100) AS BIGINT) AS x_bp,
+         CAST(round({KT_Y_COL}) AS BIGINT) AS y_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2)
+SELECT
+  (SELECT sum(a.n * b.n) FROM c a, c b
+    WHERE b.x_bp > a.x_bp AND b.y_q > a.y_q)::BIGINT AS concordant,
+  (SELECT sum(a.n * b.n) FROM c a, c b
+    WHERE b.x_bp > a.x_bp AND b.y_q < a.y_q)::BIGINT AS discordant,
+  (SELECT sum(a.n * b.n) FROM c a, c b
+    WHERE b.x_bp = a.x_bp AND b.y_q > a.y_q)::BIGINT AS tie_x,
+  (SELECT sum(a.n * b.n) FROM c a, c b
+    WHERE b.y_q = a.y_q AND b.x_bp > a.x_bp)::BIGINT AS tie_y,
+  (SELECT sum(n * (n - 1) // 2) FROM c)::BIGINT AS tie_xy,
+  (SELECT sum(n) FROM c)::BIGINT AS n_rows
+"""
+
+
+EMD_TYPE_A = "view"
+EMD_TYPE_B = "purchase"
+
+
+def _emd_types(sf_dir):
+    """Exact 1-D earth-mover's distance between the value distributions of
+    two event types, scaled integral form: with F_A, F_B the empirical CDF
+    COUNTS (not fractions), emd_scaled = sum over support gaps of
+    |cum_A * n_B - cum_B * n_A| * gap_cents — an exact int64 (the float
+    EMD is emd_scaled / (n_A * n_B), left to the consumer). Distributed
+    shape: per-batch (cents, type) count partials -> groupby-sum (support-
+    sized, not row-sized) -> one sort + linear scan over the support. At
+    web scale the support is bounded by value quantization (cents), so the
+    scan input is the distinct-value table, never the rows."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(
+            tbl["event_type"],
+            value_set=pa.array([EMD_TYPE_A, EMD_TYPE_B]),
+        )
+        tbl = tbl.filter(m)
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        is_a = np.asarray(
+            pc.equal(tbl["event_type"], EMD_TYPE_A).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        u, inv = np.unique(cents, return_inverse=True)
+        ca = np.zeros(len(u), dtype=np.int64)
+        cb = np.zeros(len(u), dtype=np.int64)
+        np.add.at(ca, inv[is_a], 1)
+        np.add.at(cb, inv[~is_a], 1)
+        return pa.table(
+            {
+                "cents": pa.array(u),
+                "pa_": pa.array(ca),
+                "pb_": pa.array(cb),
+            }
+        )
+
+    support = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("cents")
+        .sum(["pa_", "pb_"])
+        .to_pandas()
+    )
+    support = support.sort_values("cents")
+    cents = support["cents"].to_numpy().astype(np.int64)
+    na_c = support["sum(pa_)"].to_numpy().astype(np.int64)
+    nb_c = support["sum(pb_)"].to_numpy().astype(np.int64)
+    cum_a = np.cumsum(na_c)
+    cum_b = np.cumsum(nb_c)
+    n_a, n_b = int(cum_a[-1]), int(cum_b[-1])
+    gaps = np.diff(cents)
+    emd = int(np.abs(cum_a[:-1] * n_b - cum_b[:-1] * n_a).dot(gaps))
+    return pa.table(
+        {
+            "emd_scaled": pa.array([emd], pa.int64()),
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+        }
+    )
+
+
+EMD_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = '{EMD_TYPE_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{EMD_TYPE_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('{EMD_TYPE_A}', '{EMD_TYPE_B}')
+  GROUP BY 1),
+s AS (
+  SELECT cents,
+         sum(ca) OVER (ORDER BY cents) AS cum_a,
+         sum(cb) OVER (ORDER BY cents) AS cum_b,
+         lead(cents) OVER (ORDER BY cents) AS nxt
+  FROM c),
+t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c)
+SELECT
+  CAST(sum(abs(s.cum_a * t.n_b - s.cum_b * t.n_a) * (s.nxt - s.cents))
+       AS BIGINT) AS emd_scaled,
+  CAST(any_value(t.n_a) AS BIGINT) AS n_a,
+  CAST(any_value(t.n_b) AS BIGINT) AS n_b
+FROM s, t WHERE s.nxt IS NOT NULL
+"""
+
+
+KM_CENSOR_DAYS = 7
+
+
+def _kaplan_meier_counts(sf_dir):
+    """Kaplan-Meier ingredient table over user lifetimes: lifetime_days =
+    floor((last_event - first_event)/day); a lifetime is an OBSERVED end
+    only if the user's last event predates the corpus horizon (global max
+    ts) by more than KM_CENSOR_DAYS, else censored. Emits per-duration
+    n_at_risk / n_events / n_censored in exact ints — the product-limit
+    estimator is a trivial consumer-side fold over this table. Distributed
+    shape: per-user min/max fold (one groupby), horizon via a 1-row
+    aggregate broadcast, then duration-keyed counts; the at-risk suffix
+    cumsum runs over the DURATION table (bounded by the corpus time span
+    in days), never over users."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def to_us(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    us = ds.map_batches(to_us, batch_format="pyarrow", batch_size=None)
+    horizon = int(us.max("ts_us"))
+    spans = us.groupby("user_id").aggregate(
+        ray.data.aggregate.Min("ts_us"), ray.data.aggregate.Max("ts_us")
+    )
+
+    def durations(tbl: pa.Table) -> pa.Table:
+        lo = tbl["min(ts_us)"].to_numpy(zero_copy_only=False)
+        hi = tbl["max(ts_us)"].to_numpy(zero_copy_only=False)
+        d = (hi - lo) // 86_400_000_000
+        observed = (horizon - hi) > KM_CENSOR_DAYS * 86_400_000_000
+        key = d * 2 + observed.astype(np.int64)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "duration_days": pa.array(u // 2),
+                "observed": pa.array(u % 2),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        spans.map_batches(durations, batch_format="pyarrow", batch_size=None)
+        .groupby(["duration_days", "observed"])
+        .sum("partial")
+        .to_pandas()
+    )
+    # pivot to per-duration rows + suffix cumsum over the small duration table
+    import pandas as pd
+
+    piv = counts.pivot_table(
+        index="duration_days",
+        columns="observed",
+        values="sum(partial)",
+        aggfunc="sum",
+        fill_value=0,
+    )
+    dur = piv.index.to_numpy().astype(np.int64)
+    ev = (
+        piv[1].to_numpy().astype(np.int64)
+        if 1 in piv.columns
+        else np.zeros(len(dur), dtype=np.int64)
+    )
+    ce = (
+        piv[0].to_numpy().astype(np.int64)
+        if 0 in piv.columns
+        else np.zeros(len(dur), dtype=np.int64)
+    )
+    order = np.argsort(dur)
+    dur, ev, ce = dur[order], ev[order], ce[order]
+    total = ev + ce
+    at_risk = total[::-1].cumsum()[::-1]
+    return pa.table(
+        {
+            "duration_days": pa.array(dur),
+            "n_at_risk": pa.array(at_risk.astype(np.int64)),
+            "n_events": pa.array(ev),
+            "n_censored": pa.array(ce),
+        }
+    )
+
+
+KM_ORACLE = f"""
+WITH span AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+  FROM events GROUP BY user_id),
+h AS (SELECT max(epoch_us(ts)) AS horizon FROM events),
+d AS (
+  SELECT (hi - lo) // 86400000000 AS duration_days,
+         CASE WHEN (h.horizon - hi) > {KM_CENSOR_DAYS}::BIGINT * 86400000000
+              THEN 1 ELSE 0 END AS observed
+  FROM span, h),
+c AS (
+  SELECT duration_days,
+         CAST(sum(observed) AS BIGINT) AS n_events,
+         CAST(sum(1 - observed) AS BIGINT) AS n_censored
+  FROM d GROUP BY duration_days)
+SELECT CAST(duration_days AS BIGINT) AS duration_days,
+       CAST(sum(n_events + n_censored)
+            OVER (ORDER BY duration_days DESC) AS BIGINT) AS n_at_risk,
+       n_events, n_censored
+FROM c
+"""
+
+
+def _hapax_ratio(sf_dir):
+    """Per-language hapax-legomena profile: tokens (\\S+ split, same
+    tokenizer as top_terms) occurring exactly once within the language's
+    subcorpus, plus distinct-type and total-token counts — the Zipf-tail
+    health check curation pipelines run per shard. Distributed shape:
+    per-batch (lang, term) count partials -> (lang, term) groupby-sum ->
+    per-batch per-lang fold -> tiny lang groupby. Nothing bigger than the
+    vocabulary ever shuffles."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        langs = tbl["lang"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(langs)), (offsets[1:] - offsets[:-1]))
+        df = pd.DataFrame(
+            {
+                "lang": langs[row_of],
+                "term": flat.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "term"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "term"])
+        .sum("partial_n")
+    )
+
+    def lang_fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "hapax": pa.array([], pa.int64()),
+                    "types": pa.array([], pa.int64()),
+                    "tokens": pa.array([], pa.int64()),
+                }
+            )
+        langs = np.asarray(tbl["lang"].to_numpy(zero_copy_only=False))
+        n = tbl["sum(partial_n)"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(langs, return_inverse=True)
+        hap = np.zeros(len(u), dtype=np.int64)
+        typ = np.zeros(len(u), dtype=np.int64)
+        tok = np.zeros(len(u), dtype=np.int64)
+        np.add.at(hap, inv, (n == 1).astype(np.int64))
+        np.add.at(typ, inv, 1)
+        np.add.at(tok, inv, n)
+        return pa.table(
+            {
+                "lang": pa.array(u),
+                "hapax": pa.array(hap),
+                "types": pa.array(typ),
+                "tokens": pa.array(tok),
+            }
+        )
+
+    folded = counts.map_batches(
+        lang_fold, batch_format="pyarrow", batch_size=None
+    ).groupby("lang").sum(["hapax", "types", "tokens"])
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["lang", "hapax", "types", "tokens"])
+
+    return folded.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+HAPAX_ORACLE = r"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents),
+c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term)
+SELECT lang,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(count(*) AS BIGINT) AS types,
+       CAST(sum(n) AS BIGINT) AS tokens
+FROM c GROUP BY lang
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -19167,6 +19561,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_coverage_docs": _greedy_coverage_docs,
         # --- wave 65 ---
         "twap_by_type": _twap_by_type,
+        "kendall_tau_components": _kendall_tau_components,
+        "emd_types": _emd_types,
+        "kaplan_meier_counts": _kaplan_meier_counts,
+        "hapax_ratio": _hapax_ratio,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -19480,6 +19878,10 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coverage_docs": _greedy_coverage_oracle(),
         # --- wave 65 ---
         "twap_by_type": TWAP_ORACLE,
+        "kendall_tau_components": KENDALL_ORACLE,
+        "emd_types": EMD_ORACLE,
+        "kaplan_meier_counts": KM_ORACLE,
+        "hapax_ratio": HAPAX_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -27,7 +27,17 @@ def to_pandas(res):
         import ray.data as rd
 
         if isinstance(res, rd.Dataset):
-            res = res.to_pandas()
+            ds = res
+            res = ds.to_pandas()
+            if len(res) == 0 and len(res.columns) == 0:
+                # Ray 2.49 to_pandas drops columns on 0-row datasets; rebuild
+                # the empty frame from the dataset schema so schema compare
+                # stays meaningful for legitimately-empty small-sf results.
+                schema = ds.schema()
+                if schema is not None:
+                    res = pa.schema(
+                        list(zip(schema.names, schema.types))
+                    ).empty_table().to_pandas()
     except ImportError:
         pass
     if isinstance(res, pa.Table):
