@@ -19201,6 +19201,471 @@ FROM c GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 67: full DBSCAN labeling, lagged cross-correlation, Bing quadkeys,
+# Markov next-type accuracy.
+
+
+def _dbscan_label(sf_dir):
+    """Full DBSCAN labeling (core + border; noise omitted): core points
+    cluster exactly as in dbscan_core; a BORDER point is a non-core doc
+    within DBSCAN_R_DEG of at least one core point, labeled with the MIN
+    cluster id among its core neighbors (deterministic tie rule). Pure
+    composition: one radius_join pair stream (materialized, consumed four
+    times), the dbscan_core count/semi/cc chain, then one anti-join to
+    isolate non-core lefts and one inner join to pull neighbor core labels
+    with a per-left min fold. Output (doc_id, cluster_id, role) with
+    role 0=core, 1=border."""
+    import ray
+
+    enc = _docs_encoded(sf_dir)
+    pairs = ops.radius_join(enc, enc, DBSCAN_R_DEG, n_shards=64)
+
+    def drop_self(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.invert(pc.equal(tbl["left_id"], tbl["right_id"])))
+
+    pairs = pairs.map_batches(
+        drop_self, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["left_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"left_id": pa.array(uniq), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        pairs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("left_id")
+        .sum("partial")
+    )
+
+    def core_only(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        ids = tbl.column(0).to_numpy(zero_copy_only=False)
+        n = tbl.column(1).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[n >= DBSCAN_MINPTS])})
+
+    core = counts.map_batches(
+        core_only, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    e1 = ops.equi_join(pairs, core, on="left_id", right_on="doc_id", how="semi")
+    e2 = ops.equi_join(e1, core, on="right_id", right_on="doc_id", how="semi")
+    labels = ops.connected_components(e2, core, node_col="doc_id").materialize()
+
+    # border candidates: left NOT core, right IS core
+    b1 = ops.equi_join(pairs, core, on="left_id", right_on="doc_id", how="anti")
+    b2 = ops.equi_join(b1, core, on="right_id", right_on="doc_id", how="semi")
+    with_lbl = ops.equi_join(
+        b2, labels, on="right_id", right_on="doc_id", how="inner"
+    )
+
+    def min_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "doc_id": tbl["left_id"].to_numpy(zero_copy_only=False),
+                "cluster_id": tbl["cluster_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("doc_id", as_index=False)["cluster_id"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    border = (
+        with_lbl.map_batches(min_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .min("cluster_id")
+    )
+
+    def tag(role):
+        def f(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                        "role": pa.array([], pa.int64()),
+                    }
+                )
+            cols = tbl.rename_columns(["doc_id", "cluster_id"])
+            return cols.append_column(
+                "role", pa.array(np.full(tbl.num_rows, role, dtype=np.int64))
+            )
+
+        return f
+
+    core_rows = labels.map_batches(
+        tag(0), batch_format="pyarrow", batch_size=None
+    )
+    border_rows = border.map_batches(
+        tag(1), batch_format="pyarrow", batch_size=None
+    )
+    return core_rows.union(border_rows)
+
+
+def _dbscan_label_oracle():
+    s = math.sin(DBSCAN_R_DEG * 0.5 * RAD)
+    thresh = 4.0 * s * s
+    body = (
+        _xyz_sql()
+        + f""",
+pr AS (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM n a, n b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+        <= {_d(thresh)}),
+cnt AS (SELECT l AS id, count(*) AS c FROM pr GROUP BY 1),
+core AS (SELECT id FROM cnt WHERE c >= {DBSCAN_MINPTS}),
+e AS (SELECT l AS a, r AS b FROM pr
+      WHERE l IN (SELECT id FROM core) AND r IN (SELECT id FROM core)),
+walk(node, reach) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach),
+lbl AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+border AS (
+  SELECT pr.l AS node, min(lbl.cluster_id) AS cluster_id
+  FROM pr JOIN lbl ON lbl.node = pr.r
+  WHERE pr.l NOT IN (SELECT id FROM core)
+  GROUP BY pr.l)
+SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(0 AS BIGINT) AS role FROM lbl
+UNION ALL
+SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(1 AS BIGINT) AS role FROM border
+"""
+    )
+    return body.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+XCORR_MAX_LAG = 7
+
+
+def _cross_corr_types(sf_dir):
+    """Lagged cross-correlation raw components between the DAILY counts of
+    two event types: sxy(lag) = sum_d a(d) * b(d + lag) for lag 0..7, in
+    exact int64 (normalization is the consumer's affair). Distributed
+    shape: per-batch (day, type) count partials -> one groupby-sum whose
+    output is CALENDAR-sized (days x 2, bounded by corpus time span), so
+    the lag arithmetic runs on a plan-sized table — the same shape scales
+    to 10^12 rows because days, not rows, bound the reduce."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(
+            tbl["event_type"],
+            value_set=pa.array([EMD_TYPE_A, EMD_TYPE_B]),
+        )
+        tbl = tbl.filter(m)
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        is_a = np.asarray(
+            pc.equal(tbl["event_type"], EMD_TYPE_A).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        key = day * 2 + is_a.astype(np.int64)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u // 2),
+                "is_a": pa.array(u % 2),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["day", "is_a"])
+        .sum("partial")
+        .to_pandas()
+    )
+    days = daily["day"].to_numpy().astype(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    span = hi - lo + 1
+    a = np.zeros(span, dtype=np.int64)
+    b = np.zeros(span, dtype=np.int64)
+    isa = daily["is_a"].to_numpy().astype(bool)
+    cnt = daily["sum(partial)"].to_numpy().astype(np.int64)
+    a[days[isa] - lo] = cnt[isa]
+    b[days[~isa] - lo] = cnt[~isa]
+    lags = np.arange(XCORR_MAX_LAG + 1, dtype=np.int64)
+    sxy = np.array(
+        [
+            int(a[: span - g].dot(b[g:])) if g < span else 0
+            for g in lags
+        ],
+        dtype=np.int64,
+    )
+    return pa.table({"lag": pa.array(lags), "sxy": pa.array(sxy)})
+
+
+XCORR_ORACLE = f"""
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CASE WHEN event_type = '{EMD_TYPE_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{EMD_TYPE_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('{EMD_TYPE_A}', '{EMD_TYPE_B}')
+  GROUP BY 1),
+lags AS (SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag)
+SELECT CAST(lags.lag AS BIGINT) AS lag,
+       CAST(coalesce(sum(x.ca * y.cb), 0) AS BIGINT) AS sxy
+FROM lags
+LEFT JOIN c x ON TRUE
+LEFT JOIN c y ON y.day = x.day + lags.lag
+GROUP BY 1
+"""
+
+
+QK_LEVEL = 12
+
+
+def _quadkey_encode(sf_dir):
+    """Bing-maps quadkey strings at level 12 over the deterministic doc
+    positions — the Web-Mercator member of the cell-encoder family (HTM /
+    HEALPix / S2 / geohash / Z-order / Hilbert / quadkey). x = lon/360
+    (lon already in [0,360)), y from the Mercator sinLat form with the
+    standard +/-85.05112878 deg clamp; tile = floor(frac * 2^L) clamped to
+    the edge; digit k interleaves the k-th tile bits MSB-first. Pure
+    vectorized map — the digits build as one (N, L) uint8 array viewed as
+    fixed-width bytes."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def enc(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        lat = np.clip(lat, -85.05112878, 85.05112878)
+        s = np.sin(lat * (math.pi / 180.0))
+        x = lon / 360.0
+        y = 0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)
+        n = np.int64(1) << QK_LEVEL
+        tx = np.clip(np.floor(x * n).astype(np.int64), 0, n - 1)
+        ty = np.clip(np.floor(y * n).astype(np.int64), 0, n - 1)
+        digits = np.empty((len(ids), QK_LEVEL), dtype=np.uint8)
+        for k in range(QK_LEVEL):
+            shift = QK_LEVEL - 1 - k
+            d = ((ty >> shift) & 1) * 2 + ((tx >> shift) & 1)
+            digits[:, k] = (d + 48).astype(np.uint8)
+        qk = digits.tobytes()
+        out = np.frombuffer(qk, dtype=f"S{QK_LEVEL}").astype("U")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "quadkey": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
+def _quadkey_oracle() -> str:
+    n = 1 << QK_LEVEL
+    digit_exprs = []
+    for k in range(QK_LEVEL):
+        shift = QK_LEVEL - 1 - k
+        digit_exprs.append(
+            f"CAST(((ty // {1 << shift}) % 2) * 2 + ((tx // {1 << shift}) % 2)"
+            " AS VARCHAR)"
+        )
+    concat = " || ".join(digit_exprs)
+    return f"""
+WITH p AS ({_POS_SQL}),
+m AS (
+  SELECT doc_id,
+         lon / 360.0 AS x,
+         0.5 - ln((1.0 + sin(GREATEST(-85.05112878, LEAST(85.05112878, lat))
+                             * {_d(RAD)}))
+                  / (1.0 - sin(GREATEST(-85.05112878, LEAST(85.05112878, lat))
+                               * {_d(RAD)})))
+               / (4.0 * pi()) AS y
+  FROM p),
+t AS (
+  SELECT doc_id,
+    GREATEST(0, LEAST({n - 1}, CAST(floor(x * {n}) AS BIGINT))) AS tx,
+    GREATEST(0, LEAST({n - 1}, CAST(floor(y * {n}) AS BIGINT))) AS ty
+  FROM m)
+SELECT doc_id, {concat} AS quadkey FROM t
+"""
+
+
+def _markov_accuracy(sf_dir):
+    """Backtest of the first-order Markov next-type model: consecutive
+    per-user (src -> dst) pairs split at the corpus midpoint timestamp
+    (pair belongs to TRAIN iff its dst event is at or before the midpoint);
+    the model predicts argmax train count per src (ties to the
+    lexicographically smallest dst); output per src_type the eval-pair
+    count and how many the model got right. Distributed shape: the
+    type_transitions sharded lag kernel extended with a train/eval flag —
+    per-shard bincounts over (src, dst, split) so only the (types^2 x 2)
+    matrix leaves any shard; model fit + scoring run on that plan-sized
+    table."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    n_shards = 32
+
+    def to_us(tbl: pa.Table) -> pa.Table:
+        return pa.table({"ts_us": tbl["ts"].cast(pa.int64())})
+
+    us = ds.map_batches(to_us, batch_format="pyarrow", batch_size=None)
+    mid = (int(us.min("ts_us")) + int(us.max("ts_us"))) // 2
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def pair_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "src_type": pa.array([], pa.string()),
+                "dst_type": pa.array([], pa.string()),
+                "is_train": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dct.dictionary.to_pylist()
+        order = np.lexsort((eid, ts, uid))
+        u, c, t = uid[order], codes[order], ts[order]
+        has_prev = np.zeros(len(u), dtype=bool)
+        has_prev[1:] = u[1:] == u[:-1]
+        i = np.flatnonzero(has_prev)
+        if len(i) == 0:
+            return empty
+        kk = len(vocab)
+        train = (t[i] <= mid).astype(np.int64)
+        key = (c[i - 1] * kk + c[i]) * 2 + train
+        cnt = np.bincount(key, minlength=kk * kk * 2)
+        nz = np.flatnonzero(cnt)
+        va = np.array(vocab, dtype=object)
+        return pa.table(
+            {
+                "src_type": pa.array(va[(nz // 2) // kk]),
+                "dst_type": pa.array(va[(nz // 2) % kk]),
+                "is_train": pa.array(nz % 2),
+                "partial": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    mat = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, pair_shard)
+        .groupby(["src_type", "dst_type", "is_train"])
+        .sum("partial")
+        .to_pandas()
+    )
+    mat = mat.rename(columns={"sum(partial)": "n"})
+    train = mat[mat["is_train"] == 1]
+    ev = mat[mat["is_train"] == 0]
+    # model: per src argmax train count, ties -> lexicographically least dst
+    train = train.sort_values(
+        ["src_type", "n", "dst_type"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    model = train.drop_duplicates("src_type")[["src_type", "dst_type"]]
+    model = model.rename(columns={"dst_type": "predicted"})
+    import pandas as pd
+
+    scored = ev.merge(model, on="src_type", how="left")
+    n_eval = scored.groupby("src_type", as_index=False)["n"].sum()
+    scored["hit"] = np.where(
+        scored["dst_type"] == scored["predicted"], scored["n"], 0
+    )
+    n_hit = scored.groupby("src_type", as_index=False)["hit"].sum()
+    pred = scored.drop_duplicates("src_type")[["src_type", "predicted"]]
+    out = n_eval.merge(n_hit, on="src_type").merge(pred, on="src_type")
+    out = out.sort_values("src_type")
+    return pa.table(
+        {
+            "src_type": pa.array(out["src_type"].tolist(), pa.string()),
+            "predicted": pa.array(
+                [None if v != v else v for v in out["predicted"]], pa.string()
+            ),
+            "n_eval": pa.array(out["n"].to_numpy().astype(np.int64)),
+            "n_correct": pa.array(out["hit"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+MARKOV_ACC_ORACLE = """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+s AS (
+  SELECT user_id, event_type AS src_type,
+         lead(event_type) OVER w AS dst_type,
+         lead(user_id) OVER w AS nxt_uid,
+         lead(epoch_us(ts)) OVER w AS nxt_us
+  FROM events
+  WINDOW w AS (ORDER BY user_id, ts, event_id)),
+pairs AS (
+  SELECT src_type, dst_type,
+         CASE WHEN nxt_us <= b.mid THEN 1 ELSE 0 END AS is_train
+  FROM s, b WHERE nxt_uid = user_id),
+tc AS (SELECT src_type, dst_type, count(*) AS n FROM pairs
+       WHERE is_train = 1 GROUP BY 1, 2),
+model AS (
+  SELECT src_type, dst_type AS predicted
+  FROM (SELECT src_type, dst_type,
+               row_number() OVER (PARTITION BY src_type
+                                  ORDER BY n DESC, dst_type) AS rn
+        FROM tc)
+  WHERE rn = 1),
+ev AS (SELECT src_type, dst_type FROM pairs WHERE is_train = 0)
+SELECT ev.src_type, any_value(m.predicted) AS predicted,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN ev.dst_type = m.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM ev LEFT JOIN model m ON m.src_type = ev.src_type
+GROUP BY ev.src_type
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -19565,6 +20030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emd_types": _emd_types,
         "kaplan_meier_counts": _kaplan_meier_counts,
         "hapax_ratio": _hapax_ratio,
+        "dbscan_label": _dbscan_label,
+        "cross_corr_types": _cross_corr_types,
+        "quadkey_encode": _quadkey_encode,
+        "markov_accuracy": _markov_accuracy,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -19882,6 +20351,10 @@ def oracle_sql() -> dict[str, str]:
         "emd_types": EMD_ORACLE,
         "kaplan_meier_counts": KM_ORACLE,
         "hapax_ratio": HAPAX_ORACLE,
+        "dbscan_label": _dbscan_label_oracle(),
+        "cross_corr_types": XCORR_ORACLE,
+        "quadkey_encode": _quadkey_oracle(),
+        "markov_accuracy": MARKOV_ACC_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
