@@ -3949,9 +3949,9 @@ def _source_hash(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
 
-    def hash_batch(tbl: pa.Table) -> pa.Table:
-        from spatialindex_ray.kernels import hashing
+    from spatialindex_ray.kernels import hashing
 
+    def hash_batch(tbl: pa.Table) -> pa.Table:
         msg = pc.binary_join_element_wise(
             tbl["source"].cast(pa.string()),
             pc.cast(tbl["doc_id"], pa.string()),
@@ -10661,10 +10661,10 @@ def _feature_hashing(sf_dir):
     string buffer directly — zero per-token Python."""
     import ray
 
+    from spatialindex_ray.functions.text import _token_segments
+
     def feats(tbl: pa.Table) -> pa.Table:
         import pandas as pd
-
-        from spatialindex_ray.functions.text import _token_segments
 
         flat, offsets = _token_segments(tbl["text"])
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
@@ -19666,6 +19666,464 @@ GROUP BY ev.src_type
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 68: isotonic calibration (exact minimax/PAVA), bigram surprisal,
+# cross-language vocabulary overlap.
+
+ISO_SCALE = 1_000_000
+
+
+def _isotonic_calibration(sf_dir):
+    """Isotonic (monotone non-decreasing) calibration of the per-bin
+    positive rate from calibration_bins, in EXACT integers: the fit is
+    PAVA over the present bins with weights n and values n_pos/n kept as
+    integer fractions (merge while prev_num * cur_den >= cur_num *
+    prev_den); the reported iso_ppm = (block_num * 1e6) // block_den. The
+    SQL dual uses the textbook minimax identity iso[i] = max_{j<=i}
+    min_{k>=i} avg(j..k) — floor commutes with min/max (monotone), so a
+    floor-scaled O(B^3) minimax in pure BIGINT arithmetic reproduces the
+    PAVA output bit-for-bit. Distributed shape: everything row-scale
+    happens in calibration_bins' partial pass; PAVA runs on the B-row
+    (plan-sized) bin table."""
+    bins = _calibration_bins(sf_dir).to_pandas().sort_values("bin")
+    b = bins["bin"].to_numpy().astype(np.int64)
+    n = bins["n"].to_numpy().astype(np.int64)
+    npos = bins["n_pos"].to_numpy().astype(np.int64)
+    # PAVA with exact fractions: stack of (num, den, count_of_bins)
+    stack: list[list[int]] = []
+    for num, den in zip(npos, n):
+        stack.append([int(num), int(den), 1])
+        while (
+            len(stack) > 1
+            and stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            b2 = stack.pop()
+            stack[-1][0] += b2[0]
+            stack[-1][1] += b2[1]
+            stack[-1][2] += b2[2]
+    iso = np.empty(len(b), dtype=np.int64)
+    pos = 0
+    for num, den, cnt in stack:
+        iso[pos : pos + cnt] = (num * ISO_SCALE) // den
+        pos += cnt
+    return pa.table(
+        {
+            "bin": pa.array(b),
+            "n": pa.array(n),
+            "n_pos": pa.array(npos),
+            "iso_ppm": pa.array(iso),
+        }
+    )
+
+
+ISOTONIC_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * {AUC_SCALE}) AS BIGINT)
+           AS sc,
+         CAST(label % 2 AS BIGINT) AS pos
+  FROM embeddings),
+bb AS (
+  SELECT (sc - (SELECT min(sc) FROM s)) * {CALIB_BINS}
+           // ((SELECT max(sc) FROM s) - (SELECT min(sc) FROM s) + 1) AS bin,
+         pos
+  FROM s),
+c AS (SELECT bin, count(*) AS n, sum(pos) AS np FROM bb GROUP BY 1),
+r AS (
+  SELECT bin, n, np,
+         row_number() OVER (ORDER BY bin) AS i,
+         sum(n) OVER (ORDER BY bin) AS pn,
+         sum(np) OVER (ORDER BY bin) AS pp
+  FROM c),
+a AS (
+  SELECT j.i AS j, k.i AS k,
+         ((k.pp - j.pp + j.np) * {ISO_SCALE}) // (k.pn - j.pn + j.n) AS v
+  FROM r j, r k WHERE k.i >= j.i),
+mn AS (
+  SELECT i.i AS i, a.j, min(a.v) AS v
+  FROM r i JOIN a ON a.j <= i.i AND a.k >= i.i
+  GROUP BY 1, 2),
+iso AS (SELECT i, max(v) AS iso_ppm FROM mn GROUP BY 1)
+SELECT CAST(r.bin AS BIGINT) AS bin, CAST(r.n AS BIGINT) AS n,
+       CAST(r.np AS BIGINT) AS n_pos, CAST(iso.iso_ppm AS BIGINT) AS iso_ppm
+FROM r JOIN iso ON iso.i = r.i
+"""
+
+
+BIGRAM_SCALE = 1_000_000
+
+
+def _bigram_surprisal(sf_dir):
+    """Per-doc conditional bigram surprisal: for each in-doc bigram
+    (w1, w2), surprise = (corpus_count(w1) * 1e6) // corpus_count(w1 w2) —
+    the integer-ppm analog of -log P(w2 | w1); a doc's score is the mean
+    over its bigrams (truncating, same // as the SQL dual). Distributed
+    shape: one vectorized tokenize pass emits per-doc bigram occurrences
+    AND per-batch unigram/bigram count partials; two groupby-sums build
+    the corpus models; two hash-exchange equi-joins re-attach c(w1) and
+    c(w1 w2) to the occurrence stream; one final per-doc fold. Everything
+    on the wire is (id, term, count) narrow columns."""
+    import ray
+    import pyarrow.compute as pc
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def occurrences(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "bg": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        flat, offsets = textfn._token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(ids)), (offsets[1:] - offsets[:-1]))
+        if len(row_of) < 2:
+            return empty
+        same = row_of[1:] == row_of[:-1]
+        i = np.flatnonzero(same)
+        if len(i) == 0:
+            return empty
+        w1 = flat.take(pa.array(i))
+        w2 = flat.take(pa.array(i + 1))
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": ids[row_of[i]],
+                "w1": w1.to_numpy(zero_copy_only=False),
+                "bg": bg.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["doc_id", "w1", "bg"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "k"}), preserve_index=False
+        )
+
+    def unigram_partial(tbl: pa.Table) -> pa.Table:
+        flat, _ = textfn._token_segments(tbl["text"])
+        import pandas as pd
+
+        vc = pd.Series(flat.to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(), pa.string()),
+                "partial": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    occ = ds.map_batches(
+        occurrences, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    c1 = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("partial")
+    )
+
+    def c1_rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "c1": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["term", "c1"])
+
+    c1 = c1.map_batches(c1_rename, batch_format="pyarrow", batch_size=None)
+
+    def bg_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"bg": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "bg": tbl["bg"].to_numpy(zero_copy_only=False),
+                    "k": tbl["k"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("bg", as_index=False)["k"]
+            .sum()
+        )
+        g["k"] = g["k"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"k": "partial"}), preserve_index=False
+        )
+
+    c2 = occ.map_batches(
+        bg_partial, batch_format="pyarrow", batch_size=None
+    ).groupby("bg").sum("partial")
+
+    def c2_rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"bg": pa.array([], pa.string()),
+                 "c2": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["bg", "c2"])
+
+    c2 = c2.map_batches(c2_rename, batch_format="pyarrow", batch_size=None)
+
+    j1 = ops.equi_join(occ, c2, on="bg", how="inner")
+    j2 = ops.equi_join(j1, c1, on="w1", right_on="term", how="inner")
+
+    def fold_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        k = tbl["k"].to_numpy(zero_copy_only=False)
+        cc1 = tbl["c1"].to_numpy(zero_copy_only=False)
+        cc2 = tbl["c2"].to_numpy(zero_copy_only=False)
+        val = k * ((cc1 * BIGRAM_SCALE) // cc2)
+        u, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        nb = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, val)
+        np.add.at(nb, inv, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(u),
+                "tot": pa.array(tot),
+                "nb": pa.array(nb),
+            }
+        )
+
+    folded = (
+        j2.map_batches(fold_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .sum(["tot", "nb"])
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "surprisal_scaled": pa.array([], pa.int64()),
+                }
+            )
+        tbl = tbl.rename_columns(["doc_id", "tot", "nb"])
+        tot = tbl["tot"].to_numpy(zero_copy_only=False)
+        nb = tbl["nb"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "surprisal_scaled": pa.array(tot // nb),
+            }
+        )
+
+    return folded.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+BIGRAM_SURPRISAL_ORACLE = rf"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term,
+               generate_subscripts(a, 1) AS pos FROM d),
+bg AS (
+  SELECT t1.doc_id, t1.term AS w1, t2.term AS w2
+  FROM tok t1 JOIN tok t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+c1 AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+per AS (
+  SELECT bg.doc_id,
+         sum((c1.c * {BIGRAM_SCALE}) // c2.c) AS tot,
+         count(*) AS nb
+  FROM bg
+  JOIN c1 ON c1.term = bg.w1
+  JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+  GROUP BY 1)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       CAST(tot // nb AS BIGINT) AS surprisal_scaled
+FROM per
+"""
+
+
+def _lang_vocab_overlap(sf_dir):
+    """Cross-language vocabulary overlap: for every language pair, the
+    number of shared distinct terms plus each side's vocabulary size —
+    the contamination / loanword signal over a sharded corpus. Distributed
+    shape: per-batch (lang, term) DISTINCT partials -> one (lang, term)
+    groupby (vocabulary-sized); per-term language sets then expand to at
+    most C(L, 2) pair partials per term inside map_batches (L = #langs,
+    plan-sized), one tiny pair groupby-sum, and vocabulary sizes fold the
+    same table a second way. Only (lang, term) narrow columns shuffle."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        langs = tbl["lang"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(langs)), (offsets[1:] - offsets[:-1]))
+        df = pd.DataFrame(
+            {
+                "lang": langs[row_of],
+                "term": flat.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "term"])
+        .sum("one")
+    )
+
+    def pairs_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang_a": pa.array([], pa.string()),
+                "lang_b": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "lang" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "term": tbl["term"].to_numpy(zero_copy_only=False),
+            }
+        )
+        m = df.merge(df, on="term")
+        m = m[m["lang_x"] < m["lang_y"]]
+        g = m.groupby(["lang_x", "lang_y"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        g = g.rename(
+            columns={"lang_x": "lang_a", "lang_y": "lang_b", "size": "partial"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # the (lang, term) vocabulary shuffles ONCE keyed by term-hash so that
+    # all languages of a term co-locate; each shard emits pair partials
+    n_shards = 32
+    from spatialindex_ray.kernels import hashing as _hashing
+
+    def term_keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "lang" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                }
+            )
+        h = _hashing.poly_hash64_of_column(
+            tbl["term"].combine_chunks(), base=_FP_BASE_TERM
+        )
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (h % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "lang": tbl["lang"],
+                "term": tbl["term"],
+            }
+        )
+
+    keyed = vocab.map_batches(term_keyed, batch_format="pyarrow", batch_size=None)
+    pair_counts = (
+        ops.hash_exchange(keyed, "shard", n_shards, pairs_partial)
+        .groupby(["lang_a", "lang_b"])
+        .sum("partial")
+        .to_pandas()
+    )
+    sizes = (
+        vocab.map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            if t.num_rows and "lang" in t.schema.names
+            else pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "one": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("lang")
+        .sum("one")
+        .to_pandas()
+    )
+    sz = dict(zip(sizes["lang"], sizes["sum(one)"].astype(np.int64)))
+    pair_counts = pair_counts.rename(columns={"sum(partial)": "inter"})
+    pair_counts = pair_counts.sort_values(["lang_a", "lang_b"])
+    return pa.table(
+        {
+            "lang_a": pa.array(pair_counts["lang_a"].tolist(), pa.string()),
+            "lang_b": pa.array(pair_counts["lang_b"].tolist(), pa.string()),
+            "inter": pa.array(
+                pair_counts["inter"].to_numpy().astype(np.int64)
+            ),
+            "size_a": pa.array(
+                np.array(
+                    [int(sz[l]) for l in pair_counts["lang_a"]], dtype=np.int64
+                )
+            ),
+            "size_b": pa.array(
+                np.array(
+                    [int(sz[l]) for l in pair_counts["lang_b"]], dtype=np.int64
+                )
+            ),
+        }
+    )
+
+
+_FP_BASE_TERM = np.uint64(1099511628211)
+
+
+LANG_VOCAB_ORACLE = r"""
+WITH t AS (
+  SELECT DISTINCT lang, term FROM (
+    SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents)),
+sz AS (SELECT lang, count(*) AS c FROM t GROUP BY 1)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(count(*) AS BIGINT) AS inter,
+       CAST(any_value(sa.c) AS BIGINT) AS size_a,
+       CAST(any_value(sb.c) AS BIGINT) AS size_b
+FROM t a
+JOIN t b ON b.term = a.term AND a.lang < b.lang
+JOIN sz sa ON sa.lang = a.lang
+JOIN sz sb ON sb.lang = b.lang
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -20034,6 +20492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corr_types": _cross_corr_types,
         "quadkey_encode": _quadkey_encode,
         "markov_accuracy": _markov_accuracy,
+        "isotonic_calibration": _isotonic_calibration,
+        "bigram_surprisal": _bigram_surprisal,
+        "lang_vocab_overlap": _lang_vocab_overlap,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -20355,6 +20816,9 @@ def oracle_sql() -> dict[str, str]:
         "cross_corr_types": XCORR_ORACLE,
         "quadkey_encode": _quadkey_oracle(),
         "markov_accuracy": MARKOV_ACC_ORACLE,
+        "isotonic_calibration": ISOTONIC_ORACLE,
+        "bigram_surprisal": BIGRAM_SURPRISAL_ORACLE,
+        "lang_vocab_overlap": LANG_VOCAB_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
