@@ -20124,6 +20124,313 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 69: Spearman midrank components, consecutive-doc novelty, activity
+# streaks.
+
+
+def _spearman_components(sf_dir):
+    """Exact Spearman (tie-corrected) ingredients over the same small-domain
+    pair as kendall_tau_components: DOUBLE-midranks (2*rank, always
+    integral under ties: 2*cnt_less + cnt_eq + 1) for both variables, and
+    the Pearson component sums over them — n, sum_rx, sum_ry, sum_rx2,
+    sum_ry2, sum_rxy, all int64. rho = standard formula on these six
+    numbers, consumer-side. Distributed shape: the per-batch 2-D bincount
+    partial from the Kendall kernel; midranks derive from the AGGREGATED
+    marginal counts (domain-sized), then one vectorized dot over the cell
+    table — rows never pair."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=[KT_X_COL, KT_Y_COL]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = np.round(
+            tbl[KT_X_COL].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = np.round(tbl[KT_Y_COL].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        key = x * 1000 + y
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "x_bp": pa.array(u // 1000),
+                "y_q": pa.array(u % 1000),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["x_bp", "y_q"])
+        .sum("partial")
+        .to_pandas()
+    )
+    x = cells["x_bp"].to_numpy().astype(np.int64)
+    y = cells["y_q"].to_numpy().astype(np.int64)
+    n = cells["sum(partial)"].to_numpy().astype(np.int64)
+
+    def midranks2(vals, cnts):
+        # double-midrank per distinct value: 2*cnt_less + cnt_eq + 1
+        u = np.unique(vals)
+        tot = np.array(
+            [int(cnts[vals == v].sum()) for v in u], dtype=np.int64
+        )
+        less = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        r2 = 2 * less + tot + 1
+        return dict(zip(u.tolist(), r2.tolist()))
+
+    rx_map = midranks2(x, n)
+    ry_map = midranks2(y, n)
+    rx = np.array([rx_map[v] for v in x], dtype=np.int64)
+    ry = np.array([ry_map[v] for v in y], dtype=np.int64)
+    return pa.table(
+        {
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+            "sum_rx": pa.array([int(n.dot(rx))], pa.int64()),
+            "sum_ry": pa.array([int(n.dot(ry))], pa.int64()),
+            "sum_rx2": pa.array([int(n.dot(rx * rx))], pa.int64()),
+            "sum_ry2": pa.array([int(n.dot(ry * ry))], pa.int64()),
+            "sum_rxy": pa.array([int(n.dot(rx * ry))], pa.int64()),
+        }
+    )
+
+
+SPEARMAN_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round({KT_X_COL} * 100) AS BIGINT) AS x_bp,
+         CAST(round({KT_Y_COL}) AS BIGINT) AS y_q
+  FROM lineitem),
+r AS (
+  SELECT x_bp, y_q,
+         2 * (count(*) OVER (ORDER BY x_bp RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)) +
+         (count(*) OVER (PARTITION BY x_bp)) + 1 AS rx,
+         2 * (count(*) OVER (ORDER BY y_q RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)) +
+         (count(*) OVER (PARTITION BY y_q)) + 1 AS ry
+  FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rx) AS BIGINT) AS sum_rx,
+       CAST(sum(ry) AS BIGINT) AS sum_ry,
+       CAST(sum(rx * rx) AS BIGINT) AS sum_rx2,
+       CAST(sum(ry * ry) AS BIGINT) AS sum_ry2,
+       CAST(sum(rx * ry) AS BIGINT) AS sum_rxy
+FROM r
+"""
+
+
+def _source_novelty(sf_dir):
+    """Consecutive-document novelty per source: for each source's docs in
+    doc_id order, the exact token-SET Jaccard ingredients vs the PREVIOUS
+    doc of the same source — (doc_id, prev_doc_id, inter, uni). The
+    curation signal for crawl streams ("is this page new material or a
+    template resample?"). Distributed shape: one hash exchange by source;
+    per shard, token sets come from the vectorized segment tokenizer and
+    consecutive pairs intersect via one sorted-merge per pair (np.intersect1d
+    on unique token arrays) — only (source, doc_id, tokens) narrow rows
+    shuffle, and each doc's tokens stay inside its shard."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        import zlib
+
+        src = np.asarray(tbl["source"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        shards = np.array(
+            [zlib.crc32(str(u).encode()) % n_shards for u in uniq],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shards[inv]),
+                "doc_id": tbl["doc_id"],
+                "source": tbl["source"],
+                "text": tbl["text"],
+            }
+        )
+
+    def novelty_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "prev_doc_id": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "uni": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return empty
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.asarray(tbl["source"].to_pylist(), dtype=object)
+        flat, offsets = textfn._token_segments(tbl["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, src))
+        out_d, out_p, out_i, out_u = [], [], [], []
+        prev_set = None
+        prev_src = None
+        prev_id = None
+        for row in order:
+            t = np.unique(toks[offsets[row] : offsets[row + 1]])
+            if prev_src is not None and src[row] == prev_src:
+                inter = len(np.intersect1d(t, prev_set, assume_unique=True))
+                uni = len(t) + len(prev_set) - inter
+                out_d.append(int(ids[row]))
+                out_p.append(int(prev_id))
+                out_i.append(inter)
+                out_u.append(uni)
+            prev_set, prev_src, prev_id = t, src[row], ids[row]
+        if not out_d:
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_d, dtype=np.int64)),
+                "prev_doc_id": pa.array(np.array(out_p, dtype=np.int64)),
+                "inter": pa.array(np.array(out_i, dtype=np.int64)),
+                "uni": pa.array(np.array(out_u, dtype=np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, novelty_shard)
+
+
+SOURCE_NOVELTY_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(regexp_extract_all(text, '\S+')) AS toks,
+         lag(doc_id) OVER w AS prev_doc_id,
+         lag(list_distinct(regexp_extract_all(text, '\S+'))) OVER w
+           AS prev_toks
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+SELECT doc_id, prev_doc_id,
+       CAST(len(list_intersect(toks, prev_toks)) AS BIGINT) AS inter,
+       CAST(len(toks) + len(prev_toks)
+            - len(list_intersect(toks, prev_toks)) AS BIGINT) AS uni
+FROM d WHERE prev_doc_id IS NOT NULL
+"""
+
+
+def _longest_streak(sf_dir):
+    """Longest consecutive-ACTIVE-DAY streak per user (gaps-and-islands over
+    the distinct-day set): output (user_id, n_active_days, longest_streak).
+    Distributed shape: per-batch (user, day) DISTINCT partials collapse the
+    row stream to user-day grain before the one exchange by user; per shard
+    the streak is a vectorized diff-of-sorted-unique-days segmented run
+    scan. Days bound the per-user payload, so a 10^12-row user still costs
+    only its distinct days."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    n_shards = 32
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        key = uid * np.int64(1 << 20) + day
+        u = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(u >> 20),
+                "day": pa.array(u & ((1 << 20) - 1)),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    userdays = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .sum("one")
+    )
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                }
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": pa.array(uid),
+                "day": tbl["day"],
+            }
+        )
+
+    def streak_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+                "longest_streak": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        # run starts where user changes or day gap != 1
+        new_run = np.ones(len(u), dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[new_run]
+        uu, inv = np.unique(run_user, return_inverse=True)
+        longest = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(longest, inv, run_len)
+        n_days = np.bincount(inv, weights=run_len).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n_active_days": pa.array(n_days),
+                "longest_streak": pa.array(longest),
+            }
+        )
+
+    keyed_ds = userdays.map_batches(
+        keyed, batch_format="pyarrow", batch_size=None
+    )
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, streak_shard)
+
+
+LONGEST_STREAK_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud),
+runs AS (
+  SELECT user_id, count(*) AS run_len
+  FROM g GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+       CAST(max(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -20495,6 +20802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_calibration": _isotonic_calibration,
         "bigram_surprisal": _bigram_surprisal,
         "lang_vocab_overlap": _lang_vocab_overlap,
+        "spearman_components": _spearman_components,
+        "source_novelty": _source_novelty,
+        "longest_streak": _longest_streak,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -20819,6 +21129,9 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calibration": ISOTONIC_ORACLE,
         "bigram_surprisal": BIGRAM_SURPRISAL_ORACLE,
         "lang_vocab_overlap": LANG_VOCAB_ORACLE,
+        "spearman_components": SPEARMAN_ORACLE,
+        "source_novelty": SOURCE_NOVELTY_ORACLE,
+        "longest_streak": LONGEST_STREAK_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
