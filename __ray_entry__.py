@@ -20431,6 +20431,235 @@ FROM runs GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 70: image equalization checksum, per-user behavioral entropy,
+# new-vs-returning daily actives.
+
+ENTROPY_SCALE = 1_000_000
+
+
+def _type_entropy_scaled(sf_dir):
+    """Per-user behavioral entropy in integer ppm (surprisal convention of
+    unigram_surprisal): with c_t the user's count of event type t and T the
+    user's total, entropy_scaled = (sum_t c_t * ((T * 1e6) // c_t)) // T —
+    the truncating-integer analog of mean surprisal; 1e6 = one nat-free
+    'uniform over one type' unit. Diversity audit for bot/spam filtering.
+    Distributed shape: per-batch (user, type) count partials -> one
+    groupby-sum at user-type grain -> per-batch per-user fold -> tiny
+    user-keyed groupby. T derives inside the fold from the aggregated
+    counts, so rows never shuffle twice."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": tbl["event_type"].to_pylist(),
+                }
+            )
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+        )
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}), preserve_index=False
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "event_type"])
+        .sum("partial")
+    )
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": pa.array(uid),
+                "c": tbl.column(2),
+            }
+        )
+
+    def entropy_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "entropy_scaled": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        surp = c * ((tot[inv] * ENTROPY_SCALE) // c)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, surp)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "n_events": pa.array(tot),
+                "entropy_scaled": pa.array(acc // tot),
+            }
+        )
+
+    keyed_ds = counts.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, entropy_shard)
+
+
+TYPE_ENTROPY_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(c) AS t FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(any_value(t.t) AS BIGINT) AS n_events,
+       CAST(sum(c.c * ((t.t * {ENTROPY_SCALE}) // c.c)) // any_value(t.t)
+            AS BIGINT) AS entropy_scaled
+FROM c JOIN t USING (user_id)
+GROUP BY 1
+"""
+
+
+def _daily_new_returning(sf_dir):
+    """Daily active users split into first-ever-seen vs returning — the
+    canonical growth-accounting metric. Distributed shape: one groupby-min
+    computes each user's first active day; per-batch (user, day) DISTINCT
+    partials collapse to user-day grain; an exchange join against the
+    (narrow) first-day table classifies each user-day, and a final tiny
+    (day) groupby sums the two classes. No row-scale data ever reaches the
+    driver."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def ud_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        key = uid * np.int64(1 << 20) + day
+        u = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(u >> 20),
+                "day": pa.array(u & ((1 << 20) - 1)),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    userdays = (
+        ds.map_batches(ud_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .sum("one")
+    )
+
+    def drop_one(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.int64())}
+            )
+        return tbl.select(["user_id", "day"])
+
+    userdays = userdays.map_batches(
+        drop_one, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    first = userdays.groupby("user_id").min("day")
+
+    def first_rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "first_day": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["user_id", "first_day"])
+
+    first = first.map_batches(first_rename, batch_format="pyarrow", batch_size=None)
+    joined = ops.equi_join(userdays, first, on="user_id", how="inner")
+
+    def day_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n_new": pa.array([], pa.int64()),
+                    "n_returning": pa.array([], pa.int64()),
+                }
+            )
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        fd = tbl["first_day"].to_numpy(zero_copy_only=False)
+        new = (day == fd).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        nn = np.zeros(len(u), dtype=np.int64)
+        nr = np.zeros(len(u), dtype=np.int64)
+        np.add.at(nn, inv, new)
+        np.add.at(nr, inv, 1 - new)
+        return pa.table(
+            {
+                "day": pa.array(u),
+                "n_new": pa.array(nn),
+                "n_returning": pa.array(nr),
+            }
+        )
+
+    out = (
+        joined.map_batches(day_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .sum(["n_new", "n_returning"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n_new": pa.array([], pa.int64()),
+                    "n_returning": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["day", "n_new", "n_returning"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+DAILY_NEW_RETURNING_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+SELECT CAST(ud.day AS BIGINT) AS day,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM ud JOIN f USING (user_id)
+GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -20805,6 +21034,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_components": _spearman_components,
         "source_novelty": _source_novelty,
         "longest_streak": _longest_streak,
+        "image_equalize": multimodal.image_equalize_query,
+        "type_entropy_scaled": _type_entropy_scaled,
+        "daily_new_returning": _daily_new_returning,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -21132,6 +21364,9 @@ def oracle_sql() -> dict[str, str]:
         "spearman_components": SPEARMAN_ORACLE,
         "source_novelty": SOURCE_NOVELTY_ORACLE,
         "longest_streak": LONGEST_STREAK_ORACLE,
+        "image_equalize": multimodal.IMAGE_EQUALIZE_ORACLE,
+        "type_entropy_scaled": TYPE_ENTROPY_ORACLE,
+        "daily_new_returning": DAILY_NEW_RETURNING_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

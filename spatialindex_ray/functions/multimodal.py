@@ -868,6 +868,80 @@ def image_histogram_query(sf_dir: str):
     )
 
 
+class EqualizeStage:
+    """Actor-pool stage: PNG payload -> histogram-equalized pixel checksum.
+    Per image the standard 256-level CDF remap eq(v) = ((cdf(v) - cdf_min)
+    * 255) // (n_px - cdf_min) (0 when the image is constant), computed as
+    one bincount + cumsum + gather — all integer, so the SQL dual replays
+    it exactly from the synthesized pixel formula. Emits only (doc_id,
+    eq_sum, n_px) — pixels never leave the actor."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_s = np.zeros(len(ids), dtype=np.int64)
+        out_n = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            h, w, c, px = decode_png(payload[i].as_py())
+            v = px[:, :, 0].ravel().astype(np.int64)
+            cnt = np.bincount(v, minlength=256)
+            cdf = np.cumsum(cnt)
+            n = int(cdf[-1])
+            cmin = int(cdf[np.flatnonzero(cnt)[0]])
+            if n == cmin:
+                eq = np.zeros(256, dtype=np.int64)
+            else:
+                eq = ((cdf - cmin) * 255) // (n - cmin)
+            out_s[i] = int((eq * cnt).sum())
+            out_n[i] = n
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "eq_sum": pa.array(out_s),
+                "n_px": pa.array(out_n),
+            }
+        )
+
+
+def image_equalize_query(sf_dir: str):
+    """Histogram equalization over real gradient PNGs (see
+    _synth_gradient_pngs): decode + integer CDF remap in an actor pool,
+    with the remap arithmetic replayed exactly by IMAGE_EQUALIZE_ORACLE."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        _synth_gradient_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        EqualizeStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+IMAGE_EQUALIZE_ORACLE = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
+           FROM documents),
+p AS (
+  SELECT doc_id, ((doc_id + xs.x + ys.y) % 256) AS v
+  FROM d, unnest(range(0, h)) AS ys(y), unnest(range(0, w)) AS xs(x)),
+hh AS (SELECT doc_id, v, count(*) AS c FROM p GROUP BY 1, 2),
+cd AS (SELECT doc_id, v, c,
+              sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cf
+       FROM hh),
+mt AS (SELECT doc_id, min(cf) AS cmin, sum(c) AS n FROM cd GROUP BY 1)
+SELECT cd.doc_id,
+       CAST(sum(CASE WHEN mt.n = mt.cmin THEN 0
+                     ELSE (((cd.cf - mt.cmin) * 255) // (mt.n - mt.cmin))
+                          * cd.c END) AS BIGINT) AS eq_sum,
+       CAST(any_value(mt.n) AS BIGINT) AS n_px
+FROM cd JOIN mt USING (doc_id)
+GROUP BY 1
+"""
+
+
 IMAGE_HISTOGRAM_ORACLE = """
 WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
            FROM documents),

@@ -2098,6 +2098,7 @@ def connected_components(
     node_col: str = "doc_id",
     n_shards: int = 32,
     max_iters: int = 50,
+    small_edge_limit: int = 2_000_000,
 ):
     """Distributed connected components by iterative min-label propagation —
     the operator that turns near-dup PAIRS into dedup CLUSTERS (keep one doc
@@ -2108,11 +2109,84 @@ def connected_components(
     pathological chains. Convergence is detected by the (monotonically
     decreasing) global label sum — one scalar per round to the driver.
 
+    Small-graph fast path: when the (materialized) edge set has at most
+    ``small_edge_limit`` rows, the whole solve collapses into ONE remote
+    task — vectorized in-memory min-label propagation with pointer doubling
+    over index-mapped arrays. Identical output by construction; it exists
+    because each distributed round costs a fixed multi-exchange overhead
+    that dwarfs the compute once the edge list fits a single worker's heap
+    (a deep 50k-edge graph needs tens of rounds = tens of seconds of pure
+    scheduling). At 100 TB the edge stream blows past the limit and the
+    iterative path engages unchanged.
+
     Returns a Dataset (node_col, "cluster_id") where cluster_id is the
     component's min node id. Scale shape: each round shuffles only
     (node, label) pairs — never payloads; edges are re-joined from their
     (object-store resident) Dataset each round."""
     import ray
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_edge_limit:
+        edge_refs = edges_ds.select_columns(
+            [left_col, right_col]
+        ).to_arrow_refs()
+        node_refs = nodes_ds.select_columns([node_col]).to_arrow_refs()
+
+        @ray.remote
+        def _solve(n_edge_blocks, *blocks):
+            import numpy as _np
+            import pyarrow as _pa
+
+            eb = blocks[:n_edge_blocks]
+            nb = blocks[n_edge_blocks:]
+            aa = [
+                t.column(0).to_numpy(zero_copy_only=False).astype(_np.int64)
+                for t in eb
+                if t.num_rows
+            ]
+            bb = [
+                t.column(1).to_numpy(zero_copy_only=False).astype(_np.int64)
+                for t in eb
+                if t.num_rows
+            ]
+            nn = [
+                t.column(0).to_numpy(zero_copy_only=False).astype(_np.int64)
+                for t in nb
+                if t.num_rows
+            ]
+            a = _np.concatenate(aa) if aa else _np.empty(0, _np.int64)
+            b = _np.concatenate(bb) if bb else _np.empty(0, _np.int64)
+            base = _np.concatenate(nn) if nn else _np.empty(0, _np.int64)
+            ids = _np.unique(_np.concatenate([base, a, b]))
+            if len(ids) == 0:
+                return _pa.table(
+                    {
+                        node_col: _pa.array([], _pa.int64()),
+                        "cluster_id": _pa.array([], _pa.int64()),
+                    }
+                )
+            ia = _np.searchsorted(ids, a)
+            ib = _np.searchsorted(ids, b)
+            lab = _np.arange(len(ids), dtype=_np.int64)
+            while True:
+                old = lab.copy()
+                _np.minimum.at(lab, ia, lab[ib])
+                _np.minimum.at(lab, ib, lab[ia])
+                lab = _np.minimum(lab, lab[lab])
+                lab = _np.minimum(lab, lab[lab])
+                if _np.array_equal(lab, old):
+                    break
+            return _pa.table(
+                {
+                    node_col: _pa.array(ids),
+                    "cluster_id": _pa.array(ids[lab]),
+                }
+            )
+
+        out_ref = _solve.remote(
+            len(edge_refs), *edge_refs, *node_refs
+        )
+        return ray.data.from_arrow_refs([out_ref])
 
     def as_labels(tbl: pa.Table) -> pa.Table:
         n = tbl[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
