@@ -20660,6 +20660,426 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 71: HITS on the user->source bipartite graph, Heaps-law vocabulary
+# growth, reciprocal-rank fusion.
+
+
+def _hits_scores(sf_dir):
+    """Two unrolled HITS iterations on the bipartite user -> source graph
+    (an edge when a user's event doc-id maps into a source via doc_id =
+    event_id % 500 — a deterministic synthetic visit relation), all exact
+    integers with NO normalization (consumers normalize; the magnitudes
+    stay well inside int64 for two rounds). h0 = 1 per user, a1(source) =
+    sum of h0 over visiting users (= distinct-visitor count), h1(user) =
+    sum of a1 over visited sources, a2(source) = sum of h1. Distributed
+    shape: the edge list (user, source) dedups via groupby, every round is
+    one exchange join + groupby-sum keyed alternately by source / user —
+    the graph stays sharded, only (key, score) pairs move."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def edge_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        did = tbl["event_id"].to_numpy(zero_copy_only=False) % np.int64(500)
+        key = uid * np.int64(1 << 16) + did
+        u = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(u >> 16),
+                "doc_id": pa.array(u & ((1 << 16) - 1)),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    edges = (
+        ev.map_batches(edge_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "doc_id"])
+        .sum("one")
+    )
+
+    def drop_one(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        return tbl.select(["user_id", "doc_id"])
+
+    edges = edges.map_batches(drop_one, batch_format="pyarrow", batch_size=None)
+    # attach source, dedup (user, source)
+    esrc = ops.equi_join(edges, docs, on="doc_id", how="inner", broadcast="right")
+
+    def us_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string()),
+                 "one": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "source": tbl["source"].to_pylist(),
+            }
+        ).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    us = (
+        esrc.map_batches(us_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "source"])
+        .sum("one")
+    )
+
+    def us_drop(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string())}
+            )
+        return tbl.select(["user_id", "source"])
+
+    us = us.map_batches(us_drop, batch_format="pyarrow", batch_size=None).materialize()
+
+    # a1(source) = distinct visitors
+    def a1_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"source": tbl["source"].to_pylist()})
+            .groupby("source", as_index=False)
+            .size()
+        )
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}), preserve_index=False
+        )
+
+    a1 = us.map_batches(a1_partial, batch_format="pyarrow", batch_size=None).groupby(
+        "source"
+    ).sum("partial")
+
+    def a1_rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "a1": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["source", "a1"])
+
+    a1 = a1.map_batches(a1_rename, batch_format="pyarrow", batch_size=None)
+    # h1(user) = sum a1 over visited sources
+    j1 = ops.equi_join(us, a1, on="source", how="inner")
+
+    def h1_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        v = tbl["a1"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(uid, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        return pa.table({"user_id": pa.array(u), "partial": pa.array(acc)})
+
+    h1 = (
+        j1.map_batches(h1_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .sum("partial")
+    )
+
+    def h1_rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "h1": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["user_id", "h1"])
+
+    h1 = h1.map_batches(h1_rename, batch_format="pyarrow", batch_size=None)
+    # a2(source) = sum h1 over visiting users
+    j2 = ops.equi_join(us, h1, on="user_id", how="inner")
+
+    def a2_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {
+                "source": tbl["source"].to_pylist(),
+                "v": tbl["h1"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("source", as_index=False)["v"].sum()
+        g["v"] = g["v"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"v": "partial"}), preserve_index=False
+        )
+
+    a2 = (
+        j2.map_batches(a2_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .sum("partial")
+    )
+    j3 = ops.equi_join(
+        a1,
+        a2.map_batches(
+            lambda t: t.rename_columns(["source", "a2"])
+            if t.num_rows and t.num_columns == 2
+            else pa.table(
+                {"source": pa.array([], pa.string()),
+                 "a2": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        on="source",
+        how="inner",
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "a1": pa.array([], pa.int64()),
+                    "a2": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.select(["source", "a1", "a2"])
+
+    return j3.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+HITS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT ev.user_id, d.source
+  FROM events ev JOIN documents d ON d.doc_id = ev.event_id % 500),
+a1 AS (SELECT source, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY 1),
+h1 AS (
+  SELECT e.user_id, CAST(sum(a1.a1) AS BIGINT) AS h1
+  FROM e JOIN a1 USING (source) GROUP BY 1),
+a2 AS (
+  SELECT e.source, CAST(sum(h1.h1) AS BIGINT) AS a2
+  FROM e JOIN h1 USING (user_id) GROUP BY 1)
+SELECT a1.source, a1.a1, a2.a2
+FROM a1 JOIN a2 USING (source)
+"""
+
+
+VOCAB_GROWTH_STEP = 100
+
+
+def _vocab_growth(sf_dir):
+    """Heaps-law vocabulary growth curve: at checkpoints of doc_id (every
+    VOCAB_GROWTH_STEP docs), the number of DISTINCT terms seen in docs with
+    doc_id < checkpoint. Distributed shape: per-batch (term -> min doc_id)
+    partials -> one groupby-min (vocabulary-sized); the first-appearance
+    ids then histogram into checkpoints with a tiny cumsum — the curve
+    costs one vocabulary pass regardless of corpus size."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(ids)), (offsets[1:] - offsets[:-1]))
+        df = pd.DataFrame(
+            {
+                "term": flat.to_numpy(zero_copy_only=False),
+                "first_doc": ids[row_of],
+            }
+        )
+        g = df.groupby("term", as_index=False)["first_doc"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .min("first_doc")
+        .to_pandas()
+    )
+    fd = firsts.iloc[:, 1].to_numpy().astype(np.int64)
+    hi = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).max("doc_id")
+    )
+    checkpoints = np.arange(
+        VOCAB_GROWTH_STEP,
+        hi + VOCAB_GROWTH_STEP + 1,
+        VOCAB_GROWTH_STEP,
+        dtype=np.int64,
+    )
+    vocab = np.searchsorted(np.sort(fd), checkpoints, side="left")
+    return pa.table(
+        {
+            "checkpoint": pa.array(checkpoints),
+            "vocab_size": pa.array(vocab.astype(np.int64)),
+        }
+    )
+
+
+VOCAB_GROWTH_ORACLE = rf"""
+WITH f AS (
+  SELECT term, min(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents)
+  GROUP BY 1),
+mx AS (SELECT max(doc_id) AS hi FROM documents),
+cp AS (
+  SELECT unnest(generate_series({VOCAB_GROWTH_STEP},
+                CAST((SELECT hi FROM mx) AS BIGINT) + {VOCAB_GROWTH_STEP},
+                {VOCAB_GROWTH_STEP})) AS checkpoint)
+SELECT CAST(cp.checkpoint AS BIGINT) AS checkpoint,
+       CAST(count(f.term) AS BIGINT) AS vocab_size
+FROM cp LEFT JOIN f ON f.first_doc < cp.checkpoint
+GROUP BY 1
+"""
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+
+def _rrf_fusion(sf_dir):
+    """Reciprocal-rank fusion of two document rankings — by length
+    (n_chars desc) and by lexical richness (distinct terms desc), ties by
+    doc_id — fused as sum of 1e6 // (60 + rank), the standard RRF with
+    integer-truncated reciprocal so both sides agree exactly. Output every
+    doc's two ranks and the fused score. Distributed shape: richness
+    computes as a per-batch distinct-count map; both rankings are
+    ds.sort + a two-pass distributed prefix-rank (ops.prefix_sum over unit
+    weights), then one exchange join on doc_id — no driver-side ranking."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def feats(tbl: pa.Table) -> pa.Table:
+        flat, offsets = textfn._token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        nd = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            nd[i] = len(np.unique(toks[offsets[i] : offsets[i + 1]]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": tbl["n_chars"].cast(pa.int64()),
+                "n_distinct": pa.array(nd),
+            }
+        )
+
+    feat = ds.map_batches(
+        feats, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def ranked(col):
+        # rank 1 = largest col, ties broken by doc_id asc — the distributed
+        # two-pass prefix-rank (ops.prefix_sum over a composite int key,
+        # same machinery as systematic_sample). Key bound: col < 2^30 and
+        # doc_id < 2^24 fit int64 (documented partitioning assumption).
+        def key(tbl: pa.Table) -> pa.Table:
+            v = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ck = (((np.int64(1) << 30) - v) << np.int64(24)) | did
+            return pa.table(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "ckey": pa.array(ck),
+                    "one": pa.array(np.ones(len(did), dtype=np.int64)),
+                }
+            )
+
+        keyed = feat.map_batches(key, batch_format="pyarrow", batch_size=None)
+        scanned = ops.prefix_sum(keyed, "ckey", "one", n_shards=16)
+
+        def to_rank(tbl: pa.Table) -> pa.Table:
+            r = tbl["prefix"].to_numpy(zero_copy_only=False) + 1
+            return pa.table(
+                {
+                    "doc_id": tbl["doc_id"],
+                    f"rank_{col}": pa.array(r.astype(np.int64)),
+                }
+            )
+
+        return scanned.map_batches(
+            to_rank, batch_format="pyarrow", batch_size=None
+        )
+
+    r1 = ranked("n_chars")
+    r2 = ranked("n_distinct")
+    j = ops.equi_join(r1, r2, on="doc_id", how="inner")
+
+    def fuse(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank_len": pa.array([], pa.int64()),
+                    "rank_rich": pa.array([], pa.int64()),
+                    "rrf_scaled": pa.array([], pa.int64()),
+                }
+            )
+        ra = tbl["rank_n_chars"].to_numpy(zero_copy_only=False)
+        rb = tbl["rank_n_distinct"].to_numpy(zero_copy_only=False)
+        sc = RRF_SCALE // (RRF_K + ra) + RRF_SCALE // (RRF_K + rb)
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "rank_len": pa.array(ra),
+                "rank_rich": pa.array(rb),
+                "rrf_scaled": pa.array(sc),
+            }
+        )
+
+    return j.map_batches(fuse, batch_format="pyarrow", batch_size=None)
+
+
+RRF_ORACLE = rf"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_distinct
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_len,
+         row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS rank_rich
+  FROM feat)
+SELECT doc_id, CAST(rank_len AS BIGINT) AS rank_len,
+       CAST(rank_rich AS BIGINT) AS rank_rich,
+       CAST({RRF_SCALE} // ({RRF_K} + rank_len)
+            + {RRF_SCALE} // ({RRF_K} + rank_rich) AS BIGINT) AS rrf_scaled
+FROM r
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -21037,6 +21457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_equalize": multimodal.image_equalize_query,
         "type_entropy_scaled": _type_entropy_scaled,
         "daily_new_returning": _daily_new_returning,
+        "hits_scores": _hits_scores,
+        "vocab_growth": _vocab_growth,
+        "rrf_fusion": _rrf_fusion,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -21367,6 +21790,9 @@ def oracle_sql() -> dict[str, str]:
         "image_equalize": multimodal.IMAGE_EQUALIZE_ORACLE,
         "type_entropy_scaled": TYPE_ENTROPY_ORACLE,
         "daily_new_returning": DAILY_NEW_RETURNING_ORACLE,
+        "hits_scores": HITS_ORACLE,
+        "vocab_growth": VOCAB_GROWTH_ORACLE,
+        "rrf_fusion": RRF_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
