@@ -21080,6 +21080,174 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 72: local clustering coefficients, audio zero-crossing rate, source
+# co-visitation.
+
+
+def _clustering_coefficient(sf_dir):
+    """Per-node local clustering ingredients over the exact n-gram-Jaccard
+    near-dup pair graph: (node, n_tri, deg) with coefficient =
+    2*n_tri/(deg*(deg-1)) left to the consumer — the "is this dup cluster
+    a clique or a chain?" diagnostic. ops.triangle_per_node: wedge join +
+    closing semi-join keeping member labels, one flat-map to members, two
+    tiny groupbys."""
+    return ops.triangle_per_node(dedup.ngram_jaccard_query(sf_dir))
+
+
+def _clustering_coefficient_oracle():
+    return f"""
+WITH pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (SELECT left_id AS a, right_id AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+members AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, count(*) AS n_tri FROM members GROUP BY 1),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY 1)
+SELECT deg.node, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(deg.deg AS BIGINT) AS deg
+FROM deg LEFT JOIN tc USING (node)
+"""
+
+
+def _source_covisitation(sf_dir):
+    """Source co-visitation weights (the item-item recommender primitive):
+    for every source pair, the number of users who visited BOTH — built on
+    the same deterministic user->source visit relation as hits_scores.
+    Distributed shape: dedup (user, source) via groupby, one exchange by
+    user co-locates each user's (bounded) source set, pairs expand
+    per-user inside the shard, one tiny pair groupby-sum. The per-user
+    fan-out is C(k, 2) with k = distinct sources per user — bounded by the
+    catalog, never by events."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def edge_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        did = tbl["event_id"].to_numpy(zero_copy_only=False) % np.int64(500)
+        key = uid * np.int64(1 << 16) + did
+        u = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(u >> 16),
+                "doc_id": pa.array(u & ((1 << 16) - 1)),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    edges = (
+        ev.map_batches(edge_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "doc_id"])
+        .sum("one")
+    )
+
+    def drop_one(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        return tbl.select(["user_id", "doc_id"])
+
+    edges = edges.map_batches(drop_one, batch_format="pyarrow", batch_size=None)
+    esrc = ops.equi_join(edges, docs, on="doc_id", how="inner", broadcast="right")
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": pa.array(uid),
+                "source": tbl["source"],
+            }
+        )
+
+    def pair_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+                "source": tbl["source"].to_pylist(),
+            }
+        ).drop_duplicates()
+        m = df.merge(df, on="user_id")
+        m = m[m["source_x"] < m["source_y"]]
+        g = m.groupby(["source_x", "source_y"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(
+                columns={"source_x": "src_a", "source_y": "src_b",
+                         "size": "partial"}
+            ),
+            preserve_index=False,
+        )
+
+    keyed_ds = esrc.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    out = (
+        ops.hash_exchange(keyed_ds, "shard", n_shards, pair_shard)
+        .groupby(["src_a", "src_b"])
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["src_a", "src_b", "n_users"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+SOURCE_COVISIT_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT ev.user_id, d.source
+  FROM events ev JOIN documents d ON d.doc_id = ev.event_id % 500)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM e a JOIN e b ON b.user_id = a.user_id AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -21460,6 +21628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _hits_scores,
         "vocab_growth": _vocab_growth,
         "rrf_fusion": _rrf_fusion,
+        "clustering_coefficient": _clustering_coefficient,
+        "audio_zcr": multimodal.audio_zcr_query,
+        "source_covisitation": _source_covisitation,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -21793,6 +21964,9 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": HITS_ORACLE,
         "vocab_growth": VOCAB_GROWTH_ORACLE,
         "rrf_fusion": RRF_ORACLE,
+        "clustering_coefficient": _clustering_coefficient_oracle(),
+        "audio_zcr": multimodal.AUDIO_ZCR_ORACLE,
+        "source_covisitation": SOURCE_COVISIT_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

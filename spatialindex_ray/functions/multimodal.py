@@ -638,6 +638,80 @@ def audio_window_energy_query(sf_dir: str):
     )
 
 
+class ZeroCross:
+    """Actor-pool stage: WAV payload -> per-window zero-crossing count
+    (positions p with sample(p-1) * sample(p) < 0, windowed by the position
+    of p) — the classic voiced/unvoiced + percussiveness feature, exact in
+    integers through the PCM roundtrip."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_w, out_z = [], [], []
+        for i, did in enumerate(ids):
+            rate, ch, x = decode_wav(payload[i].as_py())
+            k = np.round(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+            cross = (k[:-1] * k[1:]) < 0
+            pos = np.arange(1, len(k), dtype=np.int64)
+            win = pos // AUDIO_WIN
+            n_win = len(k) // AUDIO_WIN
+            z = np.bincount(win[cross], minlength=n_win)[:n_win]
+            out_id.append(np.full(n_win, did, dtype=np.int64))
+            out_w.append(np.arange(n_win, dtype=np.int64))
+            out_z.append(z.astype(np.int64))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "n_cross": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "win": pa.array(np.concatenate(out_w)),
+                "n_cross": pa.array(np.concatenate(out_z)),
+            }
+        )
+
+
+def audio_zcr_query(sf_dir: str):
+    """Per-window zero-crossing rate over the same REAL WAV sawtooth
+    payloads as audio_window_energy — decode + sign-product count in an
+    actor pool, bit-exact against AUDIO_ZCR_ORACLE."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.arange(AUDIO_LEN, dtype=np.int64)
+        payloads = []
+        for did in ids:
+            k = ((int(did) * 7 + n) % 200) - 100
+            payloads.append(encode_wav(k / 32767.0, rate=8000))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        ZeroCross,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+AUDIO_ZCR_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, n,
+         ((doc_id * 7 + n) % 200 - 100) AS k,
+         ((doc_id * 7 + n - 1) % 200 - 100) AS kp
+  FROM documents, unnest(range(1, {AUDIO_LEN})) AS t(n))
+SELECT doc_id, CAST(n // {AUDIO_WIN} AS BIGINT) AS win,
+       CAST(sum(CASE WHEN k * kp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+FROM s GROUP BY 1, 2
+"""
+
+
 AUDIO_WINDOW_ENERGY_ORACLE = f"""
 SELECT doc_id, CAST(n // {AUDIO_WIN} AS BIGINT) AS win,
        CAST(sum(((doc_id * 7 + n) % 200 - 100) * ((doc_id * 7 + n) % 200 - 100))

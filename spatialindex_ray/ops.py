@@ -2818,6 +2818,165 @@ def triangle_count(
     return ray.data.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
 
 
+def triangle_per_node(
+    edges_ds,
+    *,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    n_shards: int = 32,
+):
+    """Per-node triangle participation + degree over an undirected simple
+    graph — the local clustering-coefficient ingredients (coefficient =
+    2*n_tri / (deg*(deg-1)), left to the consumer as exact ints). Same
+    wedge-join + closing-semi-join plan as triangle_count, but the wedge
+    rows keep their (a, b, c) labels through the closing filter and each
+    surviving triangle flat-maps to its three member nodes for one final
+    groupby-sum; degrees fold from the symmetrized edge list in a second
+    tiny groupby. Returns (node, n_tri, deg). Node ids must fit uint32
+    (same packing guard)."""
+    import ray
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        a = tbl[left_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[right_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        if len(lo) and (lo.min() < 0 or hi.max() >= 2**32):
+            raise ValueError(
+                "triangle_per_node packs (a, c) into int64: node ids must be in [0, 2^32)"
+            )
+        return pa.table(
+            {"a": pa.array(lo), "b": pa.array(hi), "k": pa.array((lo << 32) | hi)}
+        )
+
+    edges = edges_ds.map_batches(
+        canon, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    wedges = equi_join(
+        edges.select_columns(["a", "b"]),
+        edges.select_columns(["a", "b"]),
+        on="b", right_on="a", n_shards=n_shards,
+    )
+
+    def wedge_rows(tbl: pa.Table) -> pa.Table:
+        if "a" not in tbl.schema.names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64()), "k": pa.array([], pa.int64())}
+            )
+        a = tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl["b_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "c": pa.array(c),
+             "k": pa.array((a << 32) | c)}
+        )
+
+    tri = equi_join(
+        wedges.map_batches(wedge_rows, batch_format="pyarrow", batch_size=None),
+        edges.select_columns(["k"]),
+        on="k", how="semi", n_shards=n_shards,
+    )
+
+    def member_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "a" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        nodes = np.concatenate(
+            [
+                tbl["a"].to_numpy(zero_copy_only=False),
+                tbl["b"].to_numpy(zero_copy_only=False),
+                tbl["c"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    tri_counts = (
+        tri.map_batches(member_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .sum("partial")
+    )
+
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "a" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        nodes = np.concatenate(
+            [
+                tbl["a"].to_numpy(zero_copy_only=False),
+                tbl["b"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .sum("partial")
+    )
+
+    def rn(name):
+        def f(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or tbl.num_columns != 2:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     name: pa.array([], pa.int64())}
+                )
+            return tbl.rename_columns(["node", name])
+
+        return f
+
+    tri_counts = tri_counts.map_batches(
+        rn("n_tri"), batch_format="pyarrow", batch_size=None
+    )
+    degrees = degrees.map_batches(
+        rn("deg"), batch_format="pyarrow", batch_size=None
+    )
+    joined = equi_join(degrees, tri_counts, on="node", how="left")
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "node" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_tri": pa.array([], pa.int64()),
+                 "deg": pa.array([], pa.int64())}
+            )
+        if "n_tri" not in tbl.schema.names:
+            # left rows whose shard saw no triangle table at all
+            return pa.table(
+                {
+                    "node": tbl["node"].cast(pa.int64()),
+                    "n_tri": pa.array(
+                        np.zeros(tbl.num_rows, dtype=np.int64)
+                    ),
+                    "deg": tbl["deg"].cast(pa.int64()),
+                }
+            )
+        nt = tbl["n_tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = np.nan_to_num(nt, nan=0.0).astype(np.int64)
+        return pa.table(
+            {
+                "node": tbl["node"].cast(pa.int64()),
+                "n_tri": pa.array(nt),
+                "deg": tbl["deg"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------- unpivot
 def unpivot(
     ds,
