@@ -21248,6 +21248,284 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 73: grouped rank correlation, deterministic Poisson bootstrap,
+# exact-fraction Theil-Sen trend.
+
+
+def _spearman_by_flag(sf_dir):
+    """Per-group rank correlation: the Spearman double-midrank component
+    sums of (discount_bp, quantity) WITHIN each l_returnflag — ranks are
+    computed against the group's own marginals, so this is K independent
+    correlations in one pass. Distributed shape: one (flag, x, y) bincount
+    partial + groupby-sum; per-flag midranks and dot products run on the
+    domain-sized cell table."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", KT_X_COL, KT_Y_COL],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = np.round(
+            tbl[KT_X_COL].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = np.round(tbl[KT_Y_COL].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"flag": tbl["l_returnflag"].to_pylist(), "x_bp": x, "y_q": y}
+        )
+        g = df.groupby(["flag", "x_bp", "y_q"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}), preserve_index=False
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["flag", "x_bp", "y_q"])
+        .sum("partial")
+        .to_pandas()
+    )
+    rows = []
+    for flag, grp in cells.groupby("flag"):
+        x = grp["x_bp"].to_numpy().astype(np.int64)
+        y = grp["y_q"].to_numpy().astype(np.int64)
+        n = grp["sum(partial)"].to_numpy().astype(np.int64)
+
+        def midranks2(vals):
+            u = np.unique(vals)
+            tot = np.array(
+                [int(n[vals == v].sum()) for v in u], dtype=np.int64
+            )
+            less = np.concatenate([[0], np.cumsum(tot)[:-1]])
+            return dict(zip(u.tolist(), (2 * less + tot + 1).tolist()))
+
+        rx_m, ry_m = midranks2(x), midranks2(y)
+        rx = np.array([rx_m[v] for v in x], dtype=np.int64)
+        ry = np.array([ry_m[v] for v in y], dtype=np.int64)
+        rows.append(
+            (
+                flag,
+                int(n.sum()),
+                int(n.dot(rx)),
+                int(n.dot(ry)),
+                int(n.dot(rx * rx)),
+                int(n.dot(ry * ry)),
+                int(n.dot(rx * ry)),
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "flag": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_rx": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_ry": pa.array([r[3] for r in rows], pa.int64()),
+            "sum_rx2": pa.array([r[4] for r in rows], pa.int64()),
+            "sum_ry2": pa.array([r[5] for r in rows], pa.int64()),
+            "sum_rxy": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )
+
+
+SPEARMAN_BY_FLAG_ORACLE = f"""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(round({KT_X_COL} * 100) AS BIGINT) AS x_bp,
+         CAST(round({KT_Y_COL}) AS BIGINT) AS y_q
+  FROM lineitem),
+r AS (
+  SELECT flag, x_bp, y_q,
+         2 * (count(*) OVER (PARTITION BY flag ORDER BY x_bp
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)) +
+         (count(*) OVER (PARTITION BY flag, x_bp)) + 1 AS rx,
+         2 * (count(*) OVER (PARTITION BY flag ORDER BY y_q
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)) +
+         (count(*) OVER (PARTITION BY flag, y_q)) + 1 AS ry
+  FROM c)
+SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rx) AS BIGINT) AS sum_rx,
+       CAST(sum(ry) AS BIGINT) AS sum_ry,
+       CAST(sum(rx * rx) AS BIGINT) AS sum_rx2,
+       CAST(sum(ry * ry) AS BIGINT) AS sum_ry2,
+       CAST(sum(rx * ry) AS BIGINT) AS sum_rxy
+FROM r GROUP BY 1
+"""
+
+
+BOOT_B = 20
+# Poisson(1) inverse-CDF cutpoints on u % 10000: P(k) ~ [.3679, .3679,
+# .1839, .0613, .0153, .0037] -> cumulative scaled to 1e4
+BOOT_CUTS = (3679, 7358, 9197, 9810, 9963, 10000)
+
+
+def _poisson_bootstrap(sf_dir):
+    """Deterministic distributed Poisson bootstrap of total purchase value:
+    replicate b weights each event by a Poisson(1)-approximating integer
+    draw from splitmix64(event_id * B + b) % 10000 against fixed inverse-
+    CDF cutpoints (identical literals in the SQL dual). Output per
+    replicate: weighted cents sum + weighted count — the spread across
+    replicates IS the bootstrap CI, no resampling pass over the data, no
+    RNG state, resume-safe. The classic scale trick: per-row independent
+    weights replace the impossible global multinomial resample."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        reps = np.arange(BOOT_B, dtype=np.int64)
+        keys = ids[:, None] * BOOT_B + reps[None, :]
+        u = (ops._splitmix64(keys.ravel()).astype(np.uint64) % np.uint64(10000)).astype(
+            np.int64
+        )
+        w = np.searchsorted(np.array(BOOT_CUTS, dtype=np.int64), u, side="right")
+        w = w.reshape(len(ids), BOOT_B)
+        sums = (w * cents[:, None]).sum(axis=0)
+        cnts = w.sum(axis=0)
+        return pa.table(
+            {
+                "replicate": pa.array(reps),
+                "sum_cents": pa.array(sums.astype(np.int64)),
+                "n_weighted": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("replicate")
+        .sum(["sum_cents", "n_weighted"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "replicate": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                    "n_weighted": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["replicate", "sum_cents", "n_weighted"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _poisson_bootstrap_oracle() -> str:
+    u = _sql_splitmix64(f"CAST(event_id * {BOOT_B} + b.b AS HUGEINT)")
+    cuts = ", ".join(str(c) for c in BOOT_CUTS)
+    return f"""
+WITH b AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b),
+w AS (
+  SELECT b.b AS replicate,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (SELECT count(*) FROM unnest([{cuts}]) AS t(c)
+          WHERE c <= ({u}) % 10000) AS wt
+  FROM events, b)
+SELECT CAST(replicate AS BIGINT) AS replicate,
+       CAST(sum(wt * cents) AS BIGINT) AS sum_cents,
+       CAST(sum(wt) AS BIGINT) AS n_weighted
+FROM w GROUP BY 1
+"""
+
+
+def _theil_sen_daily(sf_dir):
+    """Exact-fraction Theil-Sen trend of the daily event count: the median
+    of all pairwise slopes (dy/dx over day pairs), kept as a CANONICAL
+    REDUCED fraction (gcd-reduced, positive denominator) with nearest-rank
+    -lower median under the exact fraction order (compare via cross
+    multiplication — denominators are positive day gaps). Distributed
+    shape: the daily counts reduce to a calendar-sized table; the O(D^2)
+    pair enumeration and counting selection run on that plan-sized table,
+    never on events."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(u), "partial": pa.array(c.astype(np.int64))}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .sum("partial")
+        .to_pandas()
+        .sort_values("day")
+    )
+    d = daily["day"].to_numpy().astype(np.int64)
+    y = daily["sum(partial)"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    num = y[j] - y[i]
+    den = d[j] - d[i]  # > 0
+    g = np.gcd(np.abs(num), den)
+    g[g == 0] = 1
+    num, den = num // g, den // g
+    # counting selection under exact order; ties collapse because fractions
+    # are canonical
+    lt = (num[:, None] * den[None, :] < num[None, :] * den[:, None]).sum(
+        axis=0
+    )
+    eq_mask = (num[:, None] == num[None, :]) & (den[:, None] == den[None, :])
+    eq = eq_mask.sum(axis=0)
+    m = (len(num) - 1) // 2
+    sel = np.flatnonzero((lt <= m) & (m < lt + eq))[0]
+    return pa.table(
+        {
+            "n_pairs": pa.array([len(num)], pa.int64()),
+            "slope_num": pa.array([int(num[sel])], pa.int64()),
+            "slope_den": pa.array([int(den[sel])], pa.int64()),
+        }
+    )
+
+
+THEIL_SEN_ORACLE = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1),
+p AS (
+  SELECT b.n - a.n AS rnum, b.day - a.day AS rden
+  FROM c a JOIN c b ON b.day > a.day),
+r AS (
+  SELECT CASE WHEN rnum = 0 THEN 0
+              ELSE rnum // gcd(abs(rnum), rden) END AS num,
+         CASE WHEN rnum = 0 THEN 1
+              ELSE rden // gcd(abs(rnum), rden) END AS den
+  FROM p),
+t AS (SELECT count(*) AS np FROM r),
+k AS (
+  SELECT r1.num, r1.den,
+         (SELECT count(*) FROM r r2
+          WHERE r2.num * r1.den < r1.num * r2.den) AS lt,
+         (SELECT count(*) FROM r r2
+          WHERE r2.num = r1.num AND r2.den = r1.den) AS eq
+  FROM (SELECT DISTINCT num, den FROM r) r1)
+SELECT CAST(t.np AS BIGINT) AS n_pairs,
+       CAST(k.num AS BIGINT) AS slope_num,
+       CAST(k.den AS BIGINT) AS slope_den
+FROM k, t
+WHERE k.lt <= (t.np - 1) // 2 AND (t.np - 1) // 2 < k.lt + k.eq
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -21631,6 +21909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": _clustering_coefficient,
         "audio_zcr": multimodal.audio_zcr_query,
         "source_covisitation": _source_covisitation,
+        "spearman_by_flag": _spearman_by_flag,
+        "poisson_bootstrap": _poisson_bootstrap,
+        "theil_sen_daily": _theil_sen_daily,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -21967,6 +22248,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": _clustering_coefficient_oracle(),
         "audio_zcr": multimodal.AUDIO_ZCR_ORACLE,
         "source_covisitation": SOURCE_COVISIT_ORACLE,
+        "spearman_by_flag": SPEARMAN_BY_FLAG_ORACLE,
+        "poisson_bootstrap": _poisson_bootstrap_oracle(),
+        "theil_sen_daily": THEIL_SEN_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
