@@ -21526,6 +21526,280 @@ WHERE k.lt <= (t.np - 1) // 2 AND (t.np - 1) // 2 < k.lt + k.eq
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 74: spatiotemporal Z-order search, revenue-weighted median value,
+# keyword sentence containment.
+
+Z3_LEVEL = 5
+Z3_BOX = {
+    "lon_lo": 40.0, "lon_hi": 240.0,
+    "lat_lo": -30.0, "lat_hi": 50.0,
+    "day_off_lo": 5, "day_off_hi": 20,  # offsets from the corpus min day
+}
+
+
+def _zorder3_search(sf_dir):
+    """Spatiotemporal range search on a 3-D Morton (octree) curve: events
+    carry deterministic sky positions (event_id-derived) and a day index
+    (ts); the (lon, lat, day) box decomposes into maximal aligned 3-D
+    Z-order key ranges on the driver (kernels/geohash.zorder3_cover), each
+    batch filters by searchsorted range membership, then the exact box
+    predicate refines — the spatiotemporal analog of zorder_box_search.
+    The oracle is the plain predicate, so the hash match proves the octree
+    cover is a true superset and the refine exact."""
+    import ray
+
+    from spatialindex_ray.kernels import geohash as ghk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def to_day(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "day": pa.array(
+                    tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000
+                ),
+            }
+        )
+
+    days = ds.map_batches(to_day, batch_format="pyarrow", batch_size=None)
+    days = days.materialize()
+    day0 = int(days.min("day"))
+    n = 1 << Z3_LEVEL
+    i_lo = int(np.floor(Z3_BOX["lon_lo"] / 360.0 * n))
+    i_hi = int(np.floor(Z3_BOX["lon_hi"] / 360.0 * n)) - (
+        1 if Z3_BOX["lon_hi"] / 360.0 * n == int(Z3_BOX["lon_hi"] / 360.0 * n) else 0
+    )
+    j_lo = int(np.floor((Z3_BOX["lat_lo"] + 90.0) / 180.0 * n))
+    j_hi = int(np.floor((Z3_BOX["lat_hi"] + 90.0) / 180.0 * n))
+    k_lo, k_hi = Z3_BOX["day_off_lo"], Z3_BOX["day_off_hi"]
+    ranges = ghk.zorder3_cover(
+        (i_lo, j_lo, k_lo),
+        (min(i_hi, n - 1), min(j_hi, n - 1), min(k_hi, n - 1)),
+        Z3_LEVEL,
+    )
+
+    def search(tbl: pa.Table) -> pa.Table:
+        ids = tbl["event_id"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        lon, lat = ops.positions_from_id(ids)
+        i = np.clip(
+            np.floor(lon / 360.0 * n).astype(np.int64), 0, n - 1
+        )
+        j = np.clip(
+            np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1
+        )
+        k = np.clip(day - day0, 0, n - 1)
+        keys = ghk.morton3_key(i, j, k, Z3_LEVEL)
+        m = ops.ranges_mask(keys, ranges)
+        off = day - day0
+        m &= (
+            (lon >= Z3_BOX["lon_lo"]) & (lon < Z3_BOX["lon_hi"])
+            & (lat >= Z3_BOX["lat_lo"]) & (lat < Z3_BOX["lat_hi"])
+            & (off >= Z3_BOX["day_off_lo"]) & (off <= Z3_BOX["day_off_hi"])
+        )
+        return pa.table({"event_id": pa.array(ids[m])})
+
+    return days.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def _zorder3_oracle() -> str:
+    return f"""
+WITH p AS ({_EVT_POS_SQL}),
+d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS day0 FROM events)
+SELECT event_id FROM p, d0
+WHERE lon >= {_d(Z3_BOX["lon_lo"])} AND lon < {_d(Z3_BOX["lon_hi"])}
+  AND lat >= {_d(Z3_BOX["lat_lo"])} AND lat < {_d(Z3_BOX["lat_hi"])}
+  AND epoch_us(ts) // 86400000000 - d0.day0 BETWEEN {Z3_BOX["day_off_lo"]}
+      AND {Z3_BOX["day_off_hi"]}
+"""
+
+
+def _weighted_median_value(sf_dir):
+    """Revenue-weighted median value per event type: the smallest cents
+    value v such that the cents-weighted cumulative mass at v reaches half
+    the type's total (2*cum >= total in exact ints — no fraction, no
+    float). The 'half your revenue comes from purchases below X' statistic.
+    Distributed shape: (type, cents) count partials collapse to support
+    grain; one content-hash exchange by type; per shard a sort + cumsum +
+    searchsorted over the support rows. Row count never matters — the
+    support does."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": tbl["event_type"].to_pylist(), "cents": cents}
+        )
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    support = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "cents"])
+        .sum("n")
+    )
+    n_shards = 8
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        import zlib
+
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(et, return_inverse=True)
+        shards = np.array(
+            [zlib.crc32(str(u).encode()) % n_shards for u in uniq],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shards[inv]),
+                "event_type": tbl["event_type"],
+                "cents": tbl["cents"],
+                "n": tbl.column(2),
+            }
+        )
+
+    def median_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "wmedian_cents": pa.array([], pa.int64()),
+                "total_unit": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return empty
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        nn = tbl["n"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((cents, inv))
+        g, c, w = inv[order], cents[order], nn[order]
+        mass = c * w
+        out_t, out_m, out_tot = [], [], []
+        for gi, t in enumerate(uniq):
+            sel = g == gi
+            cc, mm = c[sel], mass[sel]
+            cum = np.cumsum(mm)
+            tot = int(cum[-1])
+            pos = int(np.searchsorted(2 * cum, tot, side="left"))
+            out_t.append(str(t))
+            out_m.append(int(cc[pos]))
+            out_tot.append(tot)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "wmedian_cents": pa.array(
+                    np.array(out_m, dtype=np.int64)
+                ),
+                "total_unit": pa.array(np.array(out_tot, dtype=np.int64)),
+            }
+        )
+
+    keyed_ds = support.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, median_shard)
+
+
+WEIGHTED_MEDIAN_VALUE_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, cents,
+         sum(cents * n) OVER (PARTITION BY event_type ORDER BY cents)
+           AS cum,
+         sum(cents * n) OVER (PARTITION BY event_type) AS tot
+  FROM c)
+SELECT event_type,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(any_value(tot) AS BIGINT) AS total_unit
+FROM s WHERE 2 * cum >= tot
+GROUP BY event_type
+"""
+
+
+KWS_TOKEN = "the"
+
+
+def _keyword_sentences(sf_dir):
+    """Sentence-grain keyword containment: per doc, the number of sentences
+    ('.'-separated segments) and how many contain the keyword as a
+    whitespace token — the span-extraction primitive (KWIC / snippet
+    selection) at sentence grain. Pure vectorized map: one split by '.',
+    one tokenized membership test per segment — no shuffle at all."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def per_doc(tbl: pa.Table) -> pa.Table:
+        sents = pc.split_pattern(tbl["text"], ".")
+        flat = pc.list_flatten(sents)
+        counts = pc.list_value_length(sents).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(flat, r"\s+")
+        # a sentence matches when any of its whitespace tokens == keyword
+        flat_toks = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        eq = pc.equal(flat_toks, KWS_TOKEN).to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(flat), dtype=np.int64)
+        np.add.at(hit, par[eq], 1)
+        has = hit > 0
+        row_of = np.repeat(np.arange(len(counts)), counts)
+        n_hit = np.zeros(len(counts), dtype=np.int64)
+        np.add.at(n_hit, row_of, has.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_sentences": pa.array(counts.astype(np.int64)),
+                "n_with_kw": pa.array(n_hit),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+
+
+KEYWORD_SENTENCES_ORACLE = rf"""
+WITH s AS (
+  SELECT doc_id, unnest(string_split(text, '.')) AS sent FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(regexp_split_to_array(sent, '\s+'),
+                                   x -> x = '{KWS_TOKEN}')) > 0
+              THEN 1 ELSE 0 END AS hit
+  FROM s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(hit) AS BIGINT) AS n_with_kw
+FROM m GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -21912,6 +22186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_by_flag": _spearman_by_flag,
         "poisson_bootstrap": _poisson_bootstrap,
         "theil_sen_daily": _theil_sen_daily,
+        "zorder3_search": _zorder3_search,
+        "weighted_median_value": _weighted_median_value,
+        "keyword_sentences": _keyword_sentences,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -22251,6 +22528,9 @@ def oracle_sql() -> dict[str, str]:
         "spearman_by_flag": SPEARMAN_BY_FLAG_ORACLE,
         "poisson_bootstrap": _poisson_bootstrap_oracle(),
         "theil_sen_daily": THEIL_SEN_ORACLE,
+        "zorder3_search": _zorder3_oracle(),
+        "weighted_median_value": WEIGHTED_MEDIAN_VALUE_ORACLE,
+        "keyword_sentences": KEYWORD_SENTENCES_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

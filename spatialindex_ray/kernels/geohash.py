@@ -95,6 +95,81 @@ def morton_key(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _spread_bits3(v: np.ndarray, n: int) -> np.ndarray:
+    """Insert two zero bits between the low n bits of v (3-D Morton lane)."""
+    out = np.zeros_like(v, dtype=np.uint64)
+    for b in range(n):
+        out |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b)
+    return out
+
+
+def morton3_key(i: np.ndarray, j: np.ndarray, k: np.ndarray, level: int) -> np.ndarray:
+    """3*level-bit 3-D Morton key over integer cell coords already in
+    [0, 2^level): bits interleave i-high (bit 3b+2 = i bit b, 3b+1 = j bit
+    b, 3b = k bit b) — the spatiotemporal (lon, lat, day) curve."""
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    k = np.asarray(k, dtype=np.uint64)
+    return (
+        (_spread_bits3(i, level) << np.uint64(2))
+        | (_spread_bits3(j, level) << np.uint64(1))
+        | _spread_bits3(k, level)
+    ).astype(np.int64)
+
+
+def zorder3_cover(
+    lo: tuple, hi: tuple, level: int
+) -> np.ndarray:
+    """Decompose the inclusive integer box [lo, hi] (3-tuples of cell
+    coords) at `level` into maximal aligned 3-D Morton key ranges (octree
+    descent — the 3-D analog of zorder_cover). Returns sorted coalesced
+    (R, 2) int64 inclusive [lo, hi] key ranges. Driver-side planning only."""
+    (i_lo, j_lo, k_lo), (i_hi, j_hi, k_hi) = lo, hi
+    ranges: list[tuple[int, int]] = []
+
+    def rec(i0: int, j0: int, k0: int, size: int, prefix: int):
+        i1, j1, k1 = i0 + size - 1, j0 + size - 1, k0 + size - 1
+        if (
+            i1 < i_lo or i0 > i_hi
+            or j1 < j_lo or j0 > j_hi
+            or k1 < k_lo or k0 > k_hi
+        ):
+            return
+        if (
+            i0 >= i_lo and i1 <= i_hi
+            and j0 >= j_lo and j1 <= j_hi
+            and k0 >= k_lo and k1 <= k_hi
+        ):
+            span = size * size * size
+            ranges.append((prefix, prefix + span - 1))
+            return
+        half = size // 2
+        sub = half * half * half
+        # octant order == key order: (i_bit, j_bit, k_bit) in 000..111
+        for oi in range(2):
+            for oj in range(2):
+                for ok in range(2):
+                    rec(
+                        i0 + oi * half,
+                        j0 + oj * half,
+                        k0 + ok * half,
+                        half,
+                        prefix + ((oi << 2) | (oj << 1) | ok) * sub,
+                    )
+
+    rec(0, 0, 0, 1 << level, 0)
+    if not ranges:
+        return np.empty((0, 2), dtype=np.int64)
+    arr = np.array(sorted(ranges), dtype=np.int64)
+    keep = [0]
+    for r in range(1, len(arr)):
+        if arr[r, 0] == arr[keep[-1], 1] + 1:
+            arr[keep[-1], 1] = arr[r, 1]
+        else:
+            keep.append(r)
+    return arr[keep]
+
+
 def zorder_cover(i_lo: int, i_hi: int, j_lo: int, j_hi: int, level: int) -> np.ndarray:
     """Decompose the inclusive integer cell rectangle [i_lo,i_hi]x[j_lo,j_hi]
     at `level` into maximal aligned Z-order key ranges (quadtree descent —
