@@ -21800,6 +21800,300 @@ FROM m GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 75: per-doc top TF-IDF keyword, neighbor-degree assortativity.
+
+TFIDF_KW_SCALE = 1_000_000
+
+
+def _doc_top_tfidf(sf_dir):
+    """Per-document top keyword by integer TF-IDF: score(term, doc) =
+    tf * ((N_docs * 1e6) // df) with df = docs containing the term; argmax
+    per doc, ties to the lexicographically smallest term — the keyword-
+    extraction primitive with a total deterministic order. Distributed
+    shape: per-batch (doc, term, tf) + (term -> df) partials; one exchange
+    join re-attaches df to the doc-term stream; per-batch partial argmax
+    then a groupby-max fold on a packed (score, term) key would lose the
+    tie rule, so the fold carries (score desc, term asc) explicitly via
+    map_groups over doc-keyed groups of the ALREADY-aggregated candidate
+    rows (one row per (doc, term) — vocabulary-bounded, not row-bounded)."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).count()
+    )
+
+    def tf_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(ids)), (offsets[1:] - offsets[:-1]))
+        df = pd.DataFrame(
+            {
+                "doc_id": ids[row_of],
+                "term": flat.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["doc_id", "term"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "tf"}), preserve_index=False
+        )
+
+    doc_tf = ds.map_batches(
+        tf_partial, batch_format="pyarrow", batch_size=None
+    ).groupby(["doc_id", "term"]).sum("tf")
+
+    def tf_clean(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["doc_id", "term", "tf"])
+
+    doc_tf = doc_tf.map_batches(
+        tf_clean, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"term": tbl["term"].to_pylist()})
+            .groupby("term", as_index=False)
+            .size()
+        )
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}), preserve_index=False
+        )
+
+    dfreq = doc_tf.map_batches(
+        df_partial, batch_format="pyarrow", batch_size=None
+    ).groupby("term").sum("partial")
+
+    def df_clean(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["term", "df"])
+
+    dfreq = dfreq.map_batches(df_clean, batch_format="pyarrow", batch_size=None)
+    joined = ops.equi_join(doc_tf, dfreq, on="term", how="inner")
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False)
+        df_ = tbl["df"].to_numpy(zero_copy_only=False)
+        score = tf * ((n_docs * TFIDF_KW_SCALE) // df_)
+        return pa.table(
+            {
+                "shard": pa.array(did % np.int64(n_shards)),
+                "doc_id": pa.array(did),
+                "term": tbl["term"],
+                "score": pa.array(score),
+            }
+        )
+
+    def argmax_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "top_term": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": tbl["doc_id"].to_numpy(zero_copy_only=False),
+                "term": tbl["term"].to_pylist(),
+                "score": tbl["score"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.drop_duplicates("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy().astype(np.int64)),
+                "top_term": pa.array(top["term"].tolist(), pa.string()),
+                "score": pa.array(top["score"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    keyed_ds = joined.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, argmax_shard)
+
+
+DOC_TOP_TFIDF_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ((nd.n * {TFIDF_KW_SCALE}) // dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM sc)
+SELECT doc_id, term AS top_term, CAST(score AS BIGINT) AS score
+FROM r WHERE rn = 1
+"""
+
+
+def _avg_neighbor_degree(sf_dir):
+    """Degree assortativity ingredients over the near-dup pair graph: per
+    node, its degree and the SUM of its neighbors' degrees (the average is
+    the consumer's division) — high-degree nodes attached to high-degree
+    nodes means dup clusters are cliques, not stars. Distributed shape:
+    degrees from one groupby over the symmetrized edges; one exchange join
+    edge x degree keyed by the neighbor endpoint; one per-node groupby-sum."""
+    import ray
+
+    pairs = dedup.ngram_jaccard_query(sf_dir)
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(
+        sym, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "node" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(
+            tbl["node"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"node": pa.array(u), "partial": pa.array(c.astype(np.int64))}
+        )
+
+    deg = edges.map_batches(
+        deg_partial, batch_format="pyarrow", batch_size=None
+    ).groupby("node").sum("partial")
+
+    def deg_clean(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"nbr": pa.array([], pa.int64()),
+                 "nbr_deg": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["nbr", "nbr_deg"])
+
+    degn = deg.map_batches(deg_clean, batch_format="pyarrow", batch_size=None)
+    j = ops.equi_join(edges, degn, on="nbr", how="inner")
+
+    def sum_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "node" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "nbr_deg_sum": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        nid = tbl["node"].to_numpy(zero_copy_only=False)
+        nd = tbl["nbr_deg"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nid, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        d = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, nd)
+        np.add.at(d, inv, 1)
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "nbr_deg_sum": pa.array(s),
+                "deg": pa.array(d),
+            }
+        )
+
+    out = (
+        j.map_batches(sum_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .sum(["nbr_deg_sum", "deg"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "nbr_deg_sum": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["node", "nbr_deg_sum", "deg"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _avg_neighbor_degree_oracle():
+    return f"""
+WITH pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (
+  SELECT left_id AS node, right_id AS nbr FROM pairs
+  UNION ALL
+  SELECT right_id, left_id FROM pairs),
+deg AS (SELECT node, count(*) AS deg FROM e GROUP BY 1)
+SELECT e.node,
+       CAST(sum(d2.deg) AS BIGINT) AS nbr_deg_sum,
+       CAST(count(*) AS BIGINT) AS deg
+FROM e JOIN deg d2 ON d2.node = e.nbr
+GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -22189,6 +22483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder3_search": _zorder3_search,
         "weighted_median_value": _weighted_median_value,
         "keyword_sentences": _keyword_sentences,
+        "doc_top_tfidf": _doc_top_tfidf,
+        "avg_neighbor_degree": _avg_neighbor_degree,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -22531,6 +22827,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder3_search": _zorder3_oracle(),
         "weighted_median_value": WEIGHTED_MEDIAN_VALUE_ORACLE,
         "keyword_sentences": KEYWORD_SENTENCES_ORACLE,
+        "doc_top_tfidf": DOC_TOP_TFIDF_ORACLE,
+        "avg_neighbor_degree": _avg_neighbor_degree_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -1700,6 +1700,10 @@ def prefix_sum(ds, order_col: str, value_col: str, n_shards: int = 64,
     (same contract as build_index_ranged's sampled boundaries)."""
     import ray
 
+    # the scan reads its input up to three times (min/max bounds, pass-1
+    # totals, pass-2 exchange); pin the blocks once so a lazy upstream
+    # pipeline (often a full groupby) never re-executes per pass
+    ds = ds.materialize()
     if lo is None or hi is None:
         mm = ds.aggregate(
             ray.data.aggregate.Min(order_col), ray.data.aggregate.Max(order_col)
