@@ -22094,6 +22094,299 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 76: exact sliding-window distinct users, embedding 1-NN label eval.
+
+WDU_WINDOW = 7  # trailing window length in days
+
+
+def _window_distinct_users(sf_dir):
+    """EXACT trailing-7-day distinct active users per day — the sliding
+    distinct count HLL only approximates, made exact by the bounded-window
+    expand trick: each (user, active-day) pair covers at most WDU_WINDOW
+    window-end days, so user-days expand x7 into (user, window_end) pairs,
+    dedup in one groupby, and a tiny per-window count follows. Scale
+    shape: the expansion factor is the WINDOW length (a plan constant),
+    never the data; everything shuffles at user-day grain."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def ud_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        key = uid * np.int64(1 << 20) + day
+        u = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(u >> 20),
+                "day": pa.array(u & ((1 << 20) - 1)),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    userdays = (
+        ds.map_batches(ud_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .sum("one")
+    )
+    # the window-end domain is the OBSERVED day range (no phantom tails)
+    lo_hi = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"day": pa.array(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    d_lo, d_hi = int(lo_hi.min("day")), int(lo_hi.max("day"))
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "wend": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        offs = np.arange(WDU_WINDOW, dtype=np.int64)
+        wend = (day[:, None] + offs[None, :]).ravel()
+        uu = np.repeat(uid, WDU_WINDOW)
+        keep = (wend >= d_lo) & (wend <= d_hi)
+        key = uu[keep] * np.int64(1 << 20) + wend[keep]
+        k = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(k >> 20),
+                "wend": pa.array(k & ((1 << 20) - 1)),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    pairs = (
+        userdays.map_batches(expand, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "wend"])
+        .sum("one")
+    )
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "wend" not in tbl.schema.names:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(
+            tbl["wend"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"day": pa.array(u), "partial": pa.array(c.astype(np.int64))}
+        )
+
+    out = (
+        pairs.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "n_distinct_7d": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["day", "n_distinct_7d"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+WINDOW_DISTINCT_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+days AS (
+  SELECT unnest(generate_series(
+    (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS day)
+SELECT CAST(days.day AS BIGINT) AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_distinct_7d
+FROM days JOIN ud
+  ON ud.day BETWEEN days.day - {WDU_WINDOW - 1} AND days.day
+GROUP BY 1
+"""
+
+
+NN_EVAL_SCALE = 1_000_000
+NN_EVAL_QUERIES = 100  # vec_id < 100 are the held-out queries
+
+
+def _embedding_1nn_eval(sf_dir):
+    """1-nearest-neighbor label agreement over the embeddings table in
+    EXACT integers: vectors quantize to round(v*1e6) micro-units; for each
+    held-out query (vec_id < 100) the nearest OTHER vector by integer
+    squared distance (ties to the lowest vec_id) votes its label; output
+    the (query_label, nn_label) confusion counts. Distributed shape: the
+    query block broadcasts once via ray.put; every batch computes one
+    vectorized (Q, B) distance block and emits per-query partial argmins;
+    one groupby-min + tie-resolve fold keeps only Q rows end to end."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def to_int(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = np.round(flat.reshape(len(ids), dim) * NN_EVAL_SCALE).astype(
+            np.int64
+        )
+        lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids.astype(np.int64), m, lab
+
+    def only_queries(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.less(tbl["vec_id"], NN_EVAL_QUERIES))
+
+    queries = ds.map_batches(
+        only_queries, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    q_parts = [
+        to_int(t)
+        for t in queries.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    q_ids = np.concatenate([p[0] for p in q_parts])
+    q_m = np.concatenate([p[1] for p in q_parts], axis=0)
+    q_lab = np.concatenate([p[2] for p in q_parts])
+    order = np.argsort(q_ids)
+    q_ids, q_m, q_lab = q_ids[order], q_m[order], q_lab[order]
+    qref = ray.put((q_ids, q_m))
+
+    def partial_nn(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "q": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+                "nn_id": pa.array([], pa.int64()),
+                "nn_label": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        qi, qm = ray.get(qref)
+        ids, m, lab = to_int(tbl)
+        # exact integer distance + lowest-id tie rule per query, batch-local
+        # (self-matches excluded: a query vector is its own 0-distance NN)
+        out_q, out_d, out_n, out_l = [], [], [], []
+        for r in range(len(qi)):
+            diff = qm[r][None, :] - m
+            dd = (diff * diff).sum(axis=1)
+            dd[qi[r] == ids] = np.iinfo(np.int64).max
+            mn = dd.min()
+            if mn == np.iinfo(np.int64).max:
+                continue
+            cand = np.flatnonzero(dd == mn)
+            pick = cand[np.argmin(ids[cand])]
+            out_q.append(qi[r])
+            out_d.append(int(mn))
+            out_n.append(int(ids[pick]))
+            out_l.append(int(lab[pick]))
+        return pa.table(
+            {
+                "q": pa.array(np.array(out_q, dtype=np.int64)),
+                "d2": pa.array(np.array(out_d, dtype=np.int64)),
+                "nn_id": pa.array(np.array(out_n, dtype=np.int64)),
+                "nn_label": pa.array(np.array(out_l, dtype=np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial_nn, batch_format="pyarrow", batch_size=None
+    )
+
+    def resolve(df):
+        df = df.sort_values(["q", "d2", "nn_id"], kind="mergesort")
+        return df.drop_duplicates("q")
+
+    best = partials.groupby("q").map_groups(resolve, batch_format="pandas")
+
+    def confusion(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "q" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "query_label": pa.array([], pa.int64()),
+                    "nn_label": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        qq = tbl["q"].to_numpy(zero_copy_only=False)
+        ql = q_lab[np.searchsorted(q_ids, qq)]
+        nl = tbl["nn_label"].to_numpy(zero_copy_only=False)
+        key = ql * 1000 + nl
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "query_label": pa.array(u // 1000),
+                "nn_label": pa.array(u % 1000),
+                "partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        best.map_batches(confusion, batch_format="pyarrow", batch_size=None)
+        .groupby(["query_label", "nn_label"])
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 3:
+            return pa.table(
+                {
+                    "query_label": pa.array([], pa.int64()),
+                    "nn_label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["query_label", "nn_label", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+NN_EVAL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+             e -> CAST(round(CAST(e AS DOUBLE) * {NN_EVAL_SCALE}) AS BIGINT))
+           AS q
+  FROM embeddings),
+d AS (
+  SELECT a.vec_id AS qid, a.label AS query_label,
+         b.vec_id AS nid, b.label AS nn_label,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {NN_EVAL_QUERIES}),
+r AS (
+  SELECT qid, query_label, nn_label,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+  FROM d)
+SELECT query_label, nn_label, CAST(count(*) AS BIGINT) AS n
+FROM r WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -22485,6 +22778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_sentences": _keyword_sentences,
         "doc_top_tfidf": _doc_top_tfidf,
         "avg_neighbor_degree": _avg_neighbor_degree,
+        "window_distinct_users": _window_distinct_users,
+        "embedding_1nn_eval": _embedding_1nn_eval,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -22829,6 +23124,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_sentences": KEYWORD_SENTENCES_ORACLE,
         "doc_top_tfidf": DOC_TOP_TFIDF_ORACLE,
         "avg_neighbor_degree": _avg_neighbor_degree_oracle(),
+        "window_distinct_users": WINDOW_DISTINCT_ORACLE,
+        "embedding_1nn_eval": NN_EVAL_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
