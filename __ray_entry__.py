@@ -22387,6 +22387,146 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 77: batch perceptron in exact integers (iterative training on Ray
+# Data with a bit-exact SQL dual).
+
+PERC_SCALE = 1_000  # milli-unit quantization keeps all dots inside int64
+
+
+def _perceptron_int(sf_dir):
+    """Two unrolled BATCH-perceptron epochs over the embeddings table in
+    exact integers: x quantizes to round(e * 1e3) milli-units, y = 2 *
+    (label % 2) - 1; w0 = 0, so epoch 1's update is the full class-signed
+    sum w1 = sum_i y_i x_i; epoch 2 adds y x over the rows MISCLASSIFIED
+    by w1 (y * <w1, x> <= 0 — integer dot, no learning-rate float). Output
+    one row per dimension: (dim, w1, w2) plus the epoch-2 misclassified
+    count replicated per row. Distributed shape: each epoch is one
+    map_batches emitting DIM-sized partial sums + a tiny groupby; w1
+    broadcasts via ray.put for epoch 2 — the kmeans_int pattern for linear
+    models. Bound check: |x| <= ~6e3 milli-units, |w1_i| <= n * 6e3 ~ 1e7,
+    |<w1, x>| <= dim * 6e3 * 1e7 ~ 4e12 << 2^63."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def to_int(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        x = np.round(flat.reshape(len(ids), dim) * PERC_SCALE).astype(np.int64)
+        y = (
+            2 * (tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 2)
+            - 1
+        )
+        return x, y
+
+    def epoch1(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        x, y = to_int(tbl)
+        w = (y[:, None] * x).sum(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(w), dtype=np.int64)),
+                "partial": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    w1_df = (
+        ds.map_batches(epoch1, batch_format="pyarrow", batch_size=None)
+        .groupby("dim")
+        .sum("partial")
+        .to_pandas()
+        .sort_values("dim")
+    )
+    w1 = w1_df["sum(partial)"].to_numpy().astype(np.int64)
+    w1_ref = ray.put(w1)
+
+    def epoch2(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                    "n_mis": pa.array([], pa.int64()),
+                }
+            )
+        ww = ray.get(w1_ref)
+        x, y = to_int(tbl)
+        margin = y * (x @ ww)
+        mis = margin <= 0
+        upd = (y[mis][:, None] * x[mis]).sum(axis=0) if mis.any() else np.zeros(
+            len(ww), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(ww), dtype=np.int64)),
+                "partial": pa.array(upd.astype(np.int64)),
+                "n_mis": pa.array(
+                    np.full(len(ww), int(mis.sum()), dtype=np.int64)
+                ),
+            }
+        )
+
+    upd_df = (
+        ds.map_batches(epoch2, batch_format="pyarrow", batch_size=None)
+        .groupby("dim")
+        .sum(["partial", "n_mis"])
+        .to_pandas()
+        .sort_values("dim")
+    )
+    w2 = w1 + upd_df["sum(partial)"].to_numpy().astype(np.int64)
+    n_mis = int(upd_df["sum(n_mis)"].to_numpy()[0])
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(len(w1), dtype=np.int64)),
+            "w1": pa.array(w1),
+            "w2": pa.array(w2),
+            "n_mis_epoch2": pa.array(
+                np.full(len(w1), n_mis, dtype=np.int64)
+            ),
+        }
+    )
+
+
+PERCEPTRON_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, 2 * (CAST(label AS BIGINT) % 2) - 1 AS y,
+         list_transform(embedding,
+             e -> CAST(round(CAST(e AS DOUBLE) * {PERC_SCALE}) AS BIGINT))
+           AS x
+  FROM embeddings),
+u AS (
+  SELECT vec_id, y, generate_subscripts(x, 1) AS dim1, unnest(x) AS xv
+  FROM v),
+w1 AS (
+  SELECT dim1 - 1 AS dim, CAST(sum(y * xv) AS BIGINT) AS w FROM u
+  GROUP BY 1),
+dot AS (
+  SELECT u.vec_id, any_value(u.y) AS y,
+         sum(u.xv * w1.w) AS d
+  FROM u JOIN w1 ON w1.dim = u.dim1 - 1
+  GROUP BY u.vec_id),
+mis AS (SELECT vec_id, y FROM dot WHERE y * d <= 0),
+upd AS (
+  SELECT u.dim1 - 1 AS dim, CAST(sum(m.y * u.xv) AS BIGINT) AS uw
+  FROM u JOIN mis m USING (vec_id)
+  GROUP BY 1),
+nm AS (SELECT count(*) AS n FROM mis)
+SELECT w1.dim, w1.w AS w1,
+       CAST(w1.w + coalesce(upd.uw, 0) AS BIGINT) AS w2,
+       CAST(nm.n AS BIGINT) AS n_mis_epoch2
+FROM w1 LEFT JOIN upd USING (dim) CROSS JOIN nm
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -22780,6 +22920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_neighbor_degree": _avg_neighbor_degree,
         "window_distinct_users": _window_distinct_users,
         "embedding_1nn_eval": _embedding_1nn_eval,
+        "perceptron_int": _perceptron_int,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -23126,6 +23267,7 @@ def oracle_sql() -> dict[str, str]:
         "avg_neighbor_degree": _avg_neighbor_degree_oracle(),
         "window_distinct_users": WINDOW_DISTINCT_ORACLE,
         "embedding_1nn_eval": NN_EVAL_ORACLE,
+        "perceptron_int": PERCEPTRON_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
