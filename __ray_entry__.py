@@ -22527,6 +22527,196 @@ FROM w1 LEFT JOIN upd USING (dim) CROSS JOIN nm
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 78: two-hop reach per node, l-diversity privacy audit.
+
+
+def _two_hop_reach(sf_dir):
+    """Friends-of-friends size per node on the near-dup graph: the number
+    of DISTINCT nodes within <= 2 hops (self excluded) — how far does a
+    dup relation spread when followed twice? Distributed shape: one wedge
+    join (edges x edges on the shared middle) emits 2-hop candidate pairs;
+    union with the 1-hop pairs; per-node distinct count via one dedup
+    groupby. The wedge fan-out is degree-bounded — the classic
+    friends-of-friends cost model."""
+    import ray
+
+    pairs = dedup.ngram_jaccard_query(sf_dir)
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(
+        sym, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    two_hop = ops.equi_join(edges, edges, on="dst", right_on="src", how="inner")
+
+    def hop2_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "reach": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        a = tbl["src"].to_numpy(zero_copy_only=False)
+        c = tbl["dst_r"].to_numpy(zero_copy_only=False)
+        keep = a != c
+        key = a[keep] * np.int64(1 << 20) + c[keep]
+        k = np.unique(key)
+        return pa.table(
+            {
+                "node": pa.array(k >> 20),
+                "reach": pa.array(k & ((1 << 20) - 1)),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    def hop1_pairs(tbl: pa.Table) -> pa.Table:
+        a = tbl["src"].to_numpy(zero_copy_only=False)
+        b = tbl["dst"].to_numpy(zero_copy_only=False)
+        key = a * np.int64(1 << 20) + b
+        k = np.unique(key)
+        return pa.table(
+            {
+                "node": pa.array(k >> 20),
+                "reach": pa.array(k & ((1 << 20) - 1)),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    cand = two_hop.map_batches(
+        hop2_pairs, batch_format="pyarrow", batch_size=None
+    ).union(
+        edges.map_batches(hop1_pairs, batch_format="pyarrow", batch_size=None)
+    )
+    dedup_pairs = cand.groupby(["node", "reach"]).sum("one")
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "node" not in tbl.schema.names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(
+            tbl["node"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"node": pa.array(u), "partial": pa.array(c.astype(np.int64))}
+        )
+
+    out = (
+        dedup_pairs.map_batches(
+            count_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("node")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 2:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_reach2": pa.array([], pa.int64())}
+            )
+        return tbl.rename_columns(["node", "n_reach2"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _two_hop_reach_oracle():
+    return f"""
+WITH pairs AS ({dedup.NGRAM_JACCARD_ORACLE}),
+e AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION ALL SELECT right_id, left_id FROM pairs),
+r AS (
+  SELECT DISTINCT src AS node, dst AS reach FROM e
+  UNION
+  SELECT DISTINCT e1.src, e2.dst
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e2.dst <> e1.src)
+SELECT node, CAST(count(*) AS BIGINT) AS n_reach2
+FROM r GROUP BY 1
+"""
+
+
+LDIV_BAND = 500
+
+
+def _l_diversity(sf_dir):
+    """l-diversity profile over the (lang, source) quasi-identifier: per QI
+    group, its size and the number of DISTINCT sensitive-value bands
+    (n_chars // 500) — a k-anonymous group whose sensitive attribute is
+    homogeneous still leaks it; the release gate filters on the reported
+    diversity. Distributed shape: per-batch (lang, source, band) count
+    partials, one bounded groupby, then a QI-grain map_groups fold over
+    the (bands-per-group)-sized aggregated cells."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "source": tbl["source"].to_numpy(zero_copy_only=False),
+                "band": tbl["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                // LDIV_BAND,
+            }
+        )
+        g = df.groupby(["lang", "source", "band"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source", "band"])
+        .sum("n")
+    )
+
+    def ldiv_group(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "lang": [df.iloc[0, 0]],
+                "source": [df.iloc[0, 1]],
+                "n_rows": np.array([df.iloc[:, 3].sum()], dtype=np.int64),
+                "n_distinct_bands": np.array([len(df)], dtype=np.int64),
+            }
+        )
+
+    return cells.groupby(["lang", "source"]).map_groups(
+        ldiv_group, batch_format="pandas"
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH c AS (
+  SELECT lang, source, n_chars // {LDIV_BAND} AS band, count(*) AS n
+  FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_bands
+FROM c GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -22921,6 +23111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _window_distinct_users,
         "embedding_1nn_eval": _embedding_1nn_eval,
         "perceptron_int": _perceptron_int,
+        "two_hop_reach": _two_hop_reach,
+        "l_diversity": _l_diversity,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -23268,6 +23460,8 @@ def oracle_sql() -> dict[str, str]:
         "window_distinct_users": WINDOW_DISTINCT_ORACLE,
         "embedding_1nn_eval": NN_EVAL_ORACLE,
         "perceptron_int": PERCEPTRON_ORACLE,
+        "two_hop_reach": _two_hop_reach_oracle(),
+        "l_diversity": L_DIVERSITY_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
