@@ -22717,6 +22717,200 @@ FROM c GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 79: ranking agreement curve, dedup impact report.
+
+ROC_DEPTHS = tuple(range(1, 21))
+
+
+def _ranking_overlap_curve(sf_dir):
+    """Ranking agreement curve between the two rrf_fusion input rankings
+    (length vs lexical richness): for each depth d in 1..20, the size of
+    the intersection of the two top-d sets — the overlap@d curve that
+    underlies RBO / search-eval dashboards, in exact ints. Distributed
+    shape: both rankings come from the distributed prefix-rank; rows with
+    EITHER rank <= max depth filter down to <= 2*D rows before any
+    driver-side work."""
+    import ray
+    import pyarrow.compute as pc
+
+    ranks = _rrf_fusion(sf_dir)
+    dmax = max(ROC_DEPTHS)
+
+    def head(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"rank_len": pa.array([], pa.int64()),
+                 "rank_rich": pa.array([], pa.int64())}
+            )
+        m = pc.or_(
+            pc.less_equal(tbl["rank_len"], dmax),
+            pc.less_equal(tbl["rank_rich"], dmax),
+        )
+        t = tbl.filter(m)
+        return pa.table({"rank_len": t["rank_len"], "rank_rich": t["rank_rich"]})
+
+    small = ranks.map_batches(
+        head, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    rl = small["rank_len"].to_numpy().astype(np.int64)
+    rr = small["rank_rich"].to_numpy().astype(np.int64)
+    depths = np.array(ROC_DEPTHS, dtype=np.int64)
+    overlap = np.array(
+        [int(((rl <= d) & (rr <= d)).sum()) for d in depths], dtype=np.int64
+    )
+    return pa.table(
+        {"depth": pa.array(depths), "overlap": pa.array(overlap)}
+    )
+
+
+RANKING_OVERLAP_ORACLE = rf"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_distinct
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_len,
+         row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS rank_rich
+  FROM feat),
+d AS (SELECT unnest(generate_series(1, {max(ROC_DEPTHS)})) AS depth)
+SELECT CAST(d.depth AS BIGINT) AS depth,
+       CAST(sum(CASE WHEN r.rank_len <= d.depth AND r.rank_rich <= d.depth
+                     THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+FROM d, r GROUP BY 1
+"""
+
+
+def _dedup_impact_by_lang(sf_dir):
+    """Pipeline impact report of exact dedup, per language: docs and
+    whitespace tokens before vs after keeping min(doc_id) per identical
+    text — the 'what did dedup cost/save me' table every curation run
+    reports. Distributed shape: per-batch (lang, text-fingerprint) partials
+    carry (min doc_id, n docs, tokens); one fingerprint-keyed groupby
+    folds duplicates across batches (sha-1 fingerprints stand in for text
+    equality exactly — same trick as exact_dedup); one tiny lang groupby
+    emits the four sums."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+    from spatialindex_ray.kernels import hashing as _hashing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        ntok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        fp = _hashing.sha1_pairs_of_column(tbl["text"].combine_chunks())[
+            :, 0
+        ].view(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "fp": fp,
+                "doc_id": tbl["doc_id"].to_numpy(zero_copy_only=False),
+                "ntok": ntok,
+            }
+        )
+        g = df.groupby(["lang", "fp"], as_index=False).agg(
+            min_doc=("doc_id", "min"),
+            n_docs=("doc_id", "size"),
+            tokens=("ntok", "sum"),
+            tok_one=("ntok", "first"),
+        )
+        for c in ("min_doc", "n_docs", "tokens", "tok_one"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "fp"])
+        .aggregate(
+            ray.data.aggregate.Min("min_doc"),
+            ray.data.aggregate.Sum("n_docs"),
+            ray.data.aggregate.Sum("tokens"),
+            ray.data.aggregate.Min("tok_one"),
+        )
+    )
+
+    def lang_fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "lang" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_docs_after": pa.array([], pa.int64()),
+                    "tokens": pa.array([], pa.int64()),
+                    "tokens_after": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_pylist(),
+                "n_docs": tbl["sum(n_docs)"].to_numpy(zero_copy_only=False),
+                "tokens": tbl["sum(tokens)"].to_numpy(zero_copy_only=False),
+                "tok_one": tbl["min(tok_one)"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_docs_after=("n_docs", "size"),
+            tokens=("tokens", "sum"),
+            tokens_after=("tok_one", "sum"),
+        )
+        for c in ("n_docs", "n_docs_after", "tokens", "tokens_after"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        folded.map_batches(lang_fold, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .sum(["n_docs", "n_docs_after", "tokens", "tokens_after"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 5:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_docs_after": pa.array([], pa.int64()),
+                    "tokens": pa.array([], pa.int64()),
+                    "tokens_after": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(
+            ["lang", "n_docs", "n_docs_after", "tokens", "tokens_after"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+DEDUP_IMPACT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '\S+')) AS ntok
+  FROM documents),
+g AS (
+  SELECT lang, text,
+         count(*) AS n_docs, sum(ntok) AS tokens,
+         min(ntok) AS tok_one
+  FROM t GROUP BY 1, 2)
+SELECT lang,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_docs_after,
+       CAST(sum(tokens) AS BIGINT) AS tokens,
+       CAST(sum(tok_one) AS BIGINT) AS tokens_after
+FROM g GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -23113,6 +23307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_int": _perceptron_int,
         "two_hop_reach": _two_hop_reach,
         "l_diversity": _l_diversity,
+        "ranking_overlap_curve": _ranking_overlap_curve,
+        "dedup_impact_by_lang": _dedup_impact_by_lang,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -23462,6 +23658,8 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_int": PERCEPTRON_ORACLE,
         "two_hop_reach": _two_hop_reach_oracle(),
         "l_diversity": L_DIVERSITY_ORACLE,
+        "ranking_overlap_curve": RANKING_OVERLAP_ORACLE,
+        "dedup_impact_by_lang": DEDUP_IMPACT_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
