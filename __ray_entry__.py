@@ -22911,6 +22911,101 @@ FROM g GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 80: maximum-sum contiguous revenue window (Kadane via prefix scan).
+
+
+def _kadane_revenue(sf_dir):
+    """Best contiguous day-range of NET daily revenue — daily cents minus
+    the integer per-day baseline C = total_cents // n_days, so windows
+    trade off above-baseline vs below-baseline days (classic max-subarray).
+    Kadane reformulated on prefix sums: with P_j the inclusive prefix and
+    m_j = min over i < j of P_i (P_0 = 0 sentinel), the best window ending
+    at j has sum P_j - m_j; output (best_sum, end_day) with the EARLIEST
+    maximizing end day — a total deterministic order. Distributed shape:
+    the daily totals reduce is row-scale; the scan runs on the
+    calendar-sized table (documented bound), gap days filled with -C."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": pa.array(u), "partial": pa.array(s)})
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .sum("partial")
+        .to_pandas()
+        .sort_values("day")
+    )
+    d = daily["day"].to_numpy().astype(np.int64)
+    c = daily["sum(partial)"].to_numpy().astype(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    cal = np.zeros(hi - lo + 1, dtype=np.int64)
+    cal[d - lo] = c
+    total = int(cal.sum())
+    base = total // len(cal)
+    net = cal - base
+    p = np.concatenate([[0], np.cumsum(net)])  # P_0 .. P_n
+    run_min = np.minimum.accumulate(p)[:-1]  # m_j = min_{i<j} P_i
+    best_at = p[1:] - run_min
+    j = int(np.argmax(best_at))  # earliest maximizer
+    return pa.table(
+        {
+            "best_sum": pa.array([int(best_at[j])], pa.int64()),
+            "end_day": pa.array([lo + j], pa.int64()),
+            "baseline_cents": pa.array([base], pa.int64()),
+        }
+    )
+
+
+KADANE_ORACLE = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi,
+             sum(cents) AS tot FROM c),
+cal AS (
+  SELECT dd.day, coalesce(c.cents, 0) AS cents,
+         (SELECT tot FROM b) // ((SELECT hi - lo + 1 FROM b)) AS base
+  FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+                                      (SELECT hi FROM b))) AS day) dd
+  LEFT JOIN c USING (day)),
+p0 AS (
+  SELECT day, base,
+         sum(cents - base) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS pj
+  FROM cal),
+p AS (
+  SELECT day, base, pj,
+         coalesce(min(pj) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0) AS mj
+  FROM p0),
+s AS (
+  SELECT day, base, pj - LEAST(mj, 0) AS best
+  FROM p)
+SELECT CAST(max(best) AS BIGINT) AS best_sum,
+       CAST(min(day) FILTER (WHERE best = (SELECT max(best) FROM s))
+            AS BIGINT) AS end_day,
+       CAST(any_value(base) AS BIGINT) AS baseline_cents
+FROM s
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -23309,6 +23404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": _l_diversity,
         "ranking_overlap_curve": _ranking_overlap_curve,
         "dedup_impact_by_lang": _dedup_impact_by_lang,
+        "kadane_revenue": _kadane_revenue,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -23660,6 +23756,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": L_DIVERSITY_ORACLE,
         "ranking_overlap_curve": RANKING_OVERLAP_ORACLE,
         "dedup_impact_by_lang": DEDUP_IMPACT_ORACLE,
+        "kadane_revenue": KADANE_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
