@@ -23006,6 +23006,396 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 81: Gopher-style quality rules, skipgram pair weights, and a padded
+# session interval-overlap join — three curation operators the reference's
+# spatial engine has no analog for, each with an exact DuckDB dual.
+
+
+def _gopher_quality_flags(sf_dir):
+    """Gopher-style document quality rules, aggregated per language: word
+    count >= 30; mean token length in [3, 6]; stopword ('the'/'a') fraction
+    >= 5%; single-token dominance <= 20%. Every ratio test is an integer
+    cross-product (3*words <= sum_len, 20*stop >= words, 5*maxcnt <= words)
+    so the engine and the SQL dual agree bit-exactly with no float division.
+    Distributed shape: one vectorized tokenize pass per batch (Arrow split +
+    factorized (row, term) run lengths for the per-doc mode), per-batch
+    (lang, flag-sum) partials, one language-sized groupby — only the tiny
+    partial table shuffles."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        words = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = textfn._segment_sum(lens, offsets).astype(np.int64)
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(["the", "a"])
+        ).to_numpy(zero_copy_only=False)
+        stop = textfn._segment_sum(
+            is_stop.astype(np.int64), offsets
+        ).astype(np.int64)
+        # per-doc mode count: factorize terms, sort (row, code) pairs, max
+        # run length per row — no per-row Python.
+        maxcnt = np.zeros(len(words), dtype=np.int64)
+        if len(flat) > 0:
+            codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+            row_of = np.repeat(np.arange(len(words), dtype=np.int64), words)
+            key = row_of * np.int64(len(uniques)) + codes
+            key.sort()
+            brk = np.concatenate(
+                [[0], np.flatnonzero(key[1:] != key[:-1]) + 1, [len(key)]]
+            )
+            runs = np.diff(brk).astype(np.int64)
+            run_row = key[brk[:-1]] // np.int64(len(uniques))
+            np.maximum.at(maxcnt, run_row, runs)
+        r1 = words >= 30
+        r2 = (words > 0) & (3 * words <= sum_len) & (sum_len <= 6 * words)
+        r3 = (words > 0) & (20 * stop >= words)
+        r4 = (words > 0) & (5 * maxcnt <= words)
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(len(words), dtype=np.int64),
+                "pass_words": r1.astype(np.int64),
+                "pass_meanlen": r2.astype(np.int64),
+                "pass_stopword": r3.astype(np.int64),
+                "pass_dominance": r4.astype(np.int64),
+                "pass_all": (r1 & r2 & r3 & r4).astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = [
+        "n_docs",
+        "pass_words",
+        "pass_meanlen",
+        "pass_stopword",
+        "pass_dominance",
+        "pass_all",
+    ]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .sum(cols)
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns != 1 + len(cols):
+            return pa.table(
+                {"lang": pa.array([], pa.string())}
+                | {c: pa.array([], pa.int64()) for c in cols}
+            )
+        return tbl.rename_columns(["lang"] + cols)
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+GOPHER_FLAGS_ORACLE = r"""
+WITH d AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS a
+           FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term FROM d),
+tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(c) AS words, sum(c * length(term)) AS sum_len,
+               sum(CASE WHEN term IN ('the', 'a') THEN c ELSE 0 END) AS stop,
+               max(c) AS maxcnt
+        FROM tc GROUP BY 1),
+f AS (SELECT d.lang,
+             coalesce(per.words, 0) AS words,
+             coalesce(per.sum_len, 0) AS sum_len,
+             coalesce(per.stop, 0) AS stop,
+             coalesce(per.maxcnt, 0) AS maxcnt
+      FROM d LEFT JOIN per USING (doc_id)),
+g AS (SELECT lang,
+             CASE WHEN words >= 30 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN words > 0 AND 3 * words <= sum_len
+                   AND sum_len <= 6 * words THEN 1 ELSE 0 END AS r2,
+             CASE WHEN words > 0 AND 20 * stop >= words THEN 1 ELSE 0 END AS r3,
+             CASE WHEN words > 0 AND 5 * maxcnt <= words THEN 1 ELSE 0 END AS r4
+      FROM f)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r1) AS BIGINT) AS pass_words,
+       CAST(sum(r2) AS BIGINT) AS pass_meanlen,
+       CAST(sum(r3) AS BIGINT) AS pass_stopword,
+       CAST(sum(r4) AS BIGINT) AS pass_dominance,
+       CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) AS pass_all
+FROM g GROUP BY lang
+"""
+
+
+SKIPGRAM_DOC_BOUND = 300  # oracle tractability: same bound as ngram_jaccard
+
+
+def _skipgram_pairs(sf_dir):
+    """Skipgram (word2vec-style) training-pair statistics over a bounded
+    document subset: ordered (w1, w2) pairs within a +/-2 token window,
+    integer distance weight 3 - dist (dist 1 -> 2, dist 2 -> 1); top 30 by
+    (weight_sum DESC, w1, w2) — a total deterministic order. Distributed
+    shape: pairs are emitted per batch with offsets-aware shifted slices
+    (no pair crosses a document), partial-aggregated per batch, folded by
+    one (w1, w2) groupby that is vocabulary^2-bounded (documented: the
+    final sort runs on that small table, never on the corpus)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    from spatialindex_ray.functions import text as textfn
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        keep = doc < SKIPGRAM_DOC_BOUND
+        sub = tbl.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "weight_sum": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        flat, offsets = textfn._token_segments(sub["text"])
+        terms = flat.to_numpy(zero_copy_only=False)
+        nrow = len(offsets) - 1
+        words = offsets[1:] - offsets[:-1]
+        row_of = np.repeat(np.arange(nrow, dtype=np.int64), words)
+        parts = []
+        for dist in (1, 2):
+            if len(terms) <= dist:
+                continue
+            same = row_of[dist:] == row_of[:-dist]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "w1": terms[:-dist][same],
+                        "w2": terms[dist:][same],
+                        "weight_sum": np.int64(3 - dist),
+                        "n_pairs": np.int64(1),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "weight_sum": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.concat(parts, ignore_index=True)
+        g = df.groupby(["w1", "w2"], as_index=False).sum()
+        g["weight_sum"] = g["weight_sum"].astype(np.int64)
+        g["n_pairs"] = g["n_pairs"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w1", "w2"])
+        .sum(["weight_sum", "n_pairs"])
+    )
+    pdf = folded.to_pandas()  # vocab^2-bounded by construction
+    pdf.columns = ["w1", "w2", "weight_sum", "n_pairs"]
+    pdf = pdf.sort_values(
+        ["weight_sum", "w1", "w2"], ascending=[False, True, True]
+    ).head(30)
+    return pa.table(
+        {
+            "w1": pa.array(pdf["w1"], pa.string()),
+            "w2": pa.array(pdf["w2"], pa.string()),
+            "weight_sum": pa.array(
+                pdf["weight_sum"].to_numpy().astype(np.int64)
+            ),
+            "n_pairs": pa.array(pdf["n_pairs"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+SKIPGRAM_ORACLE = rf"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS a
+           FROM documents WHERE doc_id < {SKIPGRAM_DOC_BOUND}),
+tok AS (SELECT doc_id, unnest(a) AS term,
+               generate_subscripts(a, 1) AS pos FROM d),
+pr AS (SELECT t1.term AS w1, t2.term AS w2, 3 - (t2.pos - t1.pos) AS w
+       FROM tok t1 JOIN tok t2
+         ON t2.doc_id = t1.doc_id AND t2.pos - t1.pos IN (1, 2)),
+g AS (SELECT w1, w2, CAST(sum(w) AS BIGINT) AS weight_sum,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pr GROUP BY 1, 2)
+SELECT w1, w2, weight_sum, n_pairs FROM g
+ORDER BY weight_sum DESC, w1, w2 LIMIT 30
+"""
+
+
+SESSION_PAD_US = 1_800_000_000  # pad each session +/-30 min before the join
+
+
+def _session_overlap_types(sf_dir):
+    """Interval-overlap join between two independently sessionized event
+    streams of the same user: 'click' sessions vs 'view' sessions (30-min
+    gap rule), each padded +/-30 min, joined on strict interval overlap
+    (sA < eB AND sB < eA); per user, the number of overlapping session
+    pairs and the total overlap microseconds. Distributed shape: one
+    user-hash exchange; inside a shard the join is fully vectorized — both
+    interval sets pack (user_rank, ts) into one monotonic int64 key
+    (rank * span + offset; guarded against overflow, shard count scales
+    with users so rank stays small), candidate ranges come from two
+    searchsorted probes (upper: s2 < eA on the start-sorted keys; lower:
+    running-max end key > sA, where the running max of packed ends IS the
+    per-user cummax because rank dominates the pack), and the ragged
+    candidate expansion is filtered to true overlaps — O(pairs) work, no
+    per-user Python loop. The padded intervals need not be disjoint; the
+    cummax lower bound stays correct."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        typ = tbl["event_type"].to_numpy(zero_copy_only=False)
+        keep = (typ == "click") | (typ == "view")
+        sub = tbl.filter(pa.array(keep))
+        uid = sub["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": sub["user_id"],
+                "ts_us": sub["ts"].cast(pa.int64()),
+                "is_view": pa.array(
+                    (
+                        sub["event_type"].to_numpy(zero_copy_only=False)
+                        == "view"
+                    ).astype(np.int8)
+                ),
+            }
+        )
+
+    def empty_out() -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_overlap_pairs": pa.array([], pa.int64()),
+                "overlap_us": pa.array([], pa.int64()),
+            }
+        )
+
+    def overlap_shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return empty_out()
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        tv = tbl["is_view"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, tv, uid))
+        u, t, v = uid[order], ts[order], tv[order]
+        new_sess = np.ones(len(u), dtype=bool)
+        new_sess[1:] = (
+            (u[1:] != u[:-1])
+            | (v[1:] != v[:-1])
+            | ((t[1:] - t[:-1]) > SESSION_GAP_US)
+        )
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:], [len(u)]]) - 1
+        s0 = t[starts] - SESSION_PAD_US
+        e0 = t[ends] + SESSION_PAD_US
+        su, sv = u[starts], v[starts]
+        users = np.unique(su)
+        rank = np.searchsorted(users, su)
+        tmin = int(s0.min())
+        span = int(e0.max()) - tmin + 2
+        if (len(users) + 1) * span >= 2**62:  # pack overflow guard
+            raise ValueError(
+                "session_overlap pack overflow: raise n_shards so "
+                "users-per-shard * time-span fits in int64"
+            )
+
+        def pack(r, x):
+            return r * np.int64(span) + (x - np.int64(tmin))
+
+        a = sv == 0  # click side (probe), view side (build)
+        b = ~a
+        ra, sa, ea = rank[a], s0[a], e0[a]
+        rb, sb, eb = rank[b], s0[b], e0[b]
+        if len(ra) == 0 or len(rb) == 0:
+            return empty_out()
+        # build side sorted by (rank, start) — lexsort order guarantees it
+        pb_s = pack(rb, sb)
+        pb_e_cmax = np.maximum.accumulate(pack(rb, eb))
+        hi = np.searchsorted(pb_s, pack(ra, ea), side="left")
+        lo = np.searchsorted(pb_e_cmax, pack(ra, sa), side="right")
+        n = np.maximum(hi - lo, 0)
+        a_idx = np.repeat(np.arange(len(ra)), n)
+        ragged = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n) - n, n
+        )
+        b_idx = np.repeat(lo, n) + ragged
+        ov = np.minimum(eb[b_idx], ea[a_idx]) - np.maximum(
+            sb[b_idx], sa[a_idx]
+        )
+        true_ov = (ov > 0) & (eb[b_idx] > sa[a_idx]) & (sb[b_idx] < ea[a_idx])
+        a_idx, ov = a_idx[true_ov], ov[true_ov]
+        if len(a_idx) == 0:
+            return empty_out()
+        urank = ra[a_idx]
+        n_pairs = np.bincount(urank, minlength=len(users)).astype(np.int64)
+        ov_sum = np.zeros(len(users), dtype=np.int64)
+        np.add.at(ov_sum, urank, ov)
+        hit = n_pairs > 0
+        return pa.table(
+            {
+                "user_id": pa.array(users[hit]),
+                "n_overlap_pairs": pa.array(n_pairs[hit]),
+                "overlap_us": pa.array(ov_sum[hit]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, overlap_shard)
+
+
+SESSION_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+s AS (
+  SELECT user_id, event_type, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts_us
+              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t),
+iv AS (SELECT user_id, event_type, sess,
+              min(ts_us) - {SESSION_PAD_US} AS s0,
+              max(ts_us) + {SESSION_PAD_US} AS e0
+       FROM s GROUP BY 1, 2, 3),
+p AS (
+  SELECT a.user_id, least(a.e0, b.e0) - greatest(a.s0, b.s0) AS ov
+  FROM iv a JOIN iv b ON a.user_id = b.user_id
+   AND a.event_type = 'click' AND b.event_type = 'view'
+   AND a.s0 < b.e0 AND b.s0 < a.e0)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+       CAST(sum(ov) AS BIGINT) AS overlap_us
+FROM p GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -23405,6 +23795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_overlap_curve": _ranking_overlap_curve,
         "dedup_impact_by_lang": _dedup_impact_by_lang,
         "kadane_revenue": _kadane_revenue,
+        "gopher_quality_flags": _gopher_quality_flags,
+        "skipgram_pairs": _skipgram_pairs,
+        "session_overlap_types": _session_overlap_types,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -23757,6 +24150,9 @@ def oracle_sql() -> dict[str, str]:
         "ranking_overlap_curve": RANKING_OVERLAP_ORACLE,
         "dedup_impact_by_lang": DEDUP_IMPACT_ORACLE,
         "kadane_revenue": KADANE_ORACLE,
+        "gopher_quality_flags": GOPHER_FLAGS_ORACLE,
+        "skipgram_pairs": SKIPGRAM_ORACLE,
+        "session_overlap_types": SESSION_OVERLAP_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
