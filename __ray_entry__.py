@@ -23396,6 +23396,124 @@ FROM p GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 82: lift-ranked collocations (exact integer ppm) + Haar band energy
+# (registered from functions/multimodal.py).
+
+
+def _collocation_lift(sf_dir):
+    """Collocation extraction ranked by LIFT, not raw count: for adjacent
+    token bigrams with c12 >= 5, lift = P(w1 w2) / (P(w1) P(w2)) computed
+    as the exact integer floor((c12 * N * N * 10^6) / (c1 * c2 * Nb)) ppm —
+    Python-int arithmetic on the driver (the folded bigram table is
+    vocabulary^2-bounded) so no int64 overflow at any corpus size; the SQL
+    dual uses HUGEINT for the same product. Top 25 by (lift_ppm DESC, w1,
+    w2) — a total deterministic order. Distributed shape: one bigram fold
+    and one unigram fold, both per-batch partial-aggregated; only
+    vocabulary-sized tables shuffle."""
+    import ray
+
+    from spatialindex_ray.functions import text as textfn
+
+    def bigram_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        terms = flat.to_numpy(zero_copy_only=False)
+        nrow = len(offsets) - 1
+        row_of = np.repeat(
+            np.arange(nrow, dtype=np.int64), offsets[1:] - offsets[:-1]
+        )
+        if len(terms) < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                }
+            )
+        same = row_of[1:] == row_of[:-1]
+        df = pd.DataFrame(
+            {"w1": terms[:-1][same], "w2": terms[1:][same]}
+        )
+        g = df.groupby(["w1", "w2"], as_index=False).size()
+        g.columns = ["w1", "w2", "c12"]
+        g["c12"] = g["c12"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def unigram_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, _ = textfn._token_segments(tbl["text"])
+        df = pd.DataFrame({"term": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby("term", as_index=False).size()
+        g.columns = ["term", "c"]
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    bg = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w1", "w2"])
+        .sum("c12")
+        .to_pandas()
+    )
+    ug = (
+        docs.map_batches(unigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("term")
+        .sum("c")
+        .to_pandas()
+    )
+    bg.columns = ["w1", "w2", "c12"]
+    ug.columns = ["term", "c"]
+    n_tok = int(ug["c"].sum())
+    n_bg = int(bg["c12"].sum())
+    bg = bg[bg["c12"] >= 5].merge(
+        ug.rename(columns={"term": "w1", "c": "c1"}), on="w1"
+    ).merge(ug.rename(columns={"term": "w2", "c": "c2"}), on="w2")
+    lift = [
+        (int(c12) * n_tok * n_tok * 10**6) // (int(c1) * int(c2) * n_bg)
+        for c12, c1, c2 in zip(bg["c12"], bg["c1"], bg["c2"])
+    ]
+    bg["lift_ppm"] = np.array(lift, dtype=np.int64)
+    bg = bg.sort_values(
+        ["lift_ppm", "w1", "w2"], ascending=[False, True, True]
+    ).head(25)
+    return pa.table(
+        {
+            "w1": pa.array(bg["w1"], pa.string()),
+            "w2": pa.array(bg["w2"], pa.string()),
+            "c12": pa.array(bg["c12"].to_numpy().astype(np.int64)),
+            "lift_ppm": pa.array(bg["lift_ppm"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+COLLOCATION_LIFT_ORACLE = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term,
+               generate_subscripts(a, 1) AS pos FROM d),
+bg AS (SELECT t1.term AS w1, t2.term AS w2, count(*) AS c12
+       FROM tok t1 JOIN tok t2
+         ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+       GROUP BY 1, 2),
+ug AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM ug) AS n_tok,
+               (SELECT sum(c12) FROM bg) AS n_bg),
+l AS (
+  SELECT bg.w1, bg.w2, bg.c12,
+         CAST((CAST(bg.c12 AS HUGEINT) * t.n_tok * t.n_tok * 1000000)
+              // (CAST(u1.c AS HUGEINT) * u2.c * t.n_bg) AS BIGINT)
+           AS lift_ppm
+  FROM bg, tot t
+  JOIN ug u1 ON u1.term = bg.w1
+  JOIN ug u2 ON u2.term = bg.w2
+  WHERE bg.c12 >= 5)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, lift_ppm
+FROM l ORDER BY lift_ppm DESC, w1, w2 LIMIT 25
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize Common-Crawl-style pages,
     encode (xyz + htm20 + hpx20), run an HTM cone semi-join, raster-tile the
@@ -23798,6 +23916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": _gopher_quality_flags,
         "skipgram_pairs": _skipgram_pairs,
         "session_overlap_types": _session_overlap_types,
+        "collocation_lift": _collocation_lift,
+        "image_haar": multimodal.image_haar_query,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -24153,6 +24273,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": GOPHER_FLAGS_ORACLE,
         "skipgram_pairs": SKIPGRAM_ORACLE,
         "session_overlap_types": SESSION_OVERLAP_ORACLE,
+        "collocation_lift": COLLOCATION_LIFT_ORACLE,
+        "image_haar": multimodal.IMAGE_HAAR_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -995,6 +995,81 @@ def image_equalize_query(sf_dir: str):
     )
 
 
+class HaarStage:
+    """Actor-pool stage: PNG payload -> 1-level 2D Haar band sums. The
+    image is cropped to even dims, split into 2x2 blocks (a b / c d), and
+    the four un-normalized Haar responses are folded per image: LL sum
+    a+b+c+d, plus absolute detail energies |a-b+c-d| (LH), |a+b-c-d| (HL),
+    |a-b-c+d| (HH) — all integer, so the SQL dual replays them from the
+    synthesized pixel formula. Emits only (doc_id, 4 sums); pixels never
+    leave the actor."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        ll = np.zeros(len(ids), dtype=np.int64)
+        lh = np.zeros(len(ids), dtype=np.int64)
+        hl = np.zeros(len(ids), dtype=np.int64)
+        hh = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            h, w, c, px = decode_png(payload[i].as_py())
+            g = px[: h - h % 2, : w - w % 2, 0].astype(np.int64)
+            a = g[0::2, 0::2]
+            b = g[0::2, 1::2]
+            cc = g[1::2, 0::2]
+            d = g[1::2, 1::2]
+            ll[i] = int((a + b + cc + d).sum())
+            lh[i] = int(np.abs(a - b + cc - d).sum())
+            hl[i] = int(np.abs(a + b - cc - d).sum())
+            hh[i] = int(np.abs(a - b - cc + d).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "ll_sum": pa.array(ll),
+                "lh_abs": pa.array(lh),
+                "hl_abs": pa.array(hl),
+                "hh_abs": pa.array(hh),
+            }
+        )
+
+
+def image_haar_query(sf_dir: str):
+    """1-level 2D Haar wavelet band energies over real gradient PNGs (see
+    _synth_gradient_pngs): decode + integer lifting sums in an actor pool,
+    replayed exactly by IMAGE_HAAR_ORACLE from the pixel formula."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        _synth_gradient_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        HaarStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+IMAGE_HAAR_ORACLE = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
+           FROM documents),
+blk AS (
+  SELECT doc_id,
+         (doc_id + 2 * xs.x + 2 * ys.y) % 256 AS a,
+         (doc_id + 2 * xs.x + 1 + 2 * ys.y) % 256 AS b,
+         (doc_id + 2 * xs.x + 2 * ys.y + 1) % 256 AS c,
+         (doc_id + 2 * xs.x + 2 * ys.y + 2) % 256 AS e
+  FROM d, unnest(range(0, h // 2)) AS ys(y), unnest(range(0, w // 2)) AS xs(x))
+SELECT doc_id,
+       CAST(sum(a + b + c + e) AS BIGINT) AS ll_sum,
+       CAST(sum(abs(a - b + c - e)) AS BIGINT) AS lh_abs,
+       CAST(sum(abs(a + b - c - e)) AS BIGINT) AS hl_abs,
+       CAST(sum(abs(a - b - c + e)) AS BIGINT) AS hh_abs
+FROM blk GROUP BY 1
+"""
+
+
 IMAGE_EQUALIZE_ORACLE = """
 WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
            FROM documents),
