@@ -161,6 +161,91 @@ def _cone_anti_oracle():
     )
 
 
+# ------------------------------------------- epoch-propagated cone search
+# Proper-motion catalog crossmatch: each point carries a deterministic
+# proper motion (deg/yr, derived from doc_id with the same +,*,fmod algebra
+# as the positions — bit-identical in DuckDB); the query asks which points
+# lie inside the cone at epoch t0 + EPOCH_DT.  The engine prefilters with
+# the indexed cover of the cone PADDED by the maximum possible displacement
+# (|dlat| + |dlon| <= 2*PM_AMP*DT — a rigorous great-circle bound by the
+# triangle inequality) evaluated at the EPOCH-0 cells it already has, then
+# refines exactly on the propagated position — the standard moving-object
+# indexing trick: never re-index per epoch, pad the query instead.
+CONE_EPOCH = dict(ra=150.0, dec=30.0, radius=20.0, level=7)
+PM_C1 = 0.33988749894848204  # frac(sqrt(5)) - like POS constants
+PM_C2 = 0.41421356237309515  # frac(sqrt(2))
+PM_AMP = 0.02  # deg/yr
+EPOCH_DT = 12.5  # years
+
+
+def _cone_epoch_query(sf_dir):
+    from spatialindex_ray import geom
+
+    si = SpatialIndex()
+    cfg = CONE_EPOCH
+    pad = 2.0 * PM_AMP * EPOCH_DT
+    plan = si.cone_plan(
+        cfg["ra"], cfg["dec"], cfg["radius"] + pad, mode=0, level=cfg["level"]
+    )
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c0, c1, c2 = cone.center
+    cr = cone.cosrad
+    pre = ops.region_search(_docs_encoded(sf_dir), plan)
+
+    def refine(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon = tbl["lon"].to_numpy(zero_copy_only=False)
+        lat = tbl["lat"].to_numpy(zero_copy_only=False)
+        pm_lon = PM_AMP * (2.0 * np.fmod(ids * PM_C1, 1.0) - 1.0)
+        pm_lat = PM_AMP * (2.0 * np.fmod(ids * PM_C2, 1.0) - 1.0)
+        lon2 = np.fmod(lon + pm_lon * EPOCH_DT + 360.0, 360.0)
+        lat2 = np.minimum(np.maximum(lat + pm_lat * EPOCH_DT, -90.0), 90.0)
+        v = ops.xyz_from_lonlat(lon2, lat2)
+        m = v[:, 0] * c0 + v[:, 1] * c1 + v[:, 2] * c2 >= cr
+        out = pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "lon2": pa.array(lon2),
+                "lat2": pa.array(lat2),
+            }
+        )
+        return out.filter(pa.array(m))
+
+    return pre.map_batches(refine, batch_format="pyarrow", batch_size=None)
+
+
+def _cone_epoch_oracle():
+    from spatialindex_ray import geom
+
+    cfg = CONE_EPOCH
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c = cone.center
+    return f"""
+WITH p AS ({_POS_SQL}),
+m AS (
+  SELECT doc_id,
+    fmod(lon + ({_d(PM_AMP)} * (2.0*fmod(doc_id*{_d(PM_C1)}, 1.0) - 1.0))
+               * {_d(EPOCH_DT)} + 360.0, 360.0) AS lon2,
+    least(greatest(lat + ({_d(PM_AMP)} * (2.0*fmod(doc_id*{_d(PM_C2)}, 1.0)
+               - 1.0)) * {_d(EPOCH_DT)}, -90.0), 90.0) AS lat2
+  FROM p),
+raw AS (
+  SELECT doc_id, lon2, lat2,
+    cos(lon2*{_d(RAD)})*cos(lat2*{_d(RAD)}) AS x0,
+    sin(lon2*{_d(RAD)})*cos(lat2*{_d(RAD)}) AS y0,
+    sin(lat2*{_d(RAD)}) AS z0
+  FROM m),
+n AS (
+  SELECT doc_id, lon2, lat2,
+    x0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS x,
+    y0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS y,
+    z0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS z
+  FROM raw)
+SELECT doc_id, lon2, lat2 FROM n
+WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)}
+"""
+
+
 def _region_union_query(sf_dir):
     """Set operation over region searches: documents in the cone OR the
     polygon — ds.union of the two semi-join streams, then exact distinct
@@ -23918,6 +24003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_overlap_types": _session_overlap_types,
         "collocation_lift": _collocation_lift,
         "image_haar": multimodal.image_haar_query,
+        # --- wave 83 ---
+        "winnow_fingerprints": textfn.winnow_query,
+        "cone_search_epoch": _cone_epoch_query,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -24275,6 +24363,8 @@ def oracle_sql() -> dict[str, str]:
         "session_overlap_types": SESSION_OVERLAP_ORACLE,
         "collocation_lift": COLLOCATION_LIFT_ORACLE,
         "image_haar": multimodal.IMAGE_HAAR_ORACLE,
+        "winnow_fingerprints": textfn.WINNOW_ORACLE,
+        "cone_search_epoch": _cone_epoch_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

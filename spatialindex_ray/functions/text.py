@@ -369,6 +369,118 @@ FROM h
 """
 
 
+# ------------------------------------------------------- winnowing (MOSS)
+WINNOW_K = 8  # k-gram length in chars
+WINNOW_W = 4  # winnowing window in k-gram positions
+_FP_BASE_INV = np.uint64(pow(int(_FP_BASE), -1, 1 << 64))
+
+
+def winnow_batch(tbl: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W) -> pa.Table:
+    """MOSS-style winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003): per document, hash every k-char gram with the same
+    base-B Horner polynomial the doc fingerprint uses, then in every window
+    of w consecutive positions keep the minimum hash — rightmost position on
+    ties.  The distinct selected (pos, hash) pairs are the fingerprint set;
+    any substring shared between two docs of length >= k + w - 1 is
+    guaranteed to contribute at least one shared fingerprint.
+
+    Fully vectorized over the batch's flat Arrow byte buffer, no per-row
+    Python: one modular prefix scan C[i] = sum_{j<i} b_j * B^{-j} (uint64
+    wraparound; B is odd so B^{-1} mod 2^64 exists) gives every gram hash as
+    H[i] = B^{i+k-1} * (C[i+k] - C[i]); the window rightmost-argmin runs as
+    one argmin over a reversed sliding_window_view, with windows that cross
+    a document boundary masked out."""
+    data, offsets = hashing.arrow_string_buffer(tbl["text"])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(data)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "gram_hash": pa.array([], pa.int64()),
+        }
+    )
+    if n < k:
+        return empty
+    b = data.astype(np.uint64)
+    # prefix C[i] = sum_{j<i} b_j * Binv^j  (mod 2^64, natural uint64 wrap)
+    binv_pow = np.empty(n, dtype=np.uint64)
+    binv_pow[0] = 1
+    np.cumprod(np.full(n - 1, _FP_BASE_INV, dtype=np.uint64), out=binv_pow[1:])
+    c = np.empty(n + 1, dtype=np.uint64)
+    c[0] = 0
+    np.cumsum(b * binv_pow, out=c[1:])
+    bpow = np.empty(n, dtype=np.uint64)
+    bpow[0] = 1
+    np.cumprod(np.full(n - 1, _FP_BASE, dtype=np.uint64), out=bpow[1:])
+    # gram hash at every global byte index i (valid only within one doc)
+    h_all = bpow[k - 1 :] * (c[k:] - c[:-k])  # length n-k+1
+    lengths = offsets[1:] - offsets[:-1]
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lengths)
+    # valid gram starts: i and i+k-1 in the same doc
+    gi = np.arange(n - k + 1, dtype=np.int64)
+    valid = doc_of[gi] == doc_of[gi + k - 1]
+    vi = gi[valid]
+    if len(vi) < w:
+        return empty
+    hv = h_all[valid]
+    doc_v = doc_of[vi]
+    pos_v = vi - offsets[:-1][doc_v]  # 0-based k-gram position within doc
+    # sliding windows of w over the compacted hash array; a window is real
+    # only if its first and last members belong to the same doc
+    win = np.lib.stride_tricks.sliding_window_view(hv, w)
+    ok = doc_v[: len(hv) - w + 1] == doc_v[w - 1 :]
+    rev = win[:, ::-1]
+    a = np.argmin(rev, axis=1)  # first min in reversed = rightmost min
+    sel = np.arange(len(win), dtype=np.int64) + (w - 1) - a
+    sel = np.unique(sel[ok])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_v[sel]]),
+            "pos": pa.array(pos_v[sel] + 1),  # 1-based, matches SQL substring
+            "gram_hash": pa.array(hv[sel].view(np.int64)),
+        }
+    )
+
+
+def winnow_query(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow", batch_size=None)
+
+
+# DuckDB dual: per-position k-gram Horner hash (plain Horner — list_reduce
+# seeds the accumulator with the first char, identical to the engine's
+# B^{i+k-1}*(C[i+k]-C[i]) algebra), window of W positions exploded by a
+# bounded self-join, rightmost-argmin via row_number ORDER BY hv ASC, p DESC,
+# then DISTINCT selections. ASCII assumption as FINGERPRINT_ORACLE.
+WINNOW_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, gs.p AS p,
+    list_reduce(
+      list_transform(string_split(substring(text, CAST(gs.p AS INTEGER), {WINNOW_K}), ''),
+                     c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * {int(_FP_BASE)} + b) % 18446744073709551616) AS hv
+  FROM documents, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS gs(p)
+  WHERE length(text) >= {WINNOW_K}),
+w AS (
+  SELECT e.doc_id, e.p AS epos, m.p AS p, m.hv
+  FROM g e JOIN g m ON e.doc_id = m.doc_id
+   AND m.p BETWEEN e.p - {WINNOW_W - 1} AND e.p
+  WHERE e.p >= {WINNOW_W}),
+sel AS (
+  SELECT doc_id, epos, p, hv,
+    row_number() OVER (PARTITION BY doc_id, epos
+                       ORDER BY hv ASC, p DESC) AS rn
+  FROM w)
+SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos,
+  CAST(hv - CASE WHEN hv >= 9223372036854775808 THEN 18446744073709551616
+                 ELSE 0 END AS BIGINT) AS gram_hash
+FROM sel WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------- text scrubbing
 SCRUB_PATTERN = r"\b(spark|secret|customer)\b"
 SCRUB_REPLACEMENT = "[REDACTED]"
