@@ -246,6 +246,173 @@ WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)}
 """
 
 
+# ------------------------------------------------- winnowing pair scoring
+WINNOW_PAIR_T = 10   # pairs sharing >= T distinct selected fingerprints
+WINNOW_DF_CAP = 30   # ignore fingerprints present in > CAP docs (IDF filter)
+
+
+def _winnow_dup_pairs(sf_dir):
+    """MOSS-style plagiarism pair detection on winnowing fingerprints: the
+    distinct (doc, gram_hash) selections from winnow_fingerprints — minus
+    corpus-boilerplate fingerprints appearing in more than WINNOW_DF_CAP
+    docs (the IDF filter every real plagiarism detector applies; it also
+    bounds the per-hash pair fan-out to CAP^2/2) — grouped by hash, emit
+    candidate pairs whose shared-fingerprint count reaches WINNOW_PAIR_T.
+    Same distributed shape as the exact n-gram pair joins: shard by hash ->
+    vectorized per-shard self-merge -> pair-keyed groupby-sum -> threshold
+    filter; the driver holds nothing.  The document-frequency count is
+    shard-LOCAL yet globally exact because the exchange key IS the hash —
+    every occurrence of a fingerprint lands in the same shard, so the IDF
+    filter costs zero extra shuffles.  Unlike minhash-LSH this is EXACT
+    over the winnowed selection (the sketch is deterministic), which is
+    what gives it a bit-exact SQL dual."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def distinct_fps(tbl: pa.Table) -> pa.Table:
+        sel = textfn.winnow_batch(tbl)
+        ids = sel["doc_id"].to_numpy(zero_copy_only=False)
+        hs = sel["gram_hash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hs, ids))
+        ids, hs = ids[order], hs[order]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = (ids[1:] != ids[:-1]) | (hs[1:] != hs[:-1])
+        return pa.table(
+            {"doc_id": pa.array(ids[keep]), "gram_hash": pa.array(hs[keep])}
+        )
+
+    fps = ds.map_batches(distinct_fps, batch_format="pyarrow", batch_size=None)
+    n_shards = 64
+
+    def add_shard(tbl: pa.Table) -> pa.Table:
+        h = tbl["gram_hash"].to_numpy(zero_copy_only=False)
+        return tbl.append_column(
+            "shard", pa.array((h.view(np.uint64) % np.uint64(n_shards)).view(np.int64))
+        )
+
+    def pair_counts_shard(df):
+        sub = df[["gram_hash", "doc_id"]]
+        # shard-local == global document frequency (sharded BY gram_hash)
+        dfreq = sub["gram_hash"].map(sub["gram_hash"].value_counts())
+        sub = sub[dfreq <= WINNOW_DF_CAP]
+        cand = sub.merge(sub, on="gram_hash", suffixes=("_l", "_r"))
+        cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
+        out = (
+            cand.groupby(["doc_id_l", "doc_id_r"], as_index=False)
+            .size()
+            .rename(
+                columns={"doc_id_l": "left_id", "doc_id_r": "right_id", "size": "shared"}
+            )
+        )
+        out["shared"] = out["shared"].astype(np.int64)
+        return out
+
+    pairs = (
+        fps.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(pair_counts_shard, batch_format="pandas")
+        .groupby(["left_id", "right_id"])
+        .sum("shared")
+    )
+
+    schema = pa.schema(
+        [("left_id", pa.int64()), ("right_id", pa.int64()), ("shared", pa.int64())]
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if "sum(shared)" not in tbl.column_names:
+            return schema.empty_table()
+        sh = tbl["sum(shared)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table(
+            {
+                "left_id": tbl["left_id"],
+                "right_id": tbl["right_id"],
+                "shared": pa.array(sh),
+            }
+        )
+        return out.filter(pa.array(sh >= WINNOW_PAIR_T)).cast(schema)
+
+    return pairs.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _winnow_dup_pairs_oracle():
+    # reuse the winnowing CTE chain, then the df-capped distinct-set
+    # self-join + threshold
+    body = textfn.WINNOW_ORACLE.strip()
+    return f"""
+WITH fps AS ({body}),
+d AS (SELECT DISTINCT doc_id, gram_hash FROM fps),
+df AS (SELECT gram_hash, count(*) AS k FROM d GROUP BY 1),
+dd AS (SELECT d.doc_id, d.gram_hash FROM d JOIN df USING (gram_hash)
+       WHERE k <= {WINNOW_DF_CAP})
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(count(*) AS BIGINT) AS shared
+FROM dd a JOIN dd b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_PAIR_T}
+"""
+
+
+# ------------------------------------------------- cover-hole detection
+HOLES_CONE = dict(ra=150.0, dec=30.0, radius=10.0, level=6)
+
+
+def _coverage_holes(sf_dir):
+    """Catalog coverage audit: which cells of the cone's level-6 index cover
+    contain ZERO points?  The dual of every region search — instead of
+    fetching the occupied cells, report the cover's unoccupied ones (survey
+    completeness / missing-tile detection).  Engine shape: the per-cell
+    count aggregate (partial unique inside map_batches, tiny groupby), then
+    an anti-membership test against the broadcast cover cell list; only the
+    occupied-cell ids (bounded by |cover| after the filter) reach the
+    driver, so the result is O(query geometry), independent of data size."""
+    import ray
+
+    si = SpatialIndex()
+    cfg = HOLES_CONE
+    plan = si.cone_plan(cfg["ra"], cfg["dec"], cfg["radius"], mode=0, level=cfg["level"])
+    cover = np.concatenate(
+        [np.arange(lo, hi + 1, dtype=np.int64) for lo, hi in plan["ranges"]]
+    )
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+    occ = ops.cell_counts(ds, "htm20", out_level=cfg["level"])
+
+    def in_cover(tbl: pa.Table) -> pa.Table:
+        cells = tbl["cell"].to_numpy(zero_copy_only=False)
+        return tbl.select(["cell"]).filter(pa.array(np.isin(cells, cover)))
+
+    occupied = occ.map_batches(in_cover, batch_format="pyarrow", batch_size=None)
+    # bounded driver-side set difference: <= |cover| rows by construction
+    occ_ids = np.array(
+        [r["cell"] for r in occupied.take_all()], dtype=np.int64
+    )
+    holes = np.setdiff1d(cover, occ_ids)
+    import pandas as pd
+
+    return pd.DataFrame({"cell": holes.astype(np.int64)})
+
+
+def _coverage_holes_oracle():
+    si = SpatialIndex()
+    cfg = HOLES_CONE
+    plan = si.cone_plan(cfg["ra"], cfg["dec"], cfg["radius"], mode=0, level=cfg["level"])
+    cover = np.concatenate(
+        [np.arange(lo, hi + 1, dtype=np.int64) for lo, hi in plan["ranges"]]
+    )
+    vals = ", ".join(f"({int(c)})" for c in cover)
+    return (
+        _xyz_sql()
+        + _htm_encode_sql_fragment(cfg["level"])
+        + f""",
+cover(cell) AS (VALUES {vals})
+SELECT CAST(cell AS BIGINT) AS cell FROM cover
+WHERE cell NOT IN (SELECT DISTINCT id FROM lvl{cfg["level"]})
+"""
+    )
+
+
 def _region_union_query(sf_dir):
     """Set operation over region searches: documents in the cone OR the
     polygon — ds.union of the two semi-join streams, then exact distinct
@@ -24006,6 +24173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 83 ---
         "winnow_fingerprints": textfn.winnow_query,
         "cone_search_epoch": _cone_epoch_query,
+        # --- wave 84 ---
+        "winnow_dup_pairs": _winnow_dup_pairs,
+        "coverage_holes": _coverage_holes,
+        "audio_pitch": multimodal.audio_pitch_query,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -24365,6 +24536,9 @@ def oracle_sql() -> dict[str, str]:
         "image_haar": multimodal.IMAGE_HAAR_ORACLE,
         "winnow_fingerprints": textfn.WINNOW_ORACLE,
         "cone_search_epoch": _cone_epoch_oracle(),
+        "winnow_dup_pairs": _winnow_dup_pairs_oracle(),
+        "coverage_holes": _coverage_holes_oracle(),
+        "audio_pitch": multimodal.AUDIO_PITCH_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

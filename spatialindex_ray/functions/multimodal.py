@@ -1306,3 +1306,102 @@ FROM ah l, ah r
 WHERE l.doc_id < r.doc_id
   AND bit_count(xor(l.ahash, r.ahash)) <= {AHASH_DUP_MAX_HAMMING}
 """
+
+
+# ------------------------------------------------- pitch via autocorrelation
+PITCH_LEN = 400       # samples per doc
+PITCH_LAG_MIN = 40    # lag grid: 40, 44, ..., 220 (period P(did) is always
+PITCH_LAG_MAX = 220   # a multiple of 4 and inside the grid)
+PITCH_LAG_STEP = 4
+
+
+def _pitch_period(did: int) -> int:
+    return 80 + 20 * (did % 7)
+
+
+class PitchAutocorr:
+    """Actor-pool stage: WAV payload -> fundamental-period estimate by exact
+    integer autocorrelation.  R(L) = sum_n k(n) k(n+L) over the decoded
+    int16 samples, evaluated on the lag grid; pitch_lag = the smallest lag
+    attaining the maximum R (periodic signals peak at every multiple of the
+    period, so smallest-first IS the fundamental).  Batched across the doc
+    axis: all docs in the batch stack into one (D, N) int64 matrix and each
+    lag is one vectorized einsum — the lag loop is O(n_lags), never O(rows)."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pitch_lag": pa.array([], pa.int64()),
+                             "r_max": pa.array([], pa.int64())})
+        mat = np.empty((len(ids), PITCH_LEN), dtype=np.int64)
+        for i in range(len(ids)):
+            rate, ch, x = decode_wav(payload[i].as_py())
+            mat[i] = np.round(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+        lags = np.arange(PITCH_LAG_MIN, PITCH_LAG_MAX + 1, PITCH_LAG_STEP)
+        r = np.empty((len(ids), len(lags)), dtype=np.int64)
+        for j, lag in enumerate(lags):
+            r[:, j] = np.einsum(
+                "ij,ij->i", mat[:, : PITCH_LEN - lag], mat[:, lag:]
+            )
+        best = r.max(axis=1)
+        # smallest lag attaining the max (argmax returns first occurrence,
+        # and lags are ascending)
+        pick = lags[np.argmax(r == best[:, None], axis=1)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "pitch_lag": pa.array(pick.astype(np.int64)),
+                "r_max": pa.array(best),
+            }
+        )
+
+
+def audio_pitch_query(sf_dir: str):
+    """Pitch (fundamental period) estimation over REAL WAV payloads with a
+    per-doc period P(did) = 80 + 20*(did % 7): sawtooth k(n) =
+    ((did + n) % P) - P//2 quantizes exactly through the 16-bit PCM
+    roundtrip, so the integer autocorrelation — and therefore the argmax
+    period — has a bit-exact SQL dual (AUDIO_PITCH_ORACLE)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.arange(PITCH_LEN, dtype=np.int64)
+        payloads = []
+        for did in ids:
+            p = _pitch_period(int(did))
+            k = (int(did) + n) % p - p // 2
+            payloads.append(encode_wav(k / 32767.0, rate=8000))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        PitchAutocorr,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+AUDIO_PITCH_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, t.n,
+         (doc_id + t.n) % (80 + 20 * (doc_id % 7))
+           - (80 + 20 * (doc_id % 7)) // 2 AS v
+  FROM documents, unnest(range(0, {PITCH_LEN})) AS t(n)),
+r AS (
+  SELECT a.doc_id, b.n - a.n AS lag, sum(a.v * b.v) AS r
+  FROM s a JOIN s b ON a.doc_id = b.doc_id
+   AND b.n - a.n BETWEEN {PITCH_LAG_MIN} AND {PITCH_LAG_MAX}
+   AND (b.n - a.n) % {PITCH_LAG_STEP} = 0
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(lag AS BIGINT) AS pitch_lag, CAST(r AS BIGINT) AS r_max
+FROM r
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, lag ASC) = 1
+"""
