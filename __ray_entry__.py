@@ -621,6 +621,74 @@ def _hex_smooth(sf_dir):
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def _hex_clusters(sf_dir):
+    """Blob / island labeling over the occupied hex grid: connected
+    components of the occupancy-adjacency graph (two occupied aperture-7
+    cells connect when one is among the other's 6 cross-face-stitched
+    neighbors) — the survey-footprint region-growing operator (contiguous
+    coverage patches, raster blob extraction).  Engine shape: per-cell
+    counts (already tiny), a <= 6-edges/cell neighbor scatter, one semi
+    join keeps only occupied targets, then ops.connected_components (label
+    = min cell id; small-graph fast path for cell-count-sized graphs,
+    iterative min-label exchange beyond)."""
+    from spatialindex_ray.kernels import hexgrid
+
+    counts = _hex_tile_agg(sf_dir)  # (hex_cell, n_rows)
+
+    def edge_cand(tbl: pa.Table) -> pa.Table:
+        if "hex_cell" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        cells = tbl["hex_cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+        nb = hexgrid.neighbors(cells, stitch=True)
+        src = np.repeat(cells.view(np.int64), nb.shape[1])
+        dst = nb.reshape(-1).view(np.int64)
+        keep = src != dst  # stitch folding at clipped corners can self-map
+        return pa.table(
+            {"left_id": pa.array(src[keep]), "right_id": pa.array(dst[keep])}
+        )
+
+    cand = counts.map_batches(edge_cand, batch_format="pyarrow", batch_size=None)
+
+    def occ_key(tbl: pa.Table) -> pa.Table:
+        if "hex_cell" not in tbl.column_names:
+            return pa.table({"right_id": pa.array([], pa.int64())})
+        return pa.table({"right_id": tbl["hex_cell"]})
+
+    occ = counts.map_batches(occ_key, batch_format="pyarrow", batch_size=None)
+    edges = ops.equi_join(cand, occ, on="right_id", how="semi", n_shards=16)
+    return ops.connected_components(edges, counts, node_col="hex_cell")
+
+
+def _hex_clusters_oracle():
+    # reuse the hex_smooth neighbor re-encode dual; edges = stitched
+    # neighbor pairs with BOTH endpoints occupied, components by recursive
+    # min-label walk (the dedup_clusters pattern)
+    body = _hex_smooth_oracle()
+    cut = body.index(",\npairs AS (")
+    return (
+        body[:cut].replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+e0 AS (
+  SELECT DISTINCT h.src_cell AS a, h.hex_cell AS b
+  FROM hexc2 h
+  WHERE h.hex_cell <> h.src_cell
+    AND h.hex_cell IN (SELECT hex_cell FROM counts)),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+walk(node, reach) AS (
+  SELECT hex_cell, hex_cell FROM counts
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.reach)
+SELECT node AS hex_cell, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+    )
+
+
 def _tile_counts(sf_dir):
     ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
     out = ops.tile_counts(ds, TILE_DEG)
@@ -24177,6 +24245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dup_pairs": _winnow_dup_pairs,
         "coverage_holes": _coverage_holes,
         "audio_pitch": multimodal.audio_pitch_query,
+        # --- wave 85 ---
+        "trigram_backoff": textfn.trigram_backoff_query,
+        "hex_clusters": _hex_clusters,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -24539,6 +24610,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_pairs": _winnow_dup_pairs_oracle(),
         "coverage_holes": _coverage_holes_oracle(),
         "audio_pitch": multimodal.AUDIO_PITCH_ORACLE,
+        "trigram_backoff": textfn.TRIGRAM_BACKOFF_ORACLE,
+        "hex_clusters": _hex_clusters_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

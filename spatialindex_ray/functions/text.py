@@ -1341,3 +1341,207 @@ c AS (SELECT a, b, count(*) AS n FROM pr GROUP BY 1, 2)
 SELECT a, b, CAST(n AS BIGINT) AS n FROM c
 ORDER BY n DESC, a, b LIMIT {BPE_TOP_K}
 """
+
+
+# --------------------------------------------- trigram LM, stupid backoff
+# Brants et al. 2007 ("Large Language Models in Machine Translation"):
+# S(w3|w1 w2) = c(w1w2w3)/c(w1w2), backing off to 0.4*c(w2w3)/c(w2), then
+# 0.4^2*c(w3)/N — unnormalized, division-free to train, the standard
+# web-scale n-gram scorer.  All scores here are exact integer ppm
+# (floor(1e6 * ratio) via int64 //), so the distributed sum is order-free.
+TRIGRAM_SCALE = 1_000_000
+BO1_NUM = 400_000   # 0.4  * 1e6
+BO2_NUM = 160_000   # 0.4^2 * 1e6
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX_C = np.uint64(0x165667B19E3779F9)
+
+
+def _gram_keys(h: np.ndarray, offsets: np.ndarray):
+    """(bi_keys, tri_keys, bi_rows, tri_rows) over a flat token-hash array
+    with row offsets: windows never cross a row.  Keys are linear mixes mod
+    2^64 — injective on this corpus exactly like the dedup gram hashes (the
+    SQL dual joins on token STRINGS, so key collisions are the only parity
+    risk and are 2^-64-scale)."""
+    n_rows = len(offsets) - 1
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), offsets[1:] - offsets[:-1])
+    with np.errstate(over="ignore"):
+        bi = h[:-1] * _MIX_A + h[1:] * _MIX_B if len(h) >= 2 else np.empty(0, np.uint64)
+        tri = (
+            h[:-2] * _MIX_A + h[1:-1] * _MIX_B + h[2:] * _MIX_C
+            if len(h) >= 3
+            else np.empty(0, np.uint64)
+        )
+    bi_ok = row_of[:-1] == row_of[1:] if len(h) >= 2 else np.empty(0, bool)
+    tri_ok = row_of[:-2] == row_of[2:] if len(h) >= 3 else np.empty(0, bool)
+    return bi[bi_ok], tri[tri_ok], row_of[:-1][bi_ok], row_of[:-2][tri_ok]
+
+
+class _SortedCounts:
+    """Immutable sorted-key count table with vectorized lookup."""
+
+    def __init__(self, keys: np.ndarray, counts: np.ndarray):
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.counts = counts[order]
+
+    def get(self, q: np.ndarray) -> np.ndarray:
+        if len(self.keys) == 0:
+            return np.zeros(len(q), dtype=np.int64)
+        idx = np.searchsorted(self.keys, q)
+        idx = np.minimum(idx, len(self.keys) - 1)
+        hit = self.keys[idx] == q
+        out = np.where(hit, self.counts[idx], 0)
+        return out.astype(np.int64)
+
+
+def trigram_backoff_query(sf_dir: str):
+    """Held-out trigram-LM scoring with stupid backoff: documents with even
+    doc_id are TRAIN (uni/bi/tri-gram count model), odd doc_id are EVAL —
+    each eval trigram position scores floor(1e6*c3/c12) if the trigram was
+    seen in training, else floor(4e5*c23/c2), else floor(1.6e5*c1/N), else
+    0.  Returns per eval doc (n_pos, sum_ppm) — the integer-exact analog of
+    corpus perplexity, the filter every LLM data pipeline runs to drop
+    out-of-distribution documents.
+
+    Distributed shape: count tables build as per-batch np.unique partials +
+    one (kind, key) groupby-sum; the fitted model is vocabulary-sized (<<
+    data) and ships to scorers via ray.put once — the classic
+    broadcast-model/stream-data split.  Scoring is one vectorized
+    searchsorted pass per batch; per-doc sums are wrap-free int64."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def train_partials(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        flat, offsets = _token_segments(sub["text"])
+        h = hashing.poly_hash64_of_tokens(flat)
+        bi, tri, _, _ = _gram_keys(h, offsets)
+        kinds, keys, cnts = [], [], []
+        for kind, arr in ((0, h), (1, bi), (2, tri)):
+            u, c = np.unique(arr, return_counts=True)
+            kinds.append(np.full(len(u), kind, dtype=np.int64))
+            keys.append(u)
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds)),
+                "key": pa.array(np.concatenate(keys).view(np.int64)),
+                "partial": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(train_partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["kind", "key"])
+        .sum("partial")
+    )
+    tables = {0: ([], []), 1: ([], []), 2: ([], [])}
+    for row in counts.iter_rows():
+        k, c = tables[row["kind"]]
+        k.append(row["key"])
+        c.append(row["sum(partial)"])
+    model = {}
+    for kind, (k, c) in tables.items():
+        model[kind] = _SortedCounts(
+            np.array(k, dtype=np.int64).view(np.uint64), np.array(c, dtype=np.int64)
+        )
+    n_train = int(model[0].counts.sum())
+    model_ref = ray.put((model, n_train))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        mdl, n_tr = _ray.get(model_ref)
+        sub = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        flat, offsets = _token_segments(sub["text"])
+        h = hashing.poly_hash64_of_tokens(flat)
+        bi, tri, bi_rows, tri_rows = _gram_keys(h, offsets)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_pos": pa.array([], pa.int64()),
+                "sum_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if len(tri) == 0:
+            return empty
+        # align: trigram at flat index i pairs with bi12 at i, bi23 at i+1,
+        # u2 at i+1, u3 at i+2 — recompute from the same validity mask
+        n_rows = len(offsets) - 1
+        row_of = np.repeat(
+            np.arange(n_rows, dtype=np.int64), offsets[1:] - offsets[:-1]
+        )
+        tri_ok = row_of[:-2] == row_of[2:]
+        gi = np.arange(len(h) - 2, dtype=np.int64)[tri_ok]
+        with np.errstate(over="ignore"):
+            bi12 = h[gi] * _MIX_A + h[gi + 1] * _MIX_B
+            bi23 = h[gi + 1] * _MIX_A + h[gi + 2] * _MIX_B
+        c3 = mdl[2].get(tri)
+        c12 = mdl[1].get(bi12)
+        c23 = mdl[1].get(bi23)
+        c2 = mdl[0].get(h[gi + 1])
+        c1 = mdl[0].get(h[gi + 2])
+        s = np.zeros(len(tri), dtype=np.int64)
+        m3 = c3 > 0
+        s[m3] = (c3[m3] * TRIGRAM_SCALE) // c12[m3]
+        m2 = (~m3) & (c23 > 0)
+        s[m2] = (c23[m2] * BO1_NUM) // c2[m2]
+        m1 = (~m3) & (~m2) & (c1 > 0)
+        s[m1] = (c1[m1] * BO2_NUM) // n_tr
+        rows = tri_rows
+        n_pos = np.bincount(rows, minlength=len(ids)).astype(np.int64)
+        sums = np.bincount(rows, weights=s.astype(np.float64), minlength=len(ids))
+        # bincount weights go through float64 — exact only below 2^53; per-doc
+        # ppm sums are ~n_tokens*1e6 << 2^53, asserted here
+        assert sums.max(initial=0) < 2**53
+        keep = n_pos > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_pos": pa.array(n_pos[keep]),
+                "sum_ppm": pa.array(sums[keep].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+TRIGRAM_BACKOFF_ORACLE = rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+tok AS (SELECT doc_id, t.i AS i, ws[t.i] AS wd
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+trn AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+nn AS (SELECT count(*) AS n FROM trn),
+uni AS (SELECT wd, count(*) AS c FROM trn GROUP BY wd),
+bi AS (SELECT a.wd AS w1, b.wd AS w2, count(*) AS c
+       FROM trn a JOIN trn b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       GROUP BY 1, 2),
+tri AS (SELECT a.wd AS w1, b.wd AS w2, c.wd AS w3, count(*) AS c
+        FROM trn a JOIN trn b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   JOIN trn c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        GROUP BY 1, 2, 3),
+ev AS (SELECT a.doc_id, a.wd AS w1, b.wd AS w2, c.wd AS w3
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+       WHERE a.doc_id % 2 = 1),
+sc AS (SELECT ev.doc_id,
+   CASE WHEN t.c IS NOT NULL THEN (t.c * {TRIGRAM_SCALE}) // b12.c
+        WHEN b23.c IS NOT NULL THEN (b23.c * {BO1_NUM}) // u2.c
+        WHEN u3.c IS NOT NULL THEN (u3.c * {BO2_NUM}) // (SELECT n FROM nn)
+        ELSE 0 END AS s
+   FROM ev LEFT JOIN tri t ON t.w1 = ev.w1 AND t.w2 = ev.w2 AND t.w3 = ev.w3
+           LEFT JOIN bi b12 ON b12.w1 = ev.w1 AND b12.w2 = ev.w2
+           LEFT JOIN bi b23 ON b23.w1 = ev.w2 AND b23.w2 = ev.w3
+           LEFT JOIN uni u2 ON u2.wd = ev.w2
+           LEFT JOIN uni u3 ON u3.wd = ev.w3)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(s) AS BIGINT) AS sum_ppm
+FROM sc GROUP BY doc_id
+"""
