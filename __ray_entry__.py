@@ -2281,6 +2281,216 @@ def _events_orders_asof(sf_dir):
     return out.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+def _events_orders_asof_fwd(sf_dir):
+    """FORWARD as-of join — the other direction of events_orders_asof: each
+    ORDER attaches the EARLIEST event by the same user at or after the
+    order date (ties on ts broken by max event_id).  Same exchange +
+    per-shard merge_asof plan, direction='forward' — the 'next user action
+    after purchase' attribution join."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.asof_join(
+        orders,
+        events,
+        by="o_custkey",
+        on="o_orderdate",
+        right_by="user_id",
+        right_on="ts",
+        direction="forward",
+        tiebreak="event_id",
+    )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.select(["o_orderkey", "event_id"])
+        t = t.filter(pc.is_valid(t["event_id"]))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_ORDERS_ASOF_FWD_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderkey, e.event_id,
+    row_number() OVER (PARTITION BY o.o_orderkey
+                       ORDER BY e.ts ASC, e.event_id DESC) AS rn
+  FROM orders o JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+SELECT o_orderkey, event_id FROM j WHERE rn = 1
+"""
+
+
+USERS_ALL_TYPES_MIN_VALUE = 100.0
+
+
+def _users_all_types(sf_dir):
+    """Relational DIVISION (Codd's ÷): users with a HIGH-VALUE event
+    (value >= 100) of EVERY event type present in the corpus — the
+    'suppliers who stock all probe parts' query shape, with a divisor
+    computed from the data itself (the value filter makes the division
+    selective; unfiltered, this synthetic corpus is dense and every user
+    qualifies).  Engine: per-batch distinct (user, type) partials collapse
+    duplicates before the shuffle; a two-key groupby makes the set global;
+    one groupby-count against the broadcast divisor cardinality.  Nothing
+    wider than (user, type) moves."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    full_ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    # divisor: distinct types over the UNFILTERED corpus
+    t_count_global = len(full_ds.unique("event_type"))
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(
+            pc.greater_equal(tbl["value"], USERS_ALL_TYPES_MIN_VALUE)
+        )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        # distinct within the batch via lexsort run heads
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        keep = np.ones(len(uid), dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        return pa.table(
+            {"user_id": pa.array(uid[keep]), "event_type": pa.array(et[keep])}
+        )
+
+    d = full_ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    t_count = t_count_global
+    # global distinct (user, type): the per-batch dedupe above only bounds
+    # shuffle volume; the two-key groupby collapses cross-batch duplicates
+    distinct = d.groupby(["user_id", "event_type"]).count()
+
+    def drop_type(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.column_names:
+            return pa.schema([("user_id", pa.int64())]).empty_table()
+        return tbl.select(["user_id"])
+
+    per_user = (
+        distinct.map_batches(drop_type, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .count()
+    )
+
+    def full(tbl: pa.Table) -> pa.Table:
+        if "count()" not in tbl.column_names:
+            return pa.schema([("user_id", pa.int64())]).empty_table()
+        c = tbl["count()"].to_numpy(zero_copy_only=False)
+        return tbl.select(["user_id"]).filter(pa.array(c == t_count))
+
+    return per_user.map_batches(full, batch_format="pyarrow", batch_size=None)
+
+
+USERS_ALL_TYPES_ORACLE = f"""
+WITH t AS (SELECT count(DISTINCT event_type) AS n FROM events),
+d AS (SELECT DISTINCT user_id, event_type FROM events
+      WHERE value >= {USERS_ALL_TYPES_MIN_VALUE!r})
+SELECT user_id FROM d GROUP BY user_id
+HAVING count(*) = (SELECT n FROM t)
+"""
+
+
+# first epoch a moving point enters the cone (conjunction-style sweep)
+ENTRY_N_EPOCH = 8     # epochs t = 0, 1, ..., 8
+ENTRY_DT = 5.0        # years per epoch step
+
+
+def _cone_entry_epoch(sf_dir):
+    """Moving-object region ENTRY search: for each point (with the wave-83
+    deterministic proper motion), the smallest epoch index t in
+    [0, ENTRY_N_EPOCH] at which its propagated position lies inside the
+    cone — 'when does the object first enter the field'.  The cover
+    prefilter pads the cone by the maximum displacement over the WHOLE
+    horizon (|dlat|+|dlon| <= 2*PM_AMP*ENTRY_DT*N — one plan, every epoch),
+    then a bounded epoch loop refines exactly: O(N_epoch) vectorized mask
+    passes per batch, never per-row work."""
+    from spatialindex_ray import geom
+
+    si = SpatialIndex()
+    cfg = CONE_EPOCH
+    horizon = ENTRY_DT * ENTRY_N_EPOCH
+    pad = 2.0 * PM_AMP * horizon
+    plan = si.cone_plan(
+        cfg["ra"], cfg["dec"], cfg["radius"] + pad, mode=0, level=cfg["level"]
+    )
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c0, c1, c2 = cone.center
+    cr = cone.cosrad
+    pre = ops.region_search(_docs_encoded(sf_dir), plan)
+
+    def refine(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon = tbl["lon"].to_numpy(zero_copy_only=False)
+        lat = tbl["lat"].to_numpy(zero_copy_only=False)
+        pm_lon = PM_AMP * (2.0 * np.fmod(ids * PM_C1, 1.0) - 1.0)
+        pm_lat = PM_AMP * (2.0 * np.fmod(ids * PM_C2, 1.0) - 1.0)
+        entry = np.full(len(ids), -1, dtype=np.int64)
+        for t in range(ENTRY_N_EPOCH + 1):
+            dt = t * ENTRY_DT
+            lon2 = np.fmod(lon + pm_lon * dt + 360.0, 360.0)
+            lat2 = np.minimum(np.maximum(lat + pm_lat * dt, -90.0), 90.0)
+            v = ops.xyz_from_lonlat(lon2, lat2)
+            inside = v[:, 0] * c0 + v[:, 1] * c1 + v[:, 2] * c2 >= cr
+            entry = np.where((entry < 0) & inside, t, entry)
+        out = pa.table(
+            {"doc_id": tbl["doc_id"], "entry_epoch": pa.array(entry)}
+        )
+        return out.filter(pa.array(entry >= 0))
+
+    return pre.map_batches(refine, batch_format="pyarrow", batch_size=None)
+
+
+def _cone_entry_epoch_oracle():
+    from spatialindex_ray import geom
+
+    cfg = CONE_EPOCH
+    cone = geom.Cone(cfg["ra"], cfg["dec"], cfg["radius"])
+    c = cone.center
+    return f"""
+WITH p AS ({_POS_SQL}),
+ep AS (SELECT unnest(range(0, {ENTRY_N_EPOCH + 1})) AS t),
+m AS (
+  SELECT p.doc_id, ep.t,
+    fmod(lon + ({_d(PM_AMP)} * (2.0*fmod(doc_id*{_d(PM_C1)}, 1.0) - 1.0))
+               * (ep.t * {_d(ENTRY_DT)}) + 360.0, 360.0) AS lon2,
+    least(greatest(lat + ({_d(PM_AMP)} * (2.0*fmod(doc_id*{_d(PM_C2)}, 1.0)
+               - 1.0)) * (ep.t * {_d(ENTRY_DT)}), -90.0), 90.0) AS lat2
+  FROM p CROSS JOIN ep),
+raw AS (
+  SELECT doc_id, t,
+    cos(lon2*{_d(RAD)})*cos(lat2*{_d(RAD)}) AS x0,
+    sin(lon2*{_d(RAD)})*cos(lat2*{_d(RAD)}) AS y0,
+    sin(lat2*{_d(RAD)}) AS z0
+  FROM m),
+n2 AS (
+  SELECT doc_id, t,
+    x0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS x,
+    y0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS y,
+    z0 / sqrt(x0*x0 + y0*y0 + z0*z0) AS z
+  FROM raw)
+SELECT doc_id, CAST(min(t) AS BIGINT) AS entry_epoch
+FROM n2
+WHERE x*{_d(c[0])} + y*{_d(c[1])} + z*{_d(c[2])} >= {_d(cone.cosrad)}
+GROUP BY doc_id
+"""
+
+
 EVENT_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -24248,6 +24458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 85 ---
         "trigram_backoff": textfn.trigram_backoff_query,
         "hex_clusters": _hex_clusters,
+        # --- wave 86 ---
+        "events_orders_asof_fwd": _events_orders_asof_fwd,
+        "users_all_types": _users_all_types,
+        "cone_entry_epoch": _cone_entry_epoch,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -24612,6 +24826,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_pitch": multimodal.AUDIO_PITCH_ORACLE,
         "trigram_backoff": textfn.TRIGRAM_BACKOFF_ORACLE,
         "hex_clusters": _hex_clusters_oracle(),
+        "events_orders_asof_fwd": EVENTS_ORDERS_ASOF_FWD_ORACLE,
+        "users_all_types": USERS_ALL_TYPES_ORACLE,
+        "cone_entry_epoch": _cone_entry_epoch_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
