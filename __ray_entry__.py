@@ -689,6 +689,223 @@ FROM walk GROUP BY node
     )
 
 
+def _hex_rollup(sf_dir):
+    """Cross-resolution hex rollup: aperture-7 grids do NOT nest (no parent
+    bit-prefix like HTM/HPX/S2), so coarsening re-encodes each occupied
+    res-4 cell's CENTER at res 3 and sums counts there — the canonical
+    H3-style compaction step.  Runs entirely on the already-aggregated
+    (cell, n) table: one vectorized center re-encode per batch + one tiny
+    groupby; the point set is touched once by the underlying cell counts."""
+    from spatialindex_ray.kernels import hexgrid
+
+    counts = _hex_tile_agg(sf_dir)
+
+    def to_parent(tbl: pa.Table) -> pa.Table:
+        if "hex_cell" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "hex_parent": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        cells = tbl["hex_cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = tbl["n_rows"].to_numpy(zero_copy_only=False)
+        ctr = hexgrid.cell_center_xyz(cells)
+        parent = hexgrid.xyz_to_cell(ctr, HEX_RES - 1).view(np.int64)
+        order = np.argsort(parent)
+        parent, n = parent[order], n[order]
+        heads = np.ones(len(parent), dtype=bool)
+        heads[1:] = parent[1:] != parent[:-1]
+        seg = np.cumsum(heads) - 1
+        sums = np.bincount(seg, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "hex_parent": pa.array(parent[heads]),
+                "partial": pa.array(sums),
+            }
+        )
+
+    out = (
+        counts.map_batches(to_parent, batch_format="pyarrow", batch_size=None)
+        .groupby("hex_parent")
+        .sum("partial")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["hex_parent", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _hex_rollup_oracle():
+    from spatialindex_ray.kernels import hexgrid as hg
+
+    def d(v):
+        return f"{float(v):.17e}"
+
+    B = hg._res_basis(HEX_RES)
+    OFF = int(hg._OFF)
+    MASK = (1 << 27) - 1
+    return (
+        _xyz_sql()
+        + _hex_facev_cte()
+        + _hex_encode_sql_fragment(HEX_RES)
+        + f""",
+counts AS (SELECT hex_cell, count(*) AS n FROM hexc GROUP BY hex_cell),
+parts AS (SELECT hex_cell,
+    CAST((hex_cell >> 54) & 31 AS BIGINT) AS face,
+    ((hex_cell >> 27) & {MASK}) - {OFF} AS qi,
+    (hex_cell & {MASK}) - {OFF} AS ri
+  FROM counts),
+craw AS (SELECT p.hex_cell AS src_cell,
+    fcx + ({d(B[0, 0])} * qi + {d(B[0, 1])} * ri) * e1x
+        + ({d(B[1, 0])} * qi + {d(B[1, 1])} * ri) * e2x AS vx,
+    fcy + ({d(B[0, 0])} * qi + {d(B[0, 1])} * ri) * e1y
+        + ({d(B[1, 0])} * qi + {d(B[1, 1])} * ri) * e2y AS vy,
+    fcz + ({d(B[0, 0])} * qi + {d(B[0, 1])} * ri) * e1z
+        + ({d(B[1, 0])} * qi + {d(B[1, 1])} * ri) * e2z AS vz
+  FROM parts p JOIN facev USING (face)),
+pctr AS (SELECT src_cell,
+    vx / sqrt(vx*vx + vy*vy + vz*vz) AS x,
+    vy / sqrt(vx*vx + vy*vy + vz*vz) AS y,
+    vz / sqrt(vx*vx + vy*vy + vz*vz) AS z
+  FROM craw)"""
+        + _hex_encode_sql_fragment(
+            HEX_RES - 1, src="pctr", key="src_cell", prefix="h", out="hexp"
+        )
+        + """
+SELECT hexp.hex_cell AS hex_parent, CAST(sum(c.n) AS BIGINT) AS n_rows
+FROM hexp JOIN counts c ON c.hex_cell = hexp.src_cell
+GROUP BY 1
+"""
+    )
+
+
+CAP_SCALE = 1_000_000
+
+
+def _source_cap(sf_dir):
+    """Per-source spherical BOUNDING CAP: the normalized integer-micro-unit
+    centroid direction plus the cap cosine-radius (min dot product of any
+    member with the centroid) — the grouped minimum-enclosing-cap
+    approximation every spatial catalog keeps per partition for query
+    pruning.  Float-exact distributedly because both reductions are
+    order-free: component sums are int64 micro-units (the
+    embedding_centroids rule), and min() commutes; the centroid float math
+    happens once, deterministically, from the already-reduced integers."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None)
+
+    def int_sums(tbl: pa.Table) -> pa.Table:
+        src = tbl["source"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(src, return_inverse=True)
+        out = {"source": pa.array(ul)}
+        for c in ("x", "y", "z"):
+            v = np.round(tbl[c].to_numpy(zero_copy_only=False) * CAP_SCALE).astype(
+                np.int64
+            )
+            out[f"s{c}"] = pa.array(np.bincount(inv, weights=v, minlength=len(ul)).astype(np.int64))
+        out["n"] = pa.array(np.bincount(inv, minlength=len(ul)).astype(np.int64))
+        return pa.table(out)
+
+    sums = (
+        enc.map_batches(int_sums, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .sum(["sx", "sy", "sz", "n"])
+    )
+    cent = {}
+    for r in sums.iter_rows():
+        fx, fy, fz = float(r["sum(sx)"]), float(r["sum(sy)"]), float(r["sum(sz)"])
+        nrm = math.sqrt(fx * fx + fy * fy + fz * fz)
+        cent[r["source"]] = (fx / nrm, fy / nrm, fz / nrm, int(r["sum(n)"]))
+
+    def min_dot(tbl: pa.Table) -> pa.Table:
+        src = tbl["source"].to_numpy(zero_copy_only=False)
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        z = tbl["z"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(src, return_inverse=True)
+        cx = np.array([cent[s][0] for s in ul])
+        dot = (
+            x * cx[inv]
+            + y * np.array([cent[s][1] for s in ul])[inv]
+            + z * np.array([cent[s][2] for s in ul])[inv]
+        )
+        md = np.full(len(ul), np.inf)
+        np.minimum.at(md, inv, dot)
+        return pa.table({"source": pa.array(ul), "partial": pa.array(md)})
+
+    mins = (
+        enc.map_batches(min_dot, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .min("partial")
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if "source" not in tbl.column_names:
+            return pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("cx", pa.float64()),
+                    ("cy", pa.float64()),
+                    ("cz", pa.float64()),
+                    ("cos_radius", pa.float64()),
+                ]
+            ).empty_table()
+        srcs = tbl["source"].to_pylist()
+        c = np.array([cent[s][:3] for s in srcs], dtype=np.float64).reshape(-1, 3)
+        return pa.table(
+            {
+                "source": tbl["source"],
+                "n_docs": pa.array(
+                    np.array([cent[s][3] for s in srcs], dtype=np.int64)
+                ),
+                "cx": pa.array(c[:, 0]),
+                "cy": pa.array(c[:, 1]),
+                "cz": pa.array(c[:, 2]),
+                "cos_radius": tbl["min(partial)"],
+            }
+        )
+
+    return mins.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _source_cap_oracle():
+    return (
+        _xyz_sql()
+        + f""",
+ns AS (SELECT n.doc_id, d.source, n.x, n.y, n.z
+       FROM n JOIN documents d USING (doc_id)),
+s AS (SELECT source, count(*) AS n,
+        sum(CAST(round(x * {CAP_SCALE}) AS BIGINT)) AS sx,
+        sum(CAST(round(y * {CAP_SCALE}) AS BIGINT)) AS sy,
+        sum(CAST(round(z * {CAP_SCALE}) AS BIGINT)) AS sz
+      FROM ns GROUP BY source),
+c AS (SELECT source, n,
+        CAST(sx AS DOUBLE) / sqrt(CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)
+          + CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)
+          + CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)) AS cx,
+        CAST(sy AS DOUBLE) / sqrt(CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)
+          + CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)
+          + CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)) AS cy,
+        CAST(sz AS DOUBLE) / sqrt(CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)
+          + CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)
+          + CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)) AS cz
+      FROM s),
+m AS (SELECT p.source, min(p.x*c.cx + p.y*c.cy + p.z*c.cz) AS md
+      FROM ns p JOIN c USING (source) GROUP BY p.source)
+SELECT c.source, CAST(c.n AS BIGINT) AS n_docs, c.cx, c.cy, c.cz,
+       m.md AS cos_radius
+FROM c JOIN m USING (source)
+"""
+    )
+
+
 def _tile_counts(sf_dir):
     ds = _docs_encoded(sf_dir, htm_level=None, hpx_level=None)
     out = ops.tile_counts(ds, TILE_DEG)
@@ -24462,6 +24679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof_fwd": _events_orders_asof_fwd,
         "users_all_types": _users_all_types,
         "cone_entry_epoch": _cone_entry_epoch,
+        # --- wave 87 ---
+        "hex_rollup": _hex_rollup,
+        "source_cap": _source_cap,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -24829,6 +25049,8 @@ def oracle_sql() -> dict[str, str]:
         "events_orders_asof_fwd": EVENTS_ORDERS_ASOF_FWD_ORACLE,
         "users_all_types": USERS_ALL_TYPES_ORACLE,
         "cone_entry_epoch": _cone_entry_epoch_oracle(),
+        "hex_rollup": _hex_rollup_oracle(),
+        "source_cap": _source_cap_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
