@@ -2708,6 +2708,193 @@ GROUP BY doc_id
 """
 
 
+def _corpus_filter_report(sf_dir):
+    """The FILTER DECISION step of a C4/Gopher-style cleaning pipeline: per
+    document, a failure bitmask over the four integer-exact Gopher rules
+    (bit0 word count < 30, bit1 mean token length outside [3,6], bit2
+    stopword fraction < 5%, bit3 single-token dominance > 20%) and the
+    final keep verdict — the per-doc audit trail a curation run must emit
+    so drops are explainable.  Same vectorized tokenize/factorize pass as
+    gopher_quality_flags, but emitted per doc (pure map, no shuffle at
+    all); every rule is an integer cross-product, so the SQL dual is
+    bit-exact."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def report(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        flat, offsets = textfn._token_segments(tbl["text"])
+        words = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = textfn._segment_sum(lens, offsets).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=pa.array(["the", "a"])).to_numpy(
+            zero_copy_only=False
+        )
+        stop = textfn._segment_sum(is_stop.astype(np.int64), offsets).astype(np.int64)
+        maxcnt = np.zeros(len(words), dtype=np.int64)
+        if len(flat) > 0:
+            codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+            row_of = np.repeat(np.arange(len(words), dtype=np.int64), words)
+            key = row_of * np.int64(len(uniques)) + codes
+            key.sort()
+            brk = np.concatenate(
+                [[0], np.flatnonzero(key[1:] != key[:-1]) + 1, [len(key)]]
+            )
+            runs = np.diff(brk).astype(np.int64)
+            run_row = key[brk[:-1]] // np.int64(len(uniques))
+            np.maximum.at(maxcnt, run_row, runs)
+        f0 = ~(words >= 30)
+        f1 = ~((words > 0) & (3 * words <= sum_len) & (sum_len <= 6 * words))
+        f2 = ~((words > 0) & (20 * stop >= words))
+        f3 = ~((words > 0) & (5 * maxcnt <= words))
+        mask = (
+            f0.astype(np.int64)
+            + 2 * f1.astype(np.int64)
+            + 4 * f2.astype(np.int64)
+            + 8 * f3.astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "fail_mask": pa.array(mask),
+                "keep": pa.array(mask == 0),
+            }
+        )
+
+    return ds.map_batches(report, batch_format="pyarrow", batch_size=None)
+
+
+CORPUS_FILTER_REPORT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+agg AS (
+  SELECT doc_id, count(*) AS words, sum(length(w)) AS sum_len,
+         sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stop
+  FROM t GROUP BY doc_id),
+modec AS (
+  SELECT doc_id, max(c) AS maxcnt
+  FROM (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w)
+  GROUP BY doc_id),
+per AS (
+  SELECT d.doc_id,
+    COALESCE(a.words, 0) AS words, COALESCE(a.sum_len, 0) AS sum_len,
+    COALESCE(a.stop, 0) AS stop, COALESCE(m.maxcnt, 0) AS maxcnt
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+                   LEFT JOIN modec m USING (doc_id)),
+mk AS (
+  SELECT doc_id,
+    (CASE WHEN NOT (words >= 30) THEN 1 ELSE 0 END)
+    + 2 * (CASE WHEN NOT (words > 0 AND 3*words <= sum_len
+                          AND sum_len <= 6*words) THEN 1 ELSE 0 END)
+    + 4 * (CASE WHEN NOT (words > 0 AND 20*stop >= words) THEN 1 ELSE 0 END)
+    + 8 * (CASE WHEN NOT (words > 0 AND 5*maxcnt <= words) THEN 1 ELSE 0 END)
+      AS fail_mask
+  FROM per)
+SELECT doc_id, CAST(fail_mask AS BIGINT) AS fail_mask,
+       fail_mask = 0 AS keep
+FROM mk
+"""
+
+
+def _reorder_depth(sf_dir):
+    """Streaming watermark sizing: per user, the maximum event-time
+    LATENESS observed when consuming events in ARRIVAL order — max over the
+    stream of running-max(ts) - ts — plus the count of late events.  This
+    is THE number that sizes a reorder buffer / watermark delay in any
+    event-time streaming system.  The synthetic corpus stores events
+    already time-ordered, so arrival is modeled as the splitmix64
+    permutation of event_id (a deterministic network shuffle; same
+    public-domain constants as every sampling op here, so the SQL dual
+    replays it exactly).  Distributed shape: the sessionize exchange (hash
+    shard by user, one vectorized lexsort + segmented cummax per shard via
+    the add-segment-offset trick); only (user, arrival, ts) columns move."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        arr = ops._splitmix64(eid).view(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": tbl["user_id"],
+                "event_id": pa.array(arr),
+                "ts_us": tbl["ts"].cast(pa.int64()),
+            }
+        )
+
+    def depth_shard(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "max_lateness_us": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                }
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, ts = uid[order], ts[order]
+        heads = np.ones(len(uid), dtype=bool)
+        heads[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(heads) - 1
+        # segmented running max: shift each segment into its own band so
+        # the global cummax cannot carry across users
+        rel = ts - ts.min()
+        band = (rel.max() + 1) if len(rel) else 1
+        # offset-trick bound: users/shard x time span must fit int64 —
+        # raise n_shards (or chunk segments) past ~10^5 users x decades
+        assert int(seg[-1]) * int(band) < 1 << 62, "reorder_depth band overflow"
+        cm = np.maximum.accumulate(rel + seg * band) - seg * band
+        late = cm - rel
+        n_users = seg[-1] + 1
+        mx = np.zeros(n_users, dtype=np.int64)
+        np.maximum.at(mx, seg, late)
+        nl = np.bincount(seg[late > 0], minlength=n_users).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[heads]),
+                "max_lateness_us": pa.array(mx),
+                "n_late": pa.array(nl),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, depth_shard)
+
+
+def _reorder_depth_oracle() -> str:
+    sm = _sql_splitmix64("CAST(event_id AS HUGEINT)")
+    # fold to the int64 two's-complement view so the arrival ORDER matches
+    # the engine's int64 sort exactly
+    arr = (
+        f"CAST(({sm}) - CASE WHEN ({sm}) >= 9223372036854775808 "
+        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+    )
+    return f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY {arr}
+                                 ROWS UNBOUNDED PRECEDING) AS cm
+  FROM events)
+SELECT user_id, CAST(max(cm - ts_us) AS BIGINT) AS max_lateness_us,
+       CAST(sum(CASE WHEN ts_us < cm THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM c GROUP BY user_id
+"""
+
+
 EVENT_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -24682,6 +24869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 87 ---
         "hex_rollup": _hex_rollup,
         "source_cap": _source_cap,
+        # --- wave 88 ---
+        "corpus_filter_report": _corpus_filter_report,
+        "reorder_depth": _reorder_depth,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -25051,6 +25241,8 @@ def oracle_sql() -> dict[str, str]:
         "cone_entry_epoch": _cone_entry_epoch_oracle(),
         "hex_rollup": _hex_rollup_oracle(),
         "source_cap": _source_cap_oracle(),
+        "corpus_filter_report": CORPUS_FILTER_REPORT_ORACLE,
+        "reorder_depth": _reorder_depth_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
