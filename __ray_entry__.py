@@ -23651,6 +23651,260 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _t_closeness(sf_dir):
+    """t-closeness profile — the third leg of the k-anonymity /
+    l-diversity / t-closeness privacy triad: per (lang, source) QI group,
+    the 1-D earth-mover's distance between the group's sensitive-band
+    distribution (n_chars // LDIV_BAND) and the GLOBAL one, reported as the
+    exact integer numerator sum_b |N*cum_g(b) - g*cum_all(b)| (denominator
+    g*N; prefix-sum EMD is exact for ordered bins).  Distributed shape: the
+    l_diversity (QI, band) count cells + one broadcast global-band vector;
+    each QI group folds over the |bands|-sized grid, never over rows.
+    int64 bound: N*g per cell — beyond ~10^9 rows switch the fold to
+    float128/HUGEINT or report per-billion units."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                "source": tbl["source"].to_numpy(zero_copy_only=False),
+                "band": tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+                // LDIV_BAND,
+            }
+        )
+        g = df.groupby(["lang", "source", "band"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source", "band"])
+        .sum("n")
+    ).materialize()
+
+    # global band distribution: bands-sized, driver-bounded by the domain
+    glob = {}
+    for r in cells.iter_rows():
+        glob[r["band"]] = glob.get(r["band"], 0) + r["sum(n)"]
+    bands = np.array(sorted(glob), dtype=np.int64)
+    tn = np.array([glob[b] for b in bands], dtype=np.int64)
+    cum_all = np.cumsum(tn)
+    n_total = int(cum_all[-1]) if len(cum_all) else 0
+
+    def fold(df):
+        import pandas as pd
+
+        gb = df["band"].to_numpy()
+        gn = df["sum(n)"].to_numpy().astype(np.int64)
+        cnt = np.zeros(len(bands), dtype=np.int64)
+        cnt[np.searchsorted(bands, gb)] = gn
+        cg = np.cumsum(cnt)
+        g = int(cg[-1])
+        emd = int(np.abs(n_total * cg - g * cum_all).sum())
+        return pd.DataFrame(
+            {
+                "lang": [df.iloc[0]["lang"]],
+                "source": [df.iloc[0]["source"]],
+                "n": [g],
+                "emd_scaled": [emd],
+            }
+        )
+
+    return cells.groupby(["lang", "source"]).map_groups(fold, batch_format="pandas")
+
+
+T_CLOSENESS_ORACLE = f"""
+WITH b AS (
+  SELECT lang, source, n_chars // {LDIV_BAND} AS band, count(*) AS n
+  FROM documents GROUP BY 1, 2, 3),
+bands AS (SELECT DISTINCT band FROM b),
+g AS (SELECT lang, source, sum(n) AS gs FROM b GROUP BY 1, 2),
+tot AS (SELECT band, sum(n) AS tn FROM b GROUP BY 1),
+nn AS (SELECT sum(n) AS n FROM b),
+grid AS (SELECT g.lang, g.source, g.gs, bands.band FROM g CROSS JOIN bands),
+cells AS (
+  SELECT grid.lang, grid.source, grid.gs, grid.band,
+         COALESCE(b.n, 0) AS gn, tot.tn
+  FROM grid LEFT JOIN b USING (lang, source, band)
+            JOIN tot USING (band)),
+cum AS (
+  SELECT lang, source, gs, band,
+         sum(gn) OVER (PARTITION BY lang, source ORDER BY band) AS cg,
+         sum(tn) OVER (PARTITION BY lang, source ORDER BY band) AS ct
+  FROM cells)
+SELECT lang, source, CAST(gs AS BIGINT) AS n,
+       CAST(sum(abs((SELECT n FROM nn) * cg - gs * ct)) AS BIGINT)
+         AS emd_scaled
+FROM cum GROUP BY 1, 2, 3
+"""
+
+
+def _triplet_mining(sf_dir):
+    """Deterministic TRIPLET MINING over the embeddings table — the data op
+    that feeds metric-learning / contrastive training: for each anchor
+    (vec_id < NN_EVAL_QUERIES), the hardest positive is its NEAREST
+    same-label vector and the (hardest) negative its nearest
+    different-label vector, by exact integer micro-unit squared distance
+    with lowest-id ties; margin = d2_neg - d2_pos (negative margin = the
+    informative 'violating' triplets).  Distributed shape: anchors
+    broadcast once via ray.put, every batch emits per-(anchor, kind)
+    partial argmins, one bounded groupby fold resolves global minima —
+    driver sees O(anchors), never O(rows)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def to_int(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        emb = tbl["embedding"].combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = np.round(flat.reshape(len(ids), dim) * NN_EVAL_SCALE).astype(np.int64)
+        lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids.astype(np.int64), m, lab
+
+    def only_anchors(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.less(tbl["vec_id"], NN_EVAL_QUERIES))
+
+    anchors = ds.map_batches(
+        only_anchors, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    parts = [
+        to_int(t)
+        for t in anchors.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    a_ids = np.concatenate([p[0] for p in parts])
+    a_m = np.concatenate([p[1] for p in parts], axis=0)
+    a_lab = np.concatenate([p[2] for p in parts])
+    aref = ray.put((a_ids, a_m, a_lab))
+
+    def partial_min(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "anchor": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+                "cand": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        ai, am, al = ray.get(aref)
+        ids, m, lab = to_int(tbl)
+        rows = []
+        for r in range(len(ai)):
+            diff = am[r][None, :] - m
+            dd = (diff * diff).sum(axis=1)
+            self_m = ids == ai[r]
+            for kind, mask in ((0, (lab == al[r]) & ~self_m), (1, lab != al[r])):
+                if not mask.any():
+                    continue
+                dm = dd[mask]
+                im = ids[mask]
+                mn = dm.min()
+                cand = im[dm == mn].min()
+                rows.append((ai[r], kind, mn, cand))
+        if not rows:
+            return empty
+        arr = np.array(rows, dtype=np.int64)
+        return pa.table(
+            {
+                "anchor": pa.array(arr[:, 0]),
+                "kind": pa.array(arr[:, 1]),
+                "d2": pa.array(arr[:, 2]),
+                "cand": pa.array(arr[:, 3]),
+            }
+        )
+
+    partials = ds.map_batches(partial_min, batch_format="pyarrow", batch_size=None)
+
+    def resolve(df):
+        import pandas as pd
+
+        d2 = df["d2"].to_numpy()
+        cd = df["cand"].to_numpy()
+        mn = d2.min()
+        pick = cd[d2 == mn].min()
+        return pd.DataFrame(
+            {
+                "anchor": [int(df.iloc[0]["anchor"])],
+                "kind": [int(df.iloc[0]["kind"])],
+                "d2": [int(mn)],
+                "cand": [int(pick)],
+            }
+        )
+
+    best = partials.groupby(["anchor", "kind"]).map_groups(
+        resolve, batch_format="pandas"
+    )
+    # final pivot: join pos and neg rows per anchor (anchor-grain, tiny)
+    def pivot(df):
+        import pandas as pd
+
+        pos = df[df["kind"] == 0]
+        neg = df[df["kind"] == 1]
+        if len(pos) == 0 or len(neg) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "anchor_id", "pos_id", "neg_id", "d2_pos", "d2_neg", "margin"
+                ]
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "anchor_id": [int(df.iloc[0]["anchor"])],
+                "pos_id": [int(pos.iloc[0]["cand"])],
+                "neg_id": [int(neg.iloc[0]["cand"])],
+                "d2_pos": [int(pos.iloc[0]["d2"])],
+                "d2_neg": [int(neg.iloc[0]["d2"])],
+                "margin": [int(neg.iloc[0]["d2"]) - int(pos.iloc[0]["d2"])],
+            }
+        )
+
+    return best.groupby("anchor").map_groups(pivot, batch_format="pandas")
+
+
+TRIPLET_MINING_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * {NN_EVAL_SCALE}) AS BIGINT))
+           AS mv
+  FROM embeddings),
+q AS (SELECT * FROM m WHERE vec_id < {NN_EVAL_QUERIES}),
+d AS (
+  SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS cid, c.label AS clab,
+         list_sum(list_transform(range(1, len(q.mv) + 1),
+           i -> (q.mv[i] - c.mv[i]) * (q.mv[i] - c.mv[i]))) AS d2
+  FROM q JOIN m c ON c.vec_id <> q.vec_id),
+pos AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+  FROM d WHERE clab = qlab),
+neg AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+  FROM d WHERE clab <> qlab)
+SELECT p.qid AS anchor_id, CAST(p.cid AS BIGINT) AS pos_id,
+       CAST(n.cid AS BIGINT) AS neg_id,
+       CAST(p.d2 AS BIGINT) AS d2_pos, CAST(n.d2 AS BIGINT) AS d2_neg,
+       CAST(n.d2 - p.d2 AS BIGINT) AS margin
+FROM pos p JOIN neg n USING (qid) WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Wave 79: ranking agreement curve, dedup impact report.
 
@@ -24872,6 +25126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 88 ---
         "corpus_filter_report": _corpus_filter_report,
         "reorder_depth": _reorder_depth,
+        # --- wave 89 ---
+        "t_closeness": _t_closeness,
+        "triplet_mining": _triplet_mining,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -25243,6 +25500,8 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": _source_cap_oracle(),
         "corpus_filter_report": CORPUS_FILTER_REPORT_ORACLE,
         "reorder_depth": _reorder_depth_oracle(),
+        "t_closeness": T_CLOSENESS_ORACLE,
+        "triplet_mining": TRIPLET_MINING_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
