@@ -23905,6 +23905,163 @@ FROM pos p JOIN neg n USING (qid) WHERE p.rn = 1 AND n.rn = 1
 """
 
 
+COV_SCALE = 1_000_000
+
+
+def _embedding_cov(sf_dir):
+    """Distributed covariance accumulation over the embedding column — the
+    reduce that feeds PCA / whitening: per (i <= j) dim pair, the exact
+    integer micro^2 sums (sum x_i x_j, sum x_i, sum x_j, n), from which
+    cov_ij = (sp - si*sj/n)/n.  Per batch ONE m^T m GEMM over the int64
+    micro matrix collapses the whole batch to a (D x D) partial — the only
+    thing that shuffles is D(D+1)/2 cells per batch.  int64 bound: products
+    are <= 1e12/row, so partial sums overflow past ~9e6 rows/batch and the
+    global sum past ~9e18 total micro^2 mass — beyond that, center per
+    partition first or accumulate in float128."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        emb = tbl["embedding"].combine_chunks()
+        if len(emb) == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "sum_prod": pa.array([], pa.int64()),
+                    "sum_i": pa.array([], pa.int64()),
+                    "sum_j": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        dim = len(emb[0])
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = np.round(flat.reshape(len(emb), dim) * COV_SCALE).astype(np.int64)
+        p = m.T @ m
+        s = m.sum(axis=0)
+        iu, ju = np.triu_indices(dim)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "sum_prod": pa.array(p[iu, ju]),
+                "sum_i": pa.array(s[iu]),
+                "sum_j": pa.array(s[ju]),
+                "n": pa.array(np.full(len(iu), len(emb), dtype=np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["i", "j"])
+        .sum(["sum_prod", "sum_i", "sum_j", "n"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["i", "j", "sum_prod", "sum_i", "sum_j", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+EMBEDDING_COV_ORACLE = f"""
+WITH m AS (
+  SELECT list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS mv
+  FROM embeddings),
+dims AS (SELECT unnest(range(1, {64 + 1})) AS d),
+pairs AS (SELECT a.d AS i, b.d AS j FROM dims a JOIN dims b ON b.d >= a.d)
+SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+       CAST(sum(m.mv[p.i] * m.mv[p.j]) AS BIGINT) AS sum_prod,
+       CAST(sum(m.mv[p.i]) AS BIGINT) AS sum_i,
+       CAST(sum(m.mv[p.j]) AS BIGINT) AS sum_j,
+       CAST(count(*) AS BIGINT) AS n
+FROM m CROSS JOIN pairs p GROUP BY 1, 2
+"""
+
+
+ROLLMED_W = 5
+
+
+def _rolling_median5(sf_dir):
+    """Exact per-user ROLLING MEDIAN of event value cents over the last
+    ROLLMED_W events (lower median, quantile_disc semantics) — the robust
+    streaming smoother that rolling means can't replace under spikes.
+    Distributed shape: the sessionize exchange, then per shard one
+    (rows x W) gather matrix (window slots beyond the user's history are
+    +inf sentinels), one axis-1 sort, and a counted-index gather — no
+    per-row Python, no per-user loop."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": tbl["user_id"],
+                "event_id": tbl["event_id"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def med_shard(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "med_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        n = len(uid)
+        big = np.iinfo(np.int64).max
+        win = np.full((n, ROLLMED_W), big, dtype=np.int64)
+        valid = np.ones(n, dtype=np.int64)
+        win[:, 0] = cents
+        for k in range(1, ROLLMED_W):
+            ok = np.zeros(n, dtype=bool)
+            ok[k:] = uid[k:] == uid[:-k]
+            win[np.flatnonzero(ok), k] = cents[np.flatnonzero(ok) - k]
+            valid += ok.astype(np.int64)
+        win.sort(axis=1)
+        med = win[np.arange(n), (valid - 1) // 2]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "med_cents": pa.array(med),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return ops.hash_exchange(keyed_ds, "shard", n_shards, med_shard)
+
+
+ROLLING_MEDIAN5_ORACLE = f"""
+SELECT event_id, user_id,
+  quantile_disc(CAST(round(value * 100.0) AS BIGINT), 0.5)
+    OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN {ROLLMED_W - 1} PRECEDING AND CURRENT ROW)
+    AS med_cents
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Wave 79: ranking agreement curve, dedup impact report.
 
@@ -25129,6 +25286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 89 ---
         "t_closeness": _t_closeness,
         "triplet_mining": _triplet_mining,
+        # --- wave 90 ---
+        "embedding_cov": _embedding_cov,
+        "rolling_median5": _rolling_median5,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -25502,6 +25662,8 @@ def oracle_sql() -> dict[str, str]:
         "reorder_depth": _reorder_depth_oracle(),
         "t_closeness": T_CLOSENESS_ORACLE,
         "triplet_mining": TRIPLET_MINING_ORACLE,
+        "embedding_cov": EMBEDDING_COV_ORACLE,
+        "rolling_median5": ROLLING_MEDIAN5_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
