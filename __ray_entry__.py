@@ -23905,6 +23905,284 @@ FROM pos p JOIN neg n USING (qid) WHERE p.rn = 1 AND n.rn = 1
 """
 
 
+def _multi_touch_attribution(sf_dir):
+    """Position-based (U-shaped) MULTI-touch attribution — the allocation
+    op last-touch can't express: each purchase's cents split 40% to the
+    FIRST strictly-prior non-purchase touch, 40% to the LAST, 20% evenly
+    across the middles (1 touch -> 100%, 2 -> 50/50, 0 -> 'direct'), with
+    every division an int64 floor and the rounding remainder assigned to
+    the LAST touch so credits sum to the purchase exactly.  Distributed
+    shape: one hash exchange by user; inside a shard the purchase-touch
+    pairing is a per-user bounded vectorized merge (exactly the SQL dual's
+    join), then credits aggregate per type — only (type, cents) partials
+    leave the shard."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    n_shards = 32
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts_us": tbl["ts"].cast(pa.int64()),
+                "event_type": tbl["event_type"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def attr_shard(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "attr_type": pa.array([], pa.string()),
+                "credit_cents": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return empty
+        df = tbl.to_pandas()
+        buys = df[df["event_type"] == "purchase"]
+        tch = df[df["event_type"] != "purchase"]
+        cand = buys[["event_id", "user_id", "ts_us", "cents"]].merge(
+            tch[["event_id", "user_id", "ts_us", "event_type"]],
+            on="user_id",
+            suffixes=("_b", "_t"),
+        )
+        prior = (cand["ts_us_t"] < cand["ts_us_b"]) | (
+            (cand["ts_us_t"] == cand["ts_us_b"])
+            & (cand["event_id_t"] < cand["event_id_b"])
+        )
+        cand = cand[prior]
+        out_rows = []
+        if len(cand):
+            cand = cand.sort_values(["event_id_b", "ts_us_t", "event_id_t"])
+            g = cand.groupby("event_id_b", sort=False)
+            cand["pos"] = g.cumcount() + 1
+            cand["k"] = g["event_id_t"].transform("size")
+            c = cand["cents"].to_numpy()
+            k = cand["k"].to_numpy()
+            pos = cand["pos"].to_numpy()
+            credit = np.zeros(len(cand), dtype=np.int64)
+            m1 = k == 1
+            credit[m1] = c[m1]
+            m2f = (k == 2) & (pos == 1)
+            credit[m2f] = c[m2f] // 2
+            m2l = (k == 2) & (pos == 2)
+            credit[m2l] = c[m2l] - c[m2l] // 2
+            m3 = k >= 3
+            first = m3 & (pos == 1)
+            credit[first] = c[first] * 4 // 10
+            mid = m3 & (pos > 1) & (pos < k)
+            credit[mid] = c[mid] * 2 // (10 * (k[mid] - 2))
+            last = m3 & (pos == k)
+            credit[last] = (
+                c[last]
+                - c[last] * 4 // 10
+                - (c[last] * 2 // (10 * (k[last] - 2))) * (k[last] - 2)
+            )
+            touched = (
+                pd.DataFrame(
+                    {"attr_type": cand["event_type"].to_numpy(), "credit": credit}
+                )
+                .groupby("attr_type", as_index=False)["credit"]
+                .sum()
+            )
+            out_rows.append(touched.rename(columns={"credit": "credit_cents"}))
+            buy_ids_with = set(cand["event_id_b"].unique())
+        else:
+            buy_ids_with = set()
+        direct = buys[~buys["event_id"].isin(buy_ids_with)]["cents"].sum()
+        if direct > 0 or len(buys[~buys["event_id"].isin(buy_ids_with)]):
+            import pandas as pd
+
+            out_rows.append(
+                pd.DataFrame({"attr_type": ["direct"], "credit_cents": [int(direct)]})
+            )
+        if not out_rows:
+            return empty
+        import pandas as pd
+
+        allr = pd.concat(out_rows, ignore_index=True)
+        allr["credit_cents"] = allr["credit_cents"].astype(np.int64)
+        return pa.Table.from_pandas(allr, preserve_index=False)
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    partials = ops.hash_exchange(keyed_ds, "shard", n_shards, attr_shard)
+    out = partials.groupby("attr_type").sum("credit_cents")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["attr_type", "credit_cents"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+MULTI_TOUCH_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+buy AS (SELECT * FROM e WHERE event_type = 'purchase'),
+tch AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+pt AS (
+  SELECT b.event_id AS beid, b.cents, t.event_type AS ttype,
+         row_number() OVER (PARTITION BY b.event_id
+                            ORDER BY t.ts_us, t.event_id) AS pos,
+         count(*) OVER (PARTITION BY b.event_id) AS k
+  FROM buy b JOIN tch t ON t.user_id = b.user_id
+   AND (t.ts_us < b.ts_us
+        OR (t.ts_us = b.ts_us AND t.event_id < b.event_id))),
+cr AS (
+  SELECT ttype,
+    CASE WHEN k = 1 THEN cents
+         WHEN k = 2 AND pos = 1 THEN cents // 2
+         WHEN k = 2 AND pos = 2 THEN cents - cents // 2
+         WHEN pos = 1 THEN cents * 4 // 10
+         WHEN pos < k THEN cents * 2 // (10 * (k - 2))
+         ELSE cents - (cents * 4 // 10)
+              - (cents * 2 // (10 * (k - 2))) * (k - 2)
+    END AS credit
+  FROM pt)
+SELECT attr_type, CAST(sum(credit) AS BIGINT) AS credit_cents FROM (
+  SELECT ttype AS attr_type, credit FROM cr
+  UNION ALL
+  SELECT 'direct', cents FROM buy
+  WHERE event_id NOT IN (SELECT DISTINCT beid FROM pt)
+) GROUP BY 1
+"""
+
+
+LAYOUT_BLOCK = 32
+
+
+def _layout_quality(sf_dir):
+    """Storage-layout pruning audit: partition the SAME rows into
+    LAYOUT_BLOCK-row blocks under two physical orders — 'natural'
+    (ingestion doc_id) vs 'tile_sorted' (tile_id-clustered) — and measure
+    each block's tile_id span (max - min).  Clustered layouts give blocks
+    with tiny spans, which is exactly what makes min/max row-group pruning
+    work; this query produces the number that justifies the engine's
+    sort-before-write policy.  Distributed shape: per layout one
+    prefix_sum rank scan (range exchange, no global sort materialization)
+    + a block-keyed groupby; output is 2 rows."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    enc = ops.encode(ds, id_col="doc_id", htm_level=None, hpx_level=None)
+
+    def with_keys(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lon = tbl["lon"].to_numpy(zero_copy_only=False)
+        lat = tbl["lat"].to_numpy(zero_copy_only=False)
+        nx = int(math.ceil(360.0 / TILE_DEG))
+        tile = (
+            np.floor((lat + 90.0) / TILE_DEG).astype(np.int64) * nx
+            + np.floor(lon / TILE_DEG).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tile_id": pa.array(tile),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "key_natural": pa.array(ids),
+                "key_tile": pa.array(tile * np.int64(1 << 20) + ids),
+            }
+        )
+
+    keyed = enc.map_batches(with_keys, batch_format="pyarrow", batch_size=None)
+
+    rows = []
+    for layout, key in (("natural", "key_natural"), ("tile_sorted", "key_tile")):
+        ranked = ops.prefix_sum(keyed, key, "one")
+
+        def blocks(tbl: pa.Table) -> pa.Table:
+            blk = tbl["prefix"].to_numpy(zero_copy_only=False) // LAYOUT_BLOCK
+            return pa.table(
+                {"block": pa.array(blk.astype(np.int64)), "tile_id": tbl["tile_id"]}
+            )
+
+        spans = (
+            ranked.map_batches(blocks, batch_format="pyarrow", batch_size=None)
+            .groupby("block")
+            .aggregate(
+                ray.data.aggregate.Min("tile_id"),
+                ray.data.aggregate.Max("tile_id"),
+            )
+        )
+
+        def to_span(tbl: pa.Table) -> pa.Table:
+            if "block" not in tbl.column_names:
+                return pa.table(
+                    {"span": pa.array([], pa.int64()), "one": pa.array([], pa.int64())}
+                )
+            sp = (
+                tbl["max(tile_id)"].to_numpy(zero_copy_only=False)
+                - tbl["min(tile_id)"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table(
+                {"span": pa.array(sp), "one": pa.array(np.ones(len(sp), np.int64))}
+            )
+
+        agg = spans.map_batches(
+            to_span, batch_format="pyarrow", batch_size=None
+        ).aggregate(
+            ray.data.aggregate.Sum("span"),
+            ray.data.aggregate.Max("span"),
+            ray.data.aggregate.Sum("one"),
+        )
+        rows.append(
+            {
+                "layout": layout,
+                "n_blocks": int(agg["sum(one)"]),
+                "total_span": int(agg["sum(span)"]),
+                "max_span": int(agg["max(span)"]),
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+def _layout_quality_oracle():
+    nx = int(math.ceil(360.0 / TILE_DEG))
+    base = f"""
+  SELECT doc_id,
+    CAST(floor((lat + 90.0) / {_d(TILE_DEG)}) AS BIGINT) * {nx}
+      + CAST(floor(lon / {_d(TILE_DEG)}) AS BIGINT) AS tile_id
+  FROM p"""
+    return f"""
+WITH p AS ({_POS_SQL}),
+t AS ({base}),
+rn AS (SELECT tile_id,
+         (row_number() OVER (ORDER BY doc_id) - 1) // {LAYOUT_BLOCK} AS bn,
+         (row_number() OVER (ORDER BY tile_id * {1 << 20} + doc_id) - 1)
+           // {LAYOUT_BLOCK} AS bt
+       FROM t),
+nat AS (SELECT bn AS blk, max(tile_id) - min(tile_id) AS span
+        FROM rn GROUP BY bn),
+til AS (SELECT bt AS blk, max(tile_id) - min(tile_id) AS span
+        FROM rn GROUP BY bt)
+SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(span) AS BIGINT) AS total_span,
+       CAST(max(span) AS BIGINT) AS max_span
+FROM nat
+UNION ALL
+SELECT 'tile_sorted', CAST(count(*) AS BIGINT), CAST(sum(span) AS BIGINT),
+       CAST(max(span) AS BIGINT)
+FROM til
+"""
+
+
 COV_SCALE = 1_000_000
 
 
@@ -25289,6 +25567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 90 ---
         "embedding_cov": _embedding_cov,
         "rolling_median5": _rolling_median5,
+        # --- wave 91 ---
+        "multi_touch_attribution": _multi_touch_attribution,
+        "layout_quality": _layout_quality,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -25664,6 +25945,8 @@ def oracle_sql() -> dict[str, str]:
         "triplet_mining": TRIPLET_MINING_ORACLE,
         "embedding_cov": EMBEDDING_COV_ORACLE,
         "rolling_median5": ROLLING_MEDIAN5_ORACLE,
+        "multi_touch_attribution": MULTI_TOUCH_ORACLE,
+        "layout_quality": _layout_quality_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
