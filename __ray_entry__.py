@@ -24183,6 +24183,113 @@ FROM til
 """
 
 
+def _lang_balanced_sample(sf_dir):
+    """Balanced class downsampling — per language keep exactly min-stratum
+    -size docs (the rebalancing step before training on skewed corpora),
+    chosen by splitmix64(doc_id) rank inside each stratum so the sample is
+    reproducible under re-runs and resharding.  The quota itself is
+    computed from the data (min per-lang count, a language-sized
+    aggregate); one ops.window_rank exchange ranks every stratum."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    quota = min(
+        r["count()"] for r in ds.groupby("lang").count().iter_rows()
+    )
+
+    def hashed(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        h = ops._splitmix64(ids.astype(np.int64))
+        return pa.table(
+            {"doc_id": tbl["doc_id"], "lang": tbl["lang"], "hv": pa.array(h)}
+        )
+
+    ranked = ops.window_rank(
+        ds.map_batches(hashed, batch_format="pyarrow", batch_size=None),
+        part_col="lang",
+        order_col="hv",
+        tiebreak_col="doc_id",
+        rank_col="rnk",
+        n_shards=16,
+    )
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        out = tbl.filter(pc.less_equal(tbl["rnk"], quota))
+        return out.select(["doc_id", "lang", "rnk"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def _lang_balanced_sample_oracle():
+    sm = _sql_splitmix64("CAST(doc_id AS HUGEINT)")
+    return f"""
+WITH q AS (SELECT min(c) AS quota FROM
+           (SELECT count(*) AS c FROM documents GROUP BY lang))
+SELECT doc_id, lang, rnk FROM (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY {sm}, doc_id) AS BIGINT) AS rnk
+  FROM documents)
+WHERE rnk <= (SELECT quota FROM q)
+"""
+
+
+def _minhash_eval(sf_dir):
+    """Sketch-quality EVALUATION: confusion counts of the MinHash-LSH
+    near-dup pair set against the exact n-gram-Jaccard pair set on the
+    bounded doc_id < NGRAM_DOC_LIMIT subset — tp / fp / fn in one row, the
+    honest precision/recall report an approximate dedup pipeline owes its
+    operator.  Both sides run their own (already-verified) distributed
+    pipelines; the comparison is two composite-key semi/anti joins — the
+    driver sees three scalars."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lim = dedup.NGRAM_DOC_LIMIT
+    mh = dedup.minhash_near_dup_query(sf_dir)
+    ja = dedup.ngram_jaccard_query(sf_dir)
+
+    def keyify(tbl: pa.Table) -> pa.Table:
+        if "left_id" not in tbl.column_names:
+            return pa.table({"k": pa.array([], pa.int64())})
+        t = tbl.filter(
+            pc.and_(pc.less(tbl["left_id"], lim), pc.less(tbl["right_id"], lim))
+        )
+        li = t["left_id"].to_numpy(zero_copy_only=False)
+        ri = t["right_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(li * np.int64(1 << 32) + ri)})
+
+    mk = mh.map_batches(keyify, batch_format="pyarrow", batch_size=None).materialize()
+    jk = ja.map_batches(keyify, batch_format="pyarrow", batch_size=None).materialize()
+    n_mh = mk.count()
+    n_ja = jk.count()
+    tp = ops.equi_join(mk, jk, on="k", how="semi", n_shards=8).count()
+    return pd.DataFrame(
+        {
+            "tp": [int(tp)],
+            "fp": [int(n_mh - tp)],
+            "fn": [int(n_ja - tp)],
+        }
+    )
+
+
+def _minhash_eval_oracle():
+    lim = dedup.NGRAM_DOC_LIMIT
+    return f"""
+WITH mh0 AS ({dedup.MINHASH_NEAR_DUP_ORACLE}),
+mh AS (SELECT * FROM mh0 WHERE left_id < {lim} AND right_id < {lim}),
+ja AS ({dedup.NGRAM_JACCARD_ORACLE}),
+tp AS (SELECT count(*) AS n FROM mh JOIN ja USING (left_id, right_id))
+SELECT CAST((SELECT n FROM tp) AS BIGINT) AS tp,
+       CAST((SELECT count(*) FROM mh) - (SELECT n FROM tp) AS BIGINT) AS fp,
+       CAST((SELECT count(*) FROM ja) - (SELECT n FROM tp) AS BIGINT) AS fn
+"""
+
+
 COV_SCALE = 1_000_000
 
 
@@ -25570,6 +25677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 91 ---
         "multi_touch_attribution": _multi_touch_attribution,
         "layout_quality": _layout_quality,
+        # --- wave 92 ---
+        "lang_balanced_sample": _lang_balanced_sample,
+        "minhash_eval": _minhash_eval,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -25947,6 +26057,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median5": ROLLING_MEDIAN5_ORACLE,
         "multi_touch_attribution": MULTI_TOUCH_ORACLE,
         "layout_quality": _layout_quality_oracle(),
+        "lang_balanced_sample": _lang_balanced_sample_oracle(),
+        "minhash_eval": _minhash_eval_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import hashing
+from .text import _token_segments
 
 # ------------------------------------------------------------- exact dedup
 def exact_dedup_query(sf_dir: str):
@@ -117,8 +118,6 @@ def minhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     (DuckDB-expressible: the SQL oracle recomputes the exact signatures),
     windowed gram hashes, per-row dedupe by sort, then 64 segmented-min passes
     (np.minimum.reduceat) — signatures identical to the per-row version."""
-    from .text import _token_segments
-
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     n = len(ids)
     flat, offsets = _token_segments(tbl[text_col])
@@ -307,8 +306,6 @@ def simhash_batch(tbl: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     Horner hash64 over the flat token array (round 3: replaces SHA-1 so the
     DuckDB oracle can recompute signatures exactly), per-bit segment-sum
     votes — values identical to the per-row implementation."""
-    from .text import _token_segments
-
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     flat, offsets = _token_segments(tbl[text_col])
     th = hashing.poly_hash64_of_tokens(flat)  # Horner hash64, per-vocab (SQL-expressible)

@@ -377,6 +377,11 @@ def hash_exchange(ds, key_col: str, n_shards: int, shard_fn):
     def _split(tbl: pa.Table, nsh: int):
         # Ray groupby can emit zero-row blocks with an EMPTY schema, which
         # map_batches passes through untagged — route them as empty slices.
+        # It also passes zero-row blocks through map_batches WITHOUT format
+        # conversion, so a pandas block from an upstream map_groups can
+        # arrive here untouched — coerce.
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
         if tbl.num_rows == 0 or key_col not in tbl.schema.names:
             empty = tbl.slice(0, 0)
             return tuple(empty for _ in range(nsh))
@@ -884,6 +889,9 @@ def hash_exchange2(ds_a, ds_b, key_col_a, key_col_b, n_shards: int, shard_fn):
     def _mk_split(key_col):
         @ray.remote
         def _split(tbl: pa.Table, nsh: int):
+            # same empty-block passthrough coercion as hash_exchange._split
+            if not isinstance(tbl, pa.Table):
+                tbl = pa.Table.from_pandas(tbl, preserve_index=False)
             if tbl.num_rows == 0 or key_col not in tbl.schema.names:
                 empty = tbl.slice(0, 0)
                 return tuple(empty for _ in range(nsh))
