@@ -18409,6 +18409,109 @@ FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
 """
 
 
+def _scd2_asof_lookup(sf_dir):
+    """Point-in-time snapshot reconstruction from the SCD2 dimension — the
+    companion lookup every slowly-changing-dimension table exists for:
+    at probe time T (the corpus midpoint timestamp, data-derived and
+    deterministic), each user's ACTIVE version row (valid_from <= T <
+    valid_to, open intervals included).  A pure filter over the scd2
+    pipeline's stream — the interval containment test runs per batch with
+    the broadcast scalar T; no extra shuffle beyond scd2_history's own."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    us = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    t_probe = (int(us.min("ts_us")) + int(us.max("ts_us"))) // 2
+    hist = _scd2_history(sf_dir)
+
+    def active(tbl: pa.Table) -> pa.Table:
+        if "valid_from_us" not in tbl.column_names:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("version", pa.int64()),
+                ]
+            ).empty_table()
+        vf = tbl["valid_from_us"].to_numpy(zero_copy_only=False)
+        vt = tbl["valid_to_us"].to_pandas().to_numpy()  # nullable -> NaN
+        open_iv = pd_isna = np.isnan(vt.astype(np.float64))
+        keep = (vf <= t_probe) & (pd_isna | (vt.astype(np.float64) > t_probe))
+        return tbl.select(["user_id", "event_type", "version"]).filter(
+            pa.array(keep)
+        )
+
+    return hist.map_batches(active, batch_format="pyarrow", batch_size=None)
+
+
+SCD2_ASOF_ORACLE = f"""
+WITH h AS ({{scd2}}),
+m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events)
+SELECT user_id, event_type, version FROM h
+WHERE valid_from_us <= (SELECT t FROM m)
+  AND (valid_to_us IS NULL OR valid_to_us > (SELECT t FROM m))
+"""
+
+
+def _lang_confusion(sf_dir):
+    """Labeler-drift CONFUSION MATRIX: stored lang label vs the stopword
+    LangID prediction, counted per (lang, lang_pred) cell — the evaluation
+    every auto-labeled corpus owes its consumers.  Actor-pool stage (the
+    stopword value sets build once per actor), per-batch cell partials,
+    one (langs x langs)-sized groupby."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    class ConfusionPartial:
+        def __init__(self):
+            self.lid = textfn.LangID()
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            preds = self.lid(tbl.select(["doc_id", "text"]))["lang_pred"]
+            df = pd.DataFrame(
+                {
+                    "lang": tbl["lang"].to_numpy(zero_copy_only=False),
+                    "lang_pred": preds.to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+            g["size"] = g["size"].astype(np.int64)
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "n"}), preserve_index=False
+            )
+
+    out = (
+        ds.map_batches(
+            ConfusionPartial, batch_format="pyarrow", batch_size=None, concurrency=2
+        )
+        .groupby(["lang", "lang_pred"])
+        .sum("n")
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["lang", "lang_pred", "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _lang_confusion_oracle():
+    return f"""
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM ({textfn.LANG_ID_ORACLE}) p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 TREND_MIN_TOTAL = 5
 TREND_K = 50
 
@@ -25680,6 +25783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 92 ---
         "lang_balanced_sample": _lang_balanced_sample,
         "minhash_eval": _minhash_eval,
+        # --- wave 93 ---
+        "scd2_asof_lookup": _scd2_asof_lookup,
+        "lang_confusion": _lang_confusion,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -26059,6 +26165,8 @@ def oracle_sql() -> dict[str, str]:
         "layout_quality": _layout_quality_oracle(),
         "lang_balanced_sample": _lang_balanced_sample_oracle(),
         "minhash_eval": _minhash_eval_oracle(),
+        "scd2_asof_lookup": SCD2_ASOF_ORACLE.format(scd2=SCD2_ORACLE),
+        "lang_confusion": _lang_confusion_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
