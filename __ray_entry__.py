@@ -25786,6 +25786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 93 ---
         "scd2_asof_lookup": _scd2_asof_lookup,
         "lang_confusion": _lang_confusion,
+        # --- wave 94 ---
+        "video_scene_keyframes": multimodal.video_scene_keyframes_query,
+        "audio_dft_energy": multimodal.audio_dft_energy_query,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -26167,6 +26170,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_eval": _minhash_eval_oracle(),
         "scd2_asof_lookup": SCD2_ASOF_ORACLE.format(scd2=SCD2_ORACLE),
         "lang_confusion": _lang_confusion_oracle(),
+        "video_scene_keyframes": multimodal.VIDEO_SCENE_KEYFRAMES_ORACLE,
+        "audio_dft_energy": multimodal.AUDIO_DFT_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

@@ -1405,3 +1405,200 @@ SELECT doc_id, CAST(lag AS BIGINT) AS pitch_lag, CAST(r AS BIGINT) AS r_max
 FROM r
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, lag ASC) = 1
 """
+
+
+# ----------------------------------------------- scene keyframe extraction
+class SceneKeyframes:
+    """Actor-pool stage: byte-stream payload -> one row per detected SCENE
+    (frame 0 starts scene 0; every cut opens a new one), carrying the
+    scene's start frame and that keyframe's integer byte sum — the
+    shot-boundary + keyframe-signature composition a video curation
+    pipeline runs before expensive per-scene models.  Same exact-integer
+    frame arithmetic as FrameDiff, so the SQL dual is bit-exact."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        F = SCENE_FRAME_BYTES
+        out_id, out_s, out_f, out_sum = [], [], [], []
+        for i in range(len(ids)):
+            raw = np.frombuffer(payload[i].as_py(), dtype=np.uint8)
+            k = len(raw) // F
+            if k == 0:
+                continue
+            sums = raw[: k * F].reshape(k, F).astype(np.int64).sum(axis=1)
+            cut_after = np.abs(np.diff(sums)) > SCENE_CUT_THRESHOLD
+            starts = np.concatenate(
+                [[0], np.flatnonzero(cut_after).astype(np.int64) + 1]
+            )
+            out_id.append(np.full(len(starts), ids[i], dtype=np.int64))
+            out_s.append(np.arange(len(starts), dtype=np.int64))
+            out_f.append(starts)
+            out_sum.append(sums[starts])
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "scene_idx": pa.array([], pa.int64()),
+                    "start_frame": pa.array([], pa.int64()),
+                    "key_sum": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "scene_idx": pa.array(np.concatenate(out_s)),
+                "start_frame": pa.array(np.concatenate(out_f)),
+                "key_sum": pa.array(np.concatenate(out_sum)),
+            }
+        )
+
+
+def video_scene_keyframes_query(sf_dir: str):
+    """Scene segmentation + keyframe signatures over the same deterministic
+    byte streams as video_scene_cuts (byte j of doc d = (d*13 + j) % 251)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            n = 256 + int(did) % 1000
+            j = np.arange(n, dtype=np.int64)
+            payloads.append(((int(did) * 13 + j) % 251).astype(np.uint8).tobytes())
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        SceneKeyframes,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+VIDEO_SCENE_KEYFRAMES_ORACLE = f"""
+WITH d AS (SELECT doc_id, 256 + doc_id % 1000 AS len FROM documents),
+f AS (SELECT doc_id, len // {SCENE_FRAME_BYTES} AS k FROM d),
+s AS (
+  SELECT f.doc_id, fr.i AS frame_i,
+         sum((f.doc_id * 13 + fr.i * {SCENE_FRAME_BYTES} + b.j) % 251) AS fsum
+  FROM f, unnest(range(0, k)) AS fr(i),
+       unnest(range(0, {SCENE_FRAME_BYTES})) AS b(j)
+  GROUP BY 1, 2),
+dd AS (
+  SELECT doc_id, frame_i, fsum,
+         lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_i) AS prev
+  FROM s),
+starts AS (
+  SELECT doc_id, frame_i, fsum FROM dd
+  WHERE prev IS NULL OR abs(fsum - prev) > {SCENE_CUT_THRESHOLD})
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY frame_i) - 1
+            AS BIGINT) AS scene_idx,
+       CAST(frame_i AS BIGINT) AS start_frame,
+       CAST(fsum AS BIGINT) AS key_sum
+FROM starts
+"""
+
+
+# ----------------------------------------------- integer-quantized DFT
+DFT_N = 400
+DFT_KS = (1, 2, 3, 4)
+DFT_QUANT = 1000.0
+_TWO_PI = 6.283185307179586
+
+
+class DftEnergy:
+    """Actor-pool stage: WAV payload -> exact integer DFT components at the
+    first DFT_KS harmonics.  The trig twiddles quantize to round(cos*1000)
+    int64 milli-units ONCE per actor (__init__), so the per-sample products
+    and their sums are order-free exact integers — the trick that gives a
+    spectral feature an exact SQL dual despite involving cos/sin: both
+    sides evaluate the identical float expression cos(((k*n)*2pi)/N), then
+    round, then do only integer arithmetic."""
+
+    def __init__(self):
+        n = np.arange(DFT_N, dtype=np.float64)
+        self.c = np.empty((len(DFT_KS), DFT_N), dtype=np.int64)
+        self.s = np.empty((len(DFT_KS), DFT_N), dtype=np.int64)
+        for i, k in enumerate(DFT_KS):
+            ang = ((k * n) * _TWO_PI) / DFT_N
+            self.c[i] = np.round(np.cos(ang) * DFT_QUANT).astype(np.int64)
+            self.s[i] = np.round(np.sin(ang) * DFT_QUANT).astype(np.int64)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "re_milli": pa.array([], pa.int64()),
+                             "im_milli": pa.array([], pa.int64())})
+        mat = np.empty((len(ids), DFT_N), dtype=np.int64)
+        for i in range(len(ids)):
+            rate, ch, x = decode_wav(payload[i].as_py())
+            mat[i] = np.round(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+        re = mat @ self.c.T  # (B, K) int64
+        im = mat @ self.s.T
+        nk = len(DFT_KS)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, nk)),
+                "k": pa.array(np.tile(np.array(DFT_KS, dtype=np.int64), len(ids))),
+                "re_milli": pa.array(re.reshape(-1)),
+                "im_milli": pa.array(im.reshape(-1)),
+            }
+        )
+
+
+def audio_dft_energy_query(sf_dir: str):
+    """Integer-exact spectral components over REAL WAV payloads (the
+    audio_window_energy sawtooth k(n) = ((did*7 + n) % 200) - 100, length
+    DFT_N): per doc and harmonic k, the quantized-twiddle DFT re/im sums."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.arange(DFT_N, dtype=np.int64)
+        payloads = []
+        for did in ids:
+            k = ((int(did) * 7 + n) % 200) - 100
+            payloads.append(encode_wav(k / 32767.0, rate=8000))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        DftEnergy,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+AUDIO_DFT_ORACLE = f"""
+WITH nn AS (SELECT unnest(range(0, {DFT_N})) AS n),
+kk AS (SELECT unnest([{", ".join(str(k) for k in DFT_KS)}]) AS k),
+tw AS (
+  SELECT kk.k, nn.n,
+    CAST(round(cos(((kk.k * nn.n) * {_TWO_PI!r}) / {DFT_N}.0) * {DFT_QUANT!r})
+         AS BIGINT) AS cm,
+    CAST(round(sin(((kk.k * nn.n) * {_TWO_PI!r}) / {DFT_N}.0) * {DFT_QUANT!r})
+         AS BIGINT) AS sm
+  FROM kk CROSS JOIN nn),
+x AS (
+  SELECT doc_id, nn.n, (doc_id * 7 + nn.n) % 200 - 100 AS v
+  FROM documents CROSS JOIN nn)
+SELECT x.doc_id, CAST(tw.k AS BIGINT) AS k,
+       CAST(sum(x.v * tw.cm) AS BIGINT) AS re_milli,
+       CAST(sum(x.v * tw.sm) AS BIGINT) AS im_milli
+FROM x JOIN tw USING (n) GROUP BY 1, 2
+"""
