@@ -29,9 +29,15 @@ from spatialindex_ray.ops import DEG, POS_C1, POS_C2, RAD
 # calls ray.init() first, possibly from another cwd). Ship the library by
 # value inside task closures so workers never need to import it.
 try:
+    import sys as _sys
+
     from ray import cloudpickle as _rcp
 
     _rcp.register_pickle_by_value(spatialindex_ray)
+    # THIS module too: actor-pool classes defined here (e.g. _DocScorer)
+    # pickle by REFERENCE unless registered, and an off-repo worker cannot
+    # import __ray_entry__ — closures ship fine, classes need this.
+    _rcp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - best-effort hardening
     pass
 
