@@ -2922,6 +2922,170 @@ def _events_quantiles(sf_dir):
     return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
 
 
+def _events_quantiles_cont(sf_dir):
+    """Interpolated (quantile_cont) per-type value quantiles via the same
+    compressed-distribution plan as events_quantiles: the shuffle carries
+    (type, value, count), the per-key fold selects the two bracketing order
+    statistics from the compressed cumsum and interpolates with DuckDB's
+    exact lerp lo*(1-frac) + hi*frac (bit-parity probed, not assumed — the
+    naive lo + frac*(hi-lo) differs in the last ulp)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_numpy(zero_copy_only=False),
+                "value": tbl["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "value"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial_n"}), preserve_index=False
+        )
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "value"])
+        .sum("partial_n")
+    )
+
+    def quant(df):
+        import pandas as pd
+
+        df = df.sort_values("value", kind="mergesort")
+        vals = df["value"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(df["sum(partial_n)"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        row = {"event_type": [df.iloc[0]["event_type"]], "n_events": [n]}
+        for q in EVENT_QS:
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            hi = min(lo + 1, n - 1)
+            v_lo = vals[np.searchsorted(cum, lo, side="right")]
+            v_hi = vals[np.searchsorted(cum, hi, side="right")]
+            row[f"q{int(q * 100)}c"] = [v_lo * (1 - frac) + v_hi * frac]
+        return pd.DataFrame(row)
+
+    out = dist.groupby("event_type").map_groups(quant, batch_format="pandas")
+
+    def order_cols(tbl: pa.Table) -> pa.Table:
+        cols = ["event_type", "n_events"] + [f"q{int(q * 100)}c" for q in EVENT_QS]
+        return tbl.select(cols)
+
+    return out.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_QUANTILES_CONT_ORACLE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  {", ".join(f"quantile_cont(value, {q}) AS q{int(q * 100)}c" for q in EVENT_QS)}
+FROM events GROUP BY event_type
+"""
+
+
+CONTRACT_VALUE_CAP = 400.0
+
+
+def _data_contract_report(sf_dir):
+    """Data-quality GATE report — per contract rule, the violation count
+    over the events feed: value within [0, 400], event_type in the known
+    enum, props present, user_id a valid customer FK (broadcast key set,
+    the semi-join's complement).  One pass over events emits per-batch
+    rule partials; the report is rules-sized.  The op every ingestion
+    pipeline runs before publishing a partition."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    keys = np.sort(
+        np.array([r["c_custkey"] for r in cust.take_all()], dtype=np.int64)
+    )
+    kref = ray.put(keys)
+    enum = set(EVENT_TYPES)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ks = _ray.get(kref)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        props_null = pc.is_null(tbl["props"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, uid)
+        idx = np.minimum(idx, len(ks) - 1)
+        fk_bad = ks[idx] != uid
+        rules = {
+            "value_range": int(((v < 0.0) | (v > CONTRACT_VALUE_CAP)).sum()),
+            "type_enum": int(sum(1 for t in et if t not in enum)),
+            "props_present": int(props_null.sum()),
+            "user_fk": int(fk_bad.sum()),
+        }
+        return pa.table(
+            {
+                "rule": pa.array(list(rules)),
+                "n_violations": pa.array(
+                    np.array(list(rules.values()), dtype=np.int64)
+                ),
+                "n_rows": pa.array(
+                    np.full(len(rules), tbl.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("rule")
+        .sum(["n_violations", "n_rows"])
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["rule", "n_violations", "n_rows"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _data_contract_oracle():
+    # a builder: EVENT_TYPES is defined later in the module
+    return f"""
+WITH n AS (SELECT count(*) AS total FROM events)
+SELECT * FROM (
+  SELECT 'value_range' AS rule,
+    CAST(sum(CASE WHEN value < 0.0 OR value > {CONTRACT_VALUE_CAP!r}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+    CAST((SELECT total FROM n) AS BIGINT) AS n_rows FROM events
+  UNION ALL
+  SELECT 'type_enum',
+    CAST(sum(CASE WHEN event_type NOT IN
+             ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
+             THEN 1 ELSE 0 END) AS BIGINT),
+    CAST((SELECT total FROM n) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'props_present',
+    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST((SELECT total FROM n) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'user_fk',
+    CAST(sum(CASE WHEN user_id NOT IN (SELECT c_custkey FROM customer)
+             THEN 1 ELSE 0 END) AS BIGINT),
+    CAST((SELECT total FROM n) AS BIGINT) FROM events
+)
+"""
+
+
 HH_K = 64
 
 
@@ -25795,6 +25959,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 94 ---
         "video_scene_keyframes": multimodal.video_scene_keyframes_query,
         "audio_dft_energy": multimodal.audio_dft_energy_query,
+        # --- wave 95 ---
+        "events_quantiles_cont": _events_quantiles_cont,
+        "data_contract_report": _data_contract_report,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -26178,6 +26345,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _lang_confusion_oracle(),
         "video_scene_keyframes": multimodal.VIDEO_SCENE_KEYFRAMES_ORACLE,
         "audio_dft_energy": multimodal.AUDIO_DFT_ORACLE,
+        "events_quantiles_cont": EVENTS_QUANTILES_CONT_ORACLE,
+        "data_contract_report": _data_contract_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
