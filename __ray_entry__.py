@@ -257,7 +257,31 @@ WINNOW_PAIR_T = 10   # pairs sharing >= T distinct selected fingerprints
 WINNOW_DF_CAP = 30   # ignore fingerprints present in > CAP docs (IDF filter)
 
 
-def _winnow_dup_pairs(sf_dir):
+def _winnow_pair_counts(sf_dir):
+    """Shared-fingerprint pair counts (pre-threshold): the distinct
+    (doc, gram_hash) winnow selections, IDF-capped, sharded by hash,
+    per-shard self-merge, pair-keyed groupby-sum.  Shared by
+    winnow_dup_pairs (threshold filter) and winnow_top_similar (per-doc
+    top-N)."""
+    return _winnow_dup_pairs(sf_dir, threshold=1)
+
+
+def _winnow_pair_counts_sql() -> str:
+    body = textfn.WINNOW_ORACLE.strip()
+    return f"""
+WITH fps AS ({body}),
+d AS (SELECT DISTINCT doc_id, gram_hash FROM fps),
+df AS (SELECT gram_hash, count(*) AS k FROM d GROUP BY 1),
+dd AS (SELECT d.doc_id, d.gram_hash FROM d JOIN df USING (gram_hash)
+       WHERE k <= {WINNOW_DF_CAP})
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(count(*) AS BIGINT) AS shared
+FROM dd a JOIN dd b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _winnow_dup_pairs(sf_dir, threshold: int | None = None):
     """MOSS-style plagiarism pair detection on winnowing fingerprints: the
     distinct (doc, gram_hash) selections from winnow_fingerprints — minus
     corpus-boilerplate fingerprints appearing in more than WINNOW_DF_CAP
@@ -327,6 +351,7 @@ def _winnow_dup_pairs(sf_dir):
     schema = pa.schema(
         [("left_id", pa.int64()), ("right_id", pa.int64()), ("shared", pa.int64())]
     )
+    thr = WINNOW_PAIR_T if threshold is None else threshold
 
     def final(tbl: pa.Table) -> pa.Table:
         if "sum(shared)" not in tbl.column_names:
@@ -339,25 +364,182 @@ def _winnow_dup_pairs(sf_dir):
                 "shared": pa.array(sh),
             }
         )
-        return out.filter(pa.array(sh >= WINNOW_PAIR_T)).cast(schema)
+        return out.filter(pa.array(sh >= thr)).cast(schema)
 
     return pairs.map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
 def _winnow_dup_pairs_oracle():
-    # reuse the winnowing CTE chain, then the df-capped distinct-set
-    # self-join + threshold
-    body = textfn.WINNOW_ORACLE.strip()
+    # the shared pre-threshold pair-count dual + the threshold filter
     return f"""
-WITH fps AS ({body}),
-d AS (SELECT DISTINCT doc_id, gram_hash FROM fps),
-df AS (SELECT gram_hash, count(*) AS k FROM d GROUP BY 1),
-dd AS (SELECT d.doc_id, d.gram_hash FROM d JOIN df USING (gram_hash)
-       WHERE k <= {WINNOW_DF_CAP})
-SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-       CAST(count(*) AS BIGINT) AS shared
-FROM dd a JOIN dd b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= {WINNOW_PAIR_T}
+WITH pc AS ({_winnow_pair_counts_sql()})
+SELECT left_id, right_id, shared FROM pc WHERE shared >= {WINNOW_PAIR_T}
+"""
+
+
+WINNOW_TOP_N = 3
+
+
+def _winnow_top_similar(sf_dir):
+    """Per-document TOP-N most similar docs by shared winnowing
+    fingerprints — the doc-granularity similarity-search surface on top of
+    the pair machinery: the (IDF-capped) pair counts explode to both
+    directions, then one doc-keyed groupby keeps the N best neighbors
+    (shared desc, neighbor id asc).  Driver sees nothing; output is
+    O(docs x N)."""
+    import ray
+
+    pairs = _winnow_pair_counts(sf_dir)
+
+    def both_dirs(tbl: pa.Table) -> pa.Table:
+        if "left_id" not in tbl.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "neighbor": pa.array([], pa.int64()),
+                    "shared": pa.array([], pa.int64()),
+                }
+            )
+        li = tbl["left_id"].to_numpy(zero_copy_only=False)
+        ri = tbl["right_id"].to_numpy(zero_copy_only=False)
+        sh = tbl["shared"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([li, ri])),
+                "neighbor": pa.array(np.concatenate([ri, li])),
+                "shared": pa.array(np.concatenate([sh, sh])),
+            }
+        )
+
+    flat = pairs.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
+
+    def topn(df):
+        import pandas as pd
+
+        df = df.sort_values(
+            ["shared", "neighbor"], ascending=[False, True], kind="mergesort"
+        ).head(WINNOW_TOP_N)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "rank", "neighbor", "shared"]]
+
+    return flat.groupby("doc_id").map_groups(topn, batch_format="pandas")
+
+
+def _winnow_top_similar_oracle():
+    body = _winnow_pair_counts_sql()
+    return f"""
+WITH pc AS ({body}),
+flat AS (
+  SELECT left_id AS doc_id, right_id AS neighbor, shared FROM pc
+  UNION ALL
+  SELECT right_id, left_id, shared FROM pc),
+rk AS (
+  SELECT doc_id, neighbor, shared,
+    CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY shared DESC, neighbor) AS BIGINT) AS rank
+  FROM flat)
+SELECT doc_id, rank, neighbor, shared FROM rk WHERE rank <= {WINNOW_TOP_N}
+"""
+
+
+def _type_cosine_components(sf_dir):
+    """Item-item similarity INGREDIENTS over the user x event-type count
+    matrix — exact integer cosine components per type pair (dot product,
+    both squared norms), the collaborative-filtering numerators a rec-sys
+    pipeline materializes.  The nonlinearity (products of per-user GLOBAL
+    counts) forces exactly one user-keyed exchange; inside each shard the
+    whole pair grid collapses to ONE small int64 GEMM — the embedding_cov
+    pattern on a keyed matrix.  Output is (types x types), rows even for
+    zero-co-occurrence pairs."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = sorted(EVENT_TYPES)
+    t_idx = {t: i for i, t in enumerate(types)}
+    n_shards = 16
+
+    def keyed(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(uid % np.int64(n_shards)),
+                "user_id": tbl["user_id"],
+                "event_type": tbl["event_type"],
+            }
+        )
+
+    def gemm_shard(tbl: pa.Table) -> pa.Table:
+        k = len(types)
+        iu, ju = np.triu_indices(k)
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return pa.table(
+                {
+                    "i": pa.array(iu.astype(np.int64)),
+                    "j": pa.array(ju.astype(np.int64)),
+                    "dot": pa.array(np.zeros(len(iu), dtype=np.int64)),
+                }
+            )
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        ul, uinv = np.unique(uid, return_inverse=True)
+        tcol = np.array([t_idx[t] for t in et], dtype=np.int64)
+        m = np.zeros((len(ul), k), dtype=np.int64)
+        np.add.at(m, (uinv, tcol), 1)
+        p = m.T @ m
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "dot": pa.array(p[iu, ju]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    cells = ops.hash_exchange(keyed_ds, "shard", n_shards, gemm_shard)
+    summed = cells.groupby(["i", "j"]).sum("dot")
+
+    def final(tbl: pa.Table) -> pa.Table:
+        if "i" not in tbl.column_names:
+            return pa.schema(
+                [
+                    ("type_a", pa.string()),
+                    ("type_b", pa.string()),
+                    ("dot", pa.int64()),
+                ]
+            ).empty_table()
+        i = tbl["i"].to_numpy(zero_copy_only=False)
+        j = tbl["j"].to_numpy(zero_copy_only=False)
+        ta = np.array(types)[i]
+        tb = np.array(types)[j]
+        return pa.table(
+            {
+                "type_a": pa.array(ta),
+                "type_b": pa.array(tb),
+                "dot": tbl["sum(dot)"].cast(pa.int64()),
+            }
+        )
+
+    return summed.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _type_cosine_oracle():
+    tlist = ", ".join(f"'{t}'" for t in sorted(EVENT_TYPES))
+    return f"""
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+tt AS (SELECT unnest([{tlist}]) AS t),
+grid AS (SELECT a.t AS type_a, b.t AS type_b
+         FROM tt a JOIN tt b ON a.t <= b.t),
+d AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(a.n * b.n) AS dot
+      FROM c a JOIN c b ON a.user_id = b.user_id
+       AND a.event_type <= b.event_type
+      GROUP BY 1, 2)
+SELECT g.type_a, g.type_b, CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot
+FROM grid g LEFT JOIN d USING (type_a, type_b)
 """
 
 
@@ -25962,6 +26144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 95 ---
         "events_quantiles_cont": _events_quantiles_cont,
         "data_contract_report": _data_contract_report,
+        # --- wave 96 ---
+        "winnow_top_similar": _winnow_top_similar,
+        "type_cosine_components": _type_cosine_components,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -26347,6 +26532,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_dft_energy": multimodal.AUDIO_DFT_ORACLE,
         "events_quantiles_cont": EVENTS_QUANTILES_CONT_ORACLE,
         "data_contract_report": _data_contract_oracle(),
+        "winnow_top_similar": _winnow_top_similar_oracle(),
+        "type_cosine_components": _type_cosine_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
