@@ -11936,6 +11936,131 @@ WHERE ' ' || text || ' ' LIKE '% {_PHRASE[0]} {_PHRASE[1]} %'
 """
 
 
+BOOL_MUST = ("merge", "join")
+BOOL_NOT = "error"
+
+
+def _bool_search(sf_dir):
+    """Boolean retrieval (AND/NOT over the inverted index semantics): docs
+    containing every BOOL_MUST term and none of BOOL_NOT — evaluated as a
+    pure streaming map: one Arrow split, one is_in membership per term
+    class, segment-any folds.  The conjunctive-query counterpart of
+    term_postings / phrase_search; at index scale the same predicate runs
+    as postings-list intersections, here the scan form IS the oracle-exact
+    spec."""
+    import ray
+
+    from spatialindex_ray.functions.text import _token_segments
+
+    def find(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, offsets = _token_segments(tbl["text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        row_of = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(offsets).astype(np.int64)
+        )
+        for term in BOOL_MUST:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            has = np.zeros(n, dtype=bool)
+            has[np.unique(row_of[m])] = True
+            keep &= has
+        m = pc.equal(flat, BOOL_NOT).to_numpy(zero_copy_only=False)
+        hasnot = np.zeros(n, dtype=bool)
+        hasnot[np.unique(row_of[m])] = True
+        keep &= ~hasnot
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(find, batch_format="pyarrow", batch_size=None)
+
+
+BOOL_SEARCH_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE {" AND ".join(f"list_contains(toks, '{w}')" for w in BOOL_MUST)}
+  AND NOT list_contains(toks, '{BOOL_NOT}')
+"""
+
+
+IDXSIZE_LEVEL = 10
+
+
+def _index_size_estimate(sf_dir):
+    """Storage sizing for the sorted cell index: the delta+varint byte cost
+    of each level-IDXSIZE_LEVEL HTM run of occupied cells — per coarse
+    level-4 prefix group, the number of distinct cells and the exact
+    varint(delta) byte total (first cell charged as a delta from 0).  The
+    estimator behind every 'how big will this posting/cell index be'
+    decision; band classification is a vectorized CASE ladder on 7-bit
+    groups, so DuckDB reproduces it bit-exactly with no float anywhere."""
+    import ray
+
+    ds = _docs_encoded(sf_dir, hpx_level=None)
+    occ = ops.cell_counts(ds, "htm20", out_level=IDXSIZE_LEVEL)
+
+    def measure(tbl: pa.Table) -> pa.Table:
+        if "cell" not in tbl.column_names:
+            return pa.table(
+                {
+                    "prefix4": pa.array([], pa.int64()),
+                    "n_cells": pa.array([], pa.int64()),
+                    "varint_bytes": pa.array([], pa.int64()),
+                }
+            )
+        cells = np.sort(tbl["cell"].to_numpy(zero_copy_only=False))
+        deltas = np.diff(np.concatenate([[0], cells]))
+        nbytes = np.ones(len(deltas), dtype=np.int64)
+        for b in range(1, 9):
+            nbytes += (deltas >= (1 << (7 * b))).astype(np.int64)
+        prefix = cells >> (2 * (IDXSIZE_LEVEL - 4))
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"prefix4": prefix, "one": 1, "vb": nbytes}
+        ).groupby("prefix4", as_index=False).sum()
+        return pa.table(
+            {
+                "prefix4": pa.array(df["prefix4"].to_numpy().astype(np.int64)),
+                "n_cells": pa.array(df["one"].to_numpy().astype(np.int64)),
+                "varint_bytes": pa.array(df["vb"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    # cell_counts output is one globally-distinct (cell, n) table; a sort
+    # inside one reduce task is fine at the occupied-cell scale, but keep
+    # the global order by ranging through ds.sort so deltas are exact
+    ordered = occ.sort("cell").repartition(1)
+    return ordered.map_batches(measure, batch_format="pyarrow", batch_size=None)
+
+
+def _index_size_oracle():
+    shift = 2 * (IDXSIZE_LEVEL - 4)
+    bands = " + ".join(
+        f"(CASE WHEN delta >= {1 << (7 * b)} THEN 1 ELSE 0 END)"
+        for b in range(1, 9)
+    )
+    return (
+        _xyz_sql()
+        + _htm_encode_sql_fragment(IDXSIZE_LEVEL)
+        + f""",
+occ AS (SELECT DISTINCT id AS cell FROM lvl{IDXSIZE_LEVEL}),
+d AS (
+  SELECT cell,
+         cell - COALESCE(lag(cell) OVER (ORDER BY cell), 0) AS delta
+  FROM occ)
+SELECT CAST(cell >> {shift} AS BIGINT) AS prefix4,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(1 + {bands}) AS BIGINT) AS varint_bytes
+FROM d GROUP BY 1
+"""
+    )
+
+
 _FH_BUCKETS = 64
 
 
@@ -26147,6 +26272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 96 ---
         "winnow_top_similar": _winnow_top_similar,
         "type_cosine_components": _type_cosine_components,
+        # --- wave 97 ---
+        "bool_search": _bool_search,
+        "index_size_estimate": _index_size_estimate,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -26534,6 +26662,8 @@ def oracle_sql() -> dict[str, str]:
         "data_contract_report": _data_contract_oracle(),
         "winnow_top_similar": _winnow_top_similar_oracle(),
         "type_cosine_components": _type_cosine_oracle(),
+        "bool_search": BOOL_SEARCH_ORACLE,
+        "index_size_estimate": _index_size_oracle(),
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->
