@@ -323,50 +323,71 @@ def _winnow_dup_pairs(sf_dir, threshold: int | None = None):
             "shard", pa.array((h.view(np.uint64) % np.uint64(n_shards)).view(np.int64))
         )
 
-    def pair_counts_shard(df):
-        sub = df[["gram_hash", "doc_id"]]
+    schema = pa.schema(
+        [("left_id", pa.int64()), ("right_id", pa.int64()), ("shared", pa.int64())]
+    )
+    thr = WINNOW_PAIR_T if threshold is None else threshold
+    n_shards2 = 32
+
+    def pair_counts_shard(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "shared": pa.array([], pa.int64()),
+                "pshard": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "gram_hash" not in tbl.schema.names:
+            return empty
+        df = tbl.select(["gram_hash", "doc_id"]).to_pandas()
         # shard-local == global document frequency (sharded BY gram_hash)
-        dfreq = sub["gram_hash"].map(sub["gram_hash"].value_counts())
-        sub = sub[dfreq <= WINNOW_DF_CAP]
+        dfreq = df["gram_hash"].map(df["gram_hash"].value_counts())
+        sub = df[dfreq <= WINNOW_DF_CAP]
         cand = sub.merge(sub, on="gram_hash", suffixes=("_l", "_r"))
         cand = cand[cand["doc_id_l"] < cand["doc_id_r"]]
         out = (
             cand.groupby(["doc_id_l", "doc_id_r"], as_index=False)
             .size()
-            .rename(
-                columns={"doc_id_l": "left_id", "doc_id_r": "right_id", "size": "shared"}
-            )
         )
-        out["shared"] = out["shared"].astype(np.int64)
-        return out
-
-    pairs = (
-        fps.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
-        .groupby("shard")
-        .map_groups(pair_counts_shard, batch_format="pandas")
-        .groupby(["left_id", "right_id"])
-        .sum("shared")
-    )
-
-    schema = pa.schema(
-        [("left_id", pa.int64()), ("right_id", pa.int64()), ("shared", pa.int64())]
-    )
-    thr = WINNOW_PAIR_T if threshold is None else threshold
-
-    def final(tbl: pa.Table) -> pa.Table:
-        if "sum(shared)" not in tbl.column_names:
-            return schema.empty_table()
-        sh = tbl["sum(shared)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = pa.table(
+        li = out["doc_id_l"].to_numpy().astype(np.int64)
+        ri = out["doc_id_r"].to_numpy().astype(np.int64)
+        sh = out["size"].to_numpy().astype(np.int64)
+        pk = ops._splitmix64(li * np.int64(1 << 32) + ri)
+        return pa.table(
             {
-                "left_id": tbl["left_id"],
-                "right_id": tbl["right_id"],
+                "left_id": pa.array(li),
+                "right_id": pa.array(ri),
                 "shared": pa.array(sh),
+                "pshard": pa.array((pk % np.uint64(n_shards2)).view(np.int64)),
             }
         )
-        return out.filter(pa.array(sh >= thr)).cast(schema)
 
-    return pairs.map_batches(final, batch_format="pyarrow", batch_size=None)
+    tagged = fps.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+    stage1 = ops.hash_exchange(tagged, "shard", n_shards, pair_counts_shard)
+
+    def sum_shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "left_id" not in tbl.schema.names:
+            return schema.empty_table()
+        li = tbl["left_id"].to_numpy(zero_copy_only=False)
+        ri = tbl["right_id"].to_numpy(zero_copy_only=False)
+        sh = tbl["shared"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ri, li))
+        li, ri, sh = li[order], ri[order], sh[order]
+        heads = np.ones(len(li), dtype=bool)
+        heads[1:] = (li[1:] != li[:-1]) | (ri[1:] != ri[:-1])
+        seg = np.cumsum(heads) - 1
+        sums = np.bincount(seg, weights=sh.astype(np.float64)).astype(np.int64)
+        keep = sums >= thr
+        return pa.table(
+            {
+                "left_id": pa.array(li[heads][keep]),
+                "right_id": pa.array(ri[heads][keep]),
+                "shared": pa.array(sums[keep]),
+            }
+        ).cast(schema)
+
+    return ops.hash_exchange(stage1, "pshard", n_shards2, sum_shard)
 
 
 def _winnow_dup_pairs_oracle():

@@ -294,6 +294,15 @@ def run_suite() -> dict:
         "user_type_jaccard", "revenue_pareto", "decile_transition",
         "nearest_event_join", "bpe_top_merges", "spatial_knn_classify",
         "orders_backlog", "rfm_segments", "prefix_containment",
+        # round-3 eighth-session operators (waves 83-97)
+        "winnow_fingerprints", "trigram_backoff", "hex_clusters",
+        "hex_rollup", "audio_pitch", "audio_dft_energy",
+        "corpus_filter_report", "rolling_median5", "embedding_cov",
+        "type_cosine_components", "layout_quality", "bool_search",
+        "reorder_depth", "multi_touch_attribution", "t_closeness",
+        "triplet_mining", "scd2_asof_lookup", "lang_balanced_sample",
+        "events_quantiles_cont", "data_contract_report",
+        "index_size_estimate", "cone_search_epoch", "coverage_holes",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
