@@ -19010,6 +19010,88 @@ GROUP BY 1, 2
 """
 
 
+def _churn_labels(sf_dir):
+    """Churn LABEL GENERATION — the supervised-dataset builder for
+    retention models: per user active in the first half of the corpus
+    (midpoint timestamp split), the first/second-half event counts and the
+    churn label (no second-half activity).  One per-batch (user, half)
+    partial count + a user-keyed groupby; label logic runs on the
+    aggregated two counts."""
+    import ray
+
+    us = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    mid = (int(us.min("ts_us")) + int(us.max("ts_us"))) // 2
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        first = ts <= mid
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "n_first": first.astype(np.int64),
+                "n_second": (~first).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .sum(["n_first", "n_second"])
+    )
+
+    def label(tbl: pa.Table) -> pa.Table:
+        if "user_id" not in tbl.column_names:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_first", pa.int64()),
+                    ("n_second", pa.int64()),
+                    ("churned", pa.bool_()),
+                ]
+            ).empty_table()
+        nf = tbl["sum(n_first)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = tbl["sum(n_second)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table(
+            {
+                "user_id": tbl["user_id"],
+                "n_first": pa.array(nf),
+                "n_second": pa.array(ns),
+                "churned": pa.array(ns == 0),
+            }
+        )
+        return out.filter(pa.array(nf > 0))
+
+    return agg.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+CHURN_LABELS_ORACLE = """
+WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events),
+c AS (
+  SELECT user_id,
+    sum(CASE WHEN epoch_us(ts) <= (SELECT t FROM m) THEN 1 ELSE 0 END)
+      AS n_first,
+    sum(CASE WHEN epoch_us(ts) > (SELECT t FROM m) THEN 1 ELSE 0 END)
+      AS n_second
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       n_second = 0 AS churned
+FROM c WHERE n_first > 0
+"""
+
+
 TREND_MIN_TOTAL = 5
 TREND_K = 50
 
@@ -26296,6 +26378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 97 ---
         "bool_search": _bool_search,
         "index_size_estimate": _index_size_estimate,
+        # --- wave 98 ---
+        "cdc_chunks": textfn.cdc_chunks_query,
+        "churn_labels": _churn_labels,
         # --- sketch family: minhash/simhash gained exact SQL duals in round
         # 3 (Horner token hashes); the rest stay rows-only ---
         "minhash_near_dup": dedup.minhash_near_dup_query,
@@ -26685,6 +26770,8 @@ def oracle_sql() -> dict[str, str]:
         "type_cosine_components": _type_cosine_oracle(),
         "bool_search": BOOL_SEARCH_ORACLE,
         "index_size_estimate": _index_size_oracle(),
+        "cdc_chunks": textfn.CDC_CHUNKS_ORACLE,
+        "churn_labels": CHURN_LABELS_ORACLE,
         # round 3: minhash/simhash token hashing switched from SHA-1 to the
         # same Horner hash64 the fingerprint oracle walks, making the full
         # LSH pipeline (signatures -> band buckets -> celebrity chain ->

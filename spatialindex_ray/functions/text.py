@@ -481,6 +481,155 @@ FROM sel WHERE rn = 1
 """
 
 
+# ------------------------------------------- content-defined chunking (CDC)
+CDC_K = WINNOW_K          # rolling window (chars) for the cut condition
+CDC_MASK = 63             # cut where gram_hash % 64 == 0 (~64-char chunks)
+
+
+def cdc_chunks_batch(tbl: pa.Table) -> pa.Table:
+    """Content-defined chunking — the storage-dedup boundary rule (LBFS /
+    restic-style): a cut opens AFTER every position whose k-gram rolling
+    hash satisfies h % (CDC_MASK+1) == 0, so boundaries survive insertions
+    and deletions (they depend only on local content, never on offsets).
+    Emits (doc_id, chunk_idx, start, length, chunk_hash) with chunk_hash
+    the same Horner polynomial the doc fingerprint uses (prefix-scan
+    algebra: hash of [a, b) = B^(b-1) * (C[b] - C[a]) — zero re-reading).
+    Unbounded variant (no min/max chunk size): the cut set is a pure
+    parallel predicate, which is exactly what makes it SQL-dual-able and
+    shard-stable."""
+    data, offsets = hashing.arrow_string_buffer(tbl["text"])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(data)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "length": pa.array([], pa.int64()),
+            "chunk_hash": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    k = CDC_K
+    b = data.astype(np.uint64)
+    binv_pow = np.empty(n, dtype=np.uint64)
+    binv_pow[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _FP_BASE_INV, dtype=np.uint64), out=binv_pow[1:])
+    c = np.empty(n + 1, dtype=np.uint64)
+    c[0] = 0
+    np.cumsum(b * binv_pow, out=c[1:])
+    bpow = np.empty(n, dtype=np.uint64)
+    bpow[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _FP_BASE, dtype=np.uint64), out=bpow[1:])
+
+    def seg_hash(a: np.ndarray, bnd: np.ndarray) -> np.ndarray:
+        # Horner hash of byte range [a, b) per pair; empty -> 0
+        out = np.zeros(len(a), dtype=np.uint64)
+        nz = bnd > a
+        out[nz] = bpow[bnd[nz] - 1] * (c[bnd[nz]] - c[a[nz]])
+        return out
+
+    lengths = offsets[1:] - offsets[:-1]
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lengths)
+    out_id, out_ci, out_st, out_ln, out_h = [], [], [], [], []
+    # gram hashes at every in-doc window start (the winnow algebra)
+    if n >= k:
+        h_all = bpow[k - 1 :] * (c[k:] - c[:-k])
+        gi = np.arange(n - k + 1, dtype=np.int64)
+        valid = doc_of[gi] == doc_of[gi + k - 1]
+        cut_pos = gi[valid & ((h_all & np.uint64(CDC_MASK)) == 0)]
+        # a cut at window start p closes the chunk after byte p+k-1
+        cut_end = cut_pos + k  # global byte index one past the chunk end
+    else:
+        cut_end = np.empty(0, dtype=np.int64)
+    # per doc: boundaries = doc start, sorted in-doc cut ends, doc end
+    cut_doc = doc_of[np.maximum(cut_end - 1, 0)] if len(cut_end) else cut_end
+    for d in range(len(ids)):
+        s, e = int(offsets[d]), int(offsets[d + 1])
+        if e == s:
+            continue
+        ends = cut_end[cut_doc == d] if len(cut_end) else np.empty(0, np.int64)
+        bounds = np.concatenate([[s], ends[ends < e], [e]]).astype(np.int64)
+        a = bounds[:-1]
+        bnd = bounds[1:]
+        out_id.append(np.full(len(a), ids[d], dtype=np.int64))
+        out_ci.append(np.arange(len(a), dtype=np.int64))
+        out_st.append(a - s)
+        out_ln.append(bnd - a)
+        out_h.append(seg_hash(a, bnd).view(np.int64))
+    if not out_id:
+        return empty
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "chunk_idx": pa.array(np.concatenate(out_ci)),
+            "start": pa.array(np.concatenate(out_st)),
+            "length": pa.array(np.concatenate(out_ln)),
+            "chunk_hash": pa.array(np.concatenate(out_h)),
+        }
+    )
+
+
+def cdc_chunks_query(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(cdc_chunks_batch, batch_format="pyarrow", batch_size=None)
+
+
+# DuckDB dual: cut positions from the same per-position k-gram Horner hash
+# as WINNOW_ORACLE (h % 64 = 0), chunk spans via lead() over cut ends, and
+# each chunk re-hashed with plain Horner over its substring.
+CDC_CHUNKS_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, gs.p AS p,
+    list_reduce(
+      list_transform(string_split(substring(text, CAST(gs.p AS INTEGER), {CDC_K}), ''),
+                     c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * {int(_FP_BASE)} + b) % 18446744073709551616) AS hv
+  FROM documents, unnest(range(1, length(text) - {CDC_K} + 2)) AS gs(p)
+  WHERE length(text) >= {CDC_K}),
+cuts AS (
+  SELECT doc_id, p + {CDC_K} - 1 AS cut_end  -- 1-based last byte of chunk
+  FROM g WHERE hv % {CDC_MASK + 1} = 0),
+bounds AS (
+  SELECT d.doc_id, 0 AS e FROM documents d WHERE length(d.text) > 0
+  UNION ALL
+  SELECT c.doc_id, c.cut_end FROM cuts c
+  JOIN documents d2 USING (doc_id) WHERE c.cut_end < length(d2.text)),
+spans AS (
+  SELECT b.doc_id, b.e AS start0,
+         lead(b.e) OVER (PARTITION BY b.doc_id ORDER BY b.e) AS nxt,
+         row_number() OVER (PARTITION BY b.doc_id ORDER BY b.e) - 1
+           AS chunk_idx
+  FROM bounds b),
+sp2 AS (
+  SELECT s.doc_id, s.chunk_idx, s.start0,
+         COALESCE(s.nxt, length(d.text)) - s.start0 AS len
+  FROM spans s JOIN documents d USING (doc_id)),
+hashed AS (
+  SELECT sp2.doc_id, chunk_idx, start0, len,
+    CASE WHEN len = 0 THEN CAST(0 AS HUGEINT)
+         ELSE list_reduce(
+           list_transform(
+             string_split(substring(d.text, CAST(start0 + 1 AS INTEGER),
+                                    CAST(len AS INTEGER)), ''),
+             c -> CAST(unicode(c) AS HUGEINT)),
+           (a, b) -> (a * {int(_FP_BASE)} + b) % 18446744073709551616)
+    END AS hv
+  FROM sp2 JOIN documents d USING (doc_id))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start0 AS BIGINT) AS start, CAST(len AS BIGINT) AS length,
+       CAST(hv - CASE WHEN hv >= 9223372036854775808
+                      THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+         AS chunk_hash
+FROM hashed
+"""
+
+
 # ------------------------------------------------------- text scrubbing
 SCRUB_PATTERN = r"\b(spark|secret|customer)\b"
 SCRUB_REPLACEMENT = "[REDACTED]"
