@@ -251,3 +251,28 @@ def test_build_index_ranged_partition_row_cap(ray_session, tmp_path):
         + r["z"] * cone.center[2] >= cone.cosrad
     }
     assert {r["doc_id"] for r in res} == exp
+
+
+def test_sample_cell_boundaries_driver_volume_capped(ray_session):
+    """VERDICT r3 item 3: the boundary-sample driver collect is bounded
+    regardless of block count — 10k one-row blocks must collect <= cap_rows
+    at the driver (previously take_all() grew linearly with blocks)."""
+    import pyarrow as pa
+    import ray
+
+    n_blocks = 10_000
+    ds = ray.data.range(n_blocks, override_num_blocks=n_blocks).map_batches(
+        lambda t: pa.table({"cell": t["id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    cap = 1024
+    sample = pipelines.build._collect_cell_sample(
+        ds, "cell", per_block=512, cap_rows=cap
+    )
+    assert 0 < len(sample) <= cap
+    # the capped sample still yields usable, strictly-ascending boundaries
+    qs = np.quantile(sample, np.linspace(0, 1, 17)[1:-1])
+    bounds = np.unique(qs.astype(np.int64))
+    assert len(bounds) > 4
+    assert (np.diff(bounds) > 0).all()
