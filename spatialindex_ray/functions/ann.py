@@ -195,6 +195,16 @@ def ivf_topk_query(sf_dir: str, k: int = ANN_K, probes: int = IVF_PROBES):
     return _finish_topk(parts, qids, k)
 
 
+def ivf_topk_allprobes_query(sf_dir: str):
+    """IVF machinery gate-check (VERDICT r3 item 6): probes pinned to ALL
+    centroids makes IVF exactly brute force — centroid training, assignment,
+    probe LUT, bucket scan and the distributed top-k merge all run for real,
+    but every vector is visible to every query, so the result equals the
+    exact cosine top-k and carries the same SQL oracle as ann_topk_cosine.
+    The honest approximate entry (ann_topk_ivf, probes=4) stays rows-only."""
+    return ivf_topk_query(sf_dir, probes=IVF_CENTROIDS)
+
+
 SIMHASH_BITS = 64
 _EMB_DIM = 64
 

@@ -1584,6 +1584,12 @@ def audio_dft_energy_query(sf_dir: str):
     )
 
 
+# Parity caveat (ADVICE r3): this dual assumes numpy and DuckDB cos/sin
+# agree AFTER round(x*1000) — i.e. no twiddle value sits within a 1-ulp
+# cross-library disagreement of a .5 rounding boundary. The margin is
+# asserted (>1e-6, measured ~1.4e-3) in
+# tests/test_functions.py::test_audio_dft_twiddle_rounding_margin, so an
+# unlucky DFT_N/DFT_KS/DFT_QUANT change fails loudly instead of silently.
 AUDIO_DFT_ORACLE = f"""
 WITH nn AS (SELECT unnest(range(0, {DFT_N})) AS n),
 kk AS (SELECT unnest([{", ".join(str(k) for k in DFT_KS)}]) AS k),

@@ -583,6 +583,11 @@ def cdc_chunks_query(sf_dir: str):
 # DuckDB dual: cut positions from the same per-position k-gram Horner hash
 # as WINNOW_ORACLE (h % 64 = 0), chunk spans via lead() over cut ends, and
 # each chunk re-hashed with plain Horner over its substring.
+# ASCII assumption (ADVICE r3): cdc_chunks_batch hashes UTF-8 BYTES while
+# this dual hashes CODEPOINTS via unicode(c) — identical only for ASCII
+# corpora. Same caveat as FINGERPRINT_ORACLE / WINNOW_ORACLE; guarded by
+# tests/test_functions.py::test_fingerprint_oracle_ascii_assumption, which
+# asserts the documents corpus these duals run against is pure ASCII.
 CDC_CHUNKS_ORACLE = f"""
 WITH g AS (
   SELECT doc_id, gs.p AS p,
@@ -1646,16 +1651,18 @@ def trigram_backoff_query(sf_dir: str):
         s[m1] = (c1[m1] * BO2_NUM) // n_tr
         rows = tri_rows
         n_pos = np.bincount(rows, minlength=len(ids)).astype(np.int64)
-        sums = np.bincount(rows, weights=s.astype(np.float64), minlength=len(ids))
-        # bincount weights go through float64 — exact only below 2^53; per-doc
-        # ppm sums are ~n_tokens*1e6 << 2^53, asserted here
-        assert sums.max(initial=0) < 2**53
+        # per-doc ppm sums accumulate DIRECTLY in int64 (np.add.at) — exact
+        # for any doc length, unlike float64-weighted bincount whose
+        # exactness above 2^53 depended on an assert stripped under -O
+        # (ADVICE r3)
+        sums = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(sums, rows, s)
         keep = n_pos > 0
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep]),
                 "n_pos": pa.array(n_pos[keep]),
-                "sum_ppm": pa.array(sums[keep].astype(np.int64)),
+                "sum_ppm": pa.array(sums[keep]),
             }
         )
 

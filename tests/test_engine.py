@@ -1136,3 +1136,14 @@ def test_span_dedup_shard_invariance(ray_session):
         )
 
     assert run(8).equals(run(19))
+
+
+def test_select_exchange_rule():
+    """VERDICT r3 item 7: auto topology picks two_level exactly when the
+    flat exchange's M x S piece count exceeds the documented budget."""
+    assert ops.select_exchange(8, 512) == "flat"  # 4096 == budget, not over
+    assert ops.select_exchange(9, 512) == "two_level"
+    assert ops.select_exchange(1, 1) == "flat"
+    assert ops.select_exchange(10_000, 512) == "two_level"
+    assert ops.select_exchange(16, 256) == "flat"
+    assert ops.select_exchange(17, 256) == "two_level"

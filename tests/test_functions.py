@@ -292,8 +292,11 @@ def test_wav_roundtrip_and_audio_stage():
 
 
 def test_fingerprint_oracle_ascii_assumption():
-    """FINGERPRINT_ORACLE maps chars via unicode(c), which equals the utf8
-    byte value only for ASCII — assert the driver tables satisfy that."""
+    """FINGERPRINT_ORACLE, WINNOW_ORACLE and CDC_CHUNKS_ORACLE map chars via
+    unicode(c), which equals the utf8 byte value the engine hashes only for
+    ASCII — assert the driver tables those duals run against satisfy that
+    (ADVICE r3: the caveat covers every byte-Horner dual, not just
+    fingerprint)."""
     import pyarrow.parquet as pq
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
@@ -325,3 +328,22 @@ def test_sample_frames_counts():
     # every sampled frame slice is exactly frame_bytes long
     for row in out["frames"].to_pylist():
         assert all(len(f) == 64 for f in row)
+
+
+def test_audio_dft_twiddle_rounding_margin():
+    """ADVICE r3: AUDIO_DFT_ORACLE parity relies on numpy and DuckDB cos/sin
+    agreeing AFTER round(x*DFT_QUANT) — safe only while every twiddle keeps
+    a healthy distance from a .5 rounding boundary (a ~1e-13 cross-library
+    1-ulp disagreement must never flip the rounded integer). Assert the
+    margin so a future DFT_N/DFT_KS/DFT_QUANT change that lands unluckily
+    fails loudly instead of silently breaking the oracle."""
+    from spatialindex_ray.functions import multimodal as mm
+
+    n = np.arange(mm.DFT_N, dtype=np.float64)
+    worst = 1.0
+    for k in mm.DFT_KS:
+        ang = ((k * n) * mm._TWO_PI) / mm.DFT_N
+        for v in (np.cos(ang) * mm.DFT_QUANT, np.sin(ang) * mm.DFT_QUANT):
+            frac = np.abs(v - np.floor(v) - 0.5)
+            worst = min(worst, float(frac.min()))
+    assert worst > 1e-6

@@ -1,10 +1,17 @@
 """Local mirror of the driver's correctness gate: run every queries()[name]
 against oracle_sql()[name] via DuckDB (row count + schema + order-insensitive
-value hash). Usage: python tools/check_oracles.py [sf_dir] [name ...]"""
+value hash). Usage:
+  python tools/check_oracles.py [sf_dir] [name ...]
+  python tools/check_oracles.py --json docs/oracle_sweep_r4.json [sf_dir] [name ...]
+
+--json writes a machine-readable {name: {status, seconds, rows}} artifact
+(status: pass | fail | rows-only) so each round's full sweep is diffable
+(VERDICT r3 item 4)."""
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -58,8 +65,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
     import ray
 
     if not ray.is_initialized():
@@ -83,21 +96,36 @@ def main():
             res = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            report[name] = {
+                "status": "fail", "seconds": round(time.time() - t0, 2),
+                "rows": -1, "error": f"{type(e).__name__}: {e}"[:200],
+            }
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(res)} rows, cols={list(res.columns)} ({dt:.1f}s) [no oracle]")
+            report[name] = {
+                "status": "rows-only", "seconds": round(dt, 2), "rows": len(res),
+            }
             continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle raised {e}")
+            report[name] = {
+                "status": "fail", "seconds": round(dt, 2), "rows": len(res),
+                "error": f"oracle raised: {e}"[:200],
+            }
             n_fail += 1
             continue
         ok_rows = len(res) == len(exp)
         ok_schema = sorted(map(str, res.columns)) == sorted(map(str, exp.columns))
         ok_hash = ok_rows and ok_schema and value_hash(res) == value_hash(exp)
+        report[name] = {
+            "status": "pass" if ok_hash else "fail",
+            "seconds": round(dt, 2), "rows": len(res),
+        }
         if ok_hash:
             print(f"PASS  {name}: {len(res)} rows ({dt:.1f}s)")
             n_pass += 1
@@ -112,6 +140,20 @@ def main():
                 print(merged[merged["_merge"] != "both"].head(10))
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": sum(
+                1 for v in report.values() if v["status"] == "rows-only"
+            ),
+            "results": report,
+        }
+        os.makedirs(os.path.dirname(json_out) or ".", exist_ok=True)
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     ray.shutdown()
     return 1 if n_fail else 0
 
