@@ -30,8 +30,10 @@ def _err(msg: str) -> int:
 
 
 def cmd_query(argv: list[str]) -> int:
+    debug = False
     if argv and argv[0] == "-d":
-        argv = argv[1:]  # debug flag accepted; verbose dumps not replicated
+        debug = True  # full sptDebug trace, byte-identical (debugtrace.py)
+        argv = argv[1:]
     usage = (
         "Usage: sptQuery [-d] HTM|HPX level -c ra dec radius | "
         "sptQuery [-d] HTM|HPX level -p ra1 dec1 ... raN decN (N >= 3)"
@@ -52,6 +54,17 @@ def cmd_query(argv: list[str]) -> int:
     si = SpatialIndex()
     if srch != "-p":
         ra, dec, rad = (float(v) for v in argv[3:6])
+        if debug and level <= 20:
+            # the level>20 error returns BEFORE any debug print
+            # (sptQueryLib.c:50-57 vs :75)
+            from . import debugtrace
+
+            text, trace_err = debugtrace.cone_trace(
+                indname, mode, 0, level, "x", "y", "z", ra, dec, rad
+            )
+            sys.stdout.write(text)
+            if trace_err is not None:
+                return _err(trace_err)
         res = si.cone_search(ra, dec, rad, mode=mode, level=level,
                              colname=indname, encoding=0)
     else:
@@ -59,6 +72,8 @@ def cmd_query(argv: list[str]) -> int:
         npoly = len(vals) // 2
         if npoly < 3 or npoly * 2 != len(vals):
             return _err(usage)
+        if debug:
+            sys.stdout.write(f"\nnpoly = {npoly}\n\n")  # sptQuery.c:100-104
         ra = []
         dec = []
         for i in range(npoly):
@@ -72,6 +87,15 @@ def cmd_query(argv: list[str]) -> int:
                 return _err(f"Invalid Dec (deg) value: [{vals[2 * i + 1]}]")
             ra.append(r)
             dec.append(d)
+        if debug:
+            from . import debugtrace
+
+            text, trace_err = debugtrace.polygon_trace(
+                indname, mode, 0, level, "x", "y", "z", ra, dec
+            )
+            sys.stdout.write(text)
+            if trace_err is not None:
+                return _err(trace_err)
         res = si.polygon_search(npoly, ra, dec, mode=mode, level=level,
                                 colname=indname, encoding=0)
     if res["status"]:

@@ -882,13 +882,37 @@ def _emit_hpx(rng, lo, hi):
         rng.append([lo, hi])
 
 
-def hpx_cone_ranges(omax, ra, dec, radius_deg):
+def _g(v: float) -> str:
+    """C printf %g (6 significant digits, trailing zeros dropped) — the
+    format every reference debug dump uses for floats."""
+    return "%g" % v
+
+
+_ZONE_TEXT = {
+    1: "DEBUG> zone 1: pixel may overlap with the shape, pixel center is outside\n",
+    2: "DEBUG> zone 2: pixel center is inside the shape, but maybe not the complete pixel\n",
+    3: "DEBUG> zone 3: pixel lies completely inside the shape\n",
+}
+
+
+def _acos_c(v: float) -> float:
+    """libm acos: out-of-domain input yields NaN (printf renders 'nan')
+    rather than raising — dot products of unit vectors can exceed 1 by an
+    ulp and the reference's debug dumps print whatever acos returns."""
+    return math.acos(v) if -1.0 <= v <= 1.0 else float("nan")
+
+
+def hpx_cone_ranges(omax, ra, dec, radius_deg, trace=None):
     """hpxConeSearch (sptQueryLib.c:1311-1630): explicit-stack descent from
     the 12 base pixels with bounding-circle zone classification.
 
     NOTE the reference quirk kept verbatim: a fully-inside pixel at order o
     emits [pix << 2d, (pix+1) << 2d] — the max is one past the true subpixel
     range (sptQueryLib.c:1507-1508).
+
+    ``trace``: optional list; when given, every ``sptDebug`` diagnostic the
+    reference prints along this walk (sptQueryLib.c:1367-1624) is appended
+    byte-identically (the CLI ``-d`` surface). Zero overhead when None.
     """
     DTR = geom.RAD_PER_DEG
     ux = math.cos(ra * DTR) * math.cos(dec * DTR)
@@ -902,6 +926,12 @@ def hpx_cone_ranges(omax, ra, dec, radius_deg):
     crmdr = [0.0] * (omax + 1)
     for o in range(omax + 1):
         dr[o] = healpix.max_pix_rad(o)
+        if trace is not None:
+            trace.append(
+                "DEBUG> order %2d:  nside = %d, pixel size = %8.4f deg, "
+                "R-dr = %8.4f, R+dr = %8.4f\n"
+                % (o, 1 << o, dr[o] / DTR, (radius - dr[o]) / DTR, (radius + dr[o]) / DTR)
+            )
         crpdr[o] = math.cos(radius + dr[o])
         crmdr[o] = math.cos(radius - dr[o])
         if radius + dr[o] > healpix.PI:
@@ -910,15 +940,55 @@ def hpx_cone_ranges(omax, ra, dec, radius_deg):
             crmdr[o] = 1.0
 
     rng: list = []
-    stack = [(11 - i, 0) for i in range(12)]
+    stack = []
+    if trace is not None:
+        trace.append("\nInitialize stack\n")
+    for i in range(12):
+        if trace is not None:
+            trace.append(
+                "DEBUG> push stack[%2d]: pix = %d, order = %d\n" % (len(stack), 11 - i, 0)
+            )
+        stack.append((11 - i, 0))
     while stack:
+        if trace is not None:
+            pk, ok = stack[-1]
+            trace.append(
+                "--------\nDEBUG>  POP stack[%2d]: pix = %d, order = %d\n"
+                % (len(stack) - 1, pk, ok)
+            )
         pix, o = stack.pop()
         z, phi = _hpx_pix2loc_scalar(o, pix)
         sintheta = math.sqrt((1.0 - z) * (1.0 + z))
         px = sintheta * math.cos(phi)
         py = sintheta * math.sin(phi)
         pz = z
+        if trace is not None:
+            trace.append(
+                "DEBUG> pixel %d / order %d:  z,phi = (%s, %s), ra,dec = (%s,%s)\n"
+                % (pix, o, _g(z), _g(phi), _g(phi / DTR), _g(90.0 - math.acos(z) / DTR))
+            )
         cangdist = ux * px + uy * py + uz * pz
+        if trace is not None:
+            trace.append("DEBUG> pixel %d / order %d:\n" % (pix, o))
+            trace.append(
+                "DEBUG>       cangdist = %9.6f (distance = %8.4f)\n"
+                % (cangdist, _acos_c(cangdist) / DTR)
+            )
+            trace.append(
+                "DEBUG>       cosrad   = %9.6f (R        = %8.4f)\n"
+                % (cosrad, math.acos(cosrad) / DTR)
+            )
+            trace.append(
+                "DEBUG>                            (dr       = %8.4f)\n" % (dr[o] / DTR)
+            )
+            trace.append(
+                "DEBUG>       crmdr    = %9.6f (R-dr     = %8.4f)\n"
+                % (crmdr[o], math.acos(crmdr[o]) / DTR)
+            )
+            trace.append(
+                "DEBUG>       crpdr    = %9.6f (R+dr     = %8.4f)\n"
+                % (crpdr[o], math.acos(crpdr[o]) / DTR)
+            )
         if cangdist > crpdr[o]:
             if cangdist < cosrad:
                 zone = 1
@@ -926,19 +996,53 @@ def hpx_cone_ranges(omax, ra, dec, radius_deg):
                 zone = 2
             else:
                 zone = 3
+            if trace is not None:
+                trace.append(_ZONE_TEXT[zone])
             if o < omax:
                 if zone == 3:
                     sdist = 2 * (omax - o)
+                    if trace is not None:
+                        trace.append(
+                            "DEBUG> RANGE %d (save pixels: %d to %d)\n"
+                            % (len(rng), pix << sdist, (pix + 1) << sdist)
+                        )
                     _emit_hpx(rng, pix << sdist, (pix + 1) << sdist)
                 else:
                     for i in range(4):
+                        if trace is not None:
+                            trace.append(
+                                "DEBUG> push stack[%2d]: pix = %d, order = %d\n"
+                                % (len(stack), 4 * pix + 3 - i, o + 1)
+                            )
                         stack.append((4 * pix + 3 - i, o + 1))
             else:
+                if trace is not None:
+                    trace.append("DEBUG> RANGE %d (save pixel: %d)\n" % (len(rng), pix))
                 _emit_hpx(rng, pix, pix)
+    if trace is not None:
+        # tail summary + full per-pixel dump (sptQueryLib.c:1588-1624)
+        trace.append("\nCenter: (%8.4f,%8.4f)  Radius: %s\n\n" % (ra, dec, _g(radius / DTR)))
+        for i, (mn, mx) in enumerate(rng):
+            trace.append("RANGE> %d: %d - %d\n" % (i, mn, mx))
+            for pix in range(mn, mx + 1):
+                z, phi = _hpx_pix2loc_scalar(omax, pix)
+                sintheta = math.sqrt((1.0 - z) * (1.0 + z))
+                dot = (
+                    ux * sintheta * math.cos(phi)
+                    + uy * sintheta * math.sin(phi)
+                    + uz * z
+                )
+                dist = _acos_c(dot)
+                trace.append(
+                    "       %d: z,phi (%8.5f %8.5f) -> ra,dec (%8.4f, %8.4f) "
+                    "[pixel size: %s, distance: %s]\n"
+                    % (pix, z, phi, phi / DTR, 90.0 - math.acos(z) / DTR,
+                       _g(dr[omax] / DTR), _g(dist / DTR))
+                )
     return rng
 
 
-def hpx_polygon_ranges(omax, ra, dec, compat=True):
+def hpx_polygon_ranges(omax, ra, dec, compat=True, trace=None):
     """hpxPolygonSearch (sptQueryLib.c:1633-2090): per-edge three-band test
     with bounding-circle prune and zone demotion.
 
@@ -951,9 +1055,31 @@ def hpx_polygon_ranges(omax, ra, dec, compat=True):
     plans that must be correct supersets.
 
     Raises geom.RegionError for degenerate / non-convex polygons (the C code
-    returns 1 range in that case, treated upstream as an error path)."""
+    returns 1 range in that case, treated upstream as an error path).
+
+    ``trace``: optional list; when given, the ``sptDebug`` diagnostics of
+    hpxPolygonSearch (sptQueryLib.c:1676-2086) are appended byte-identically
+    — including its re-derivation of the normals (the reference prints them
+    a second time inside this function). Zero overhead when None."""
     npoly = len(ra)
-    poly, normal = geom.polygon_normals(ra, dec)
+    collect = None if trace is None else []
+    if trace is not None:
+        trace.append("\nIn hpxPolygonSearch()\n")
+    poly, normal = geom.polygon_normals(ra, dec, collect=collect)
+    if trace is not None:
+        nreverse = 0
+        for i, (pre, handed, rev) in enumerate(collect):
+            trace.append(
+                "Normal (x,y,z)  = (%11.8f,%11.8f,%11.8f) [handedness: %11.8f]\n"
+                % (pre[0], pre[1], pre[2], handed)
+            )
+            if rev:
+                # NOTE: no "DEBUG> " prefix here, unlike sptPolygonSearch's
+                # own loop (sptQueryLib.c:1703 vs :690)
+                trace.append("Reversing normal %d\n" % i)
+                nreverse += 1
+        if nreverse > 0:
+            trace.append("\n%d reversed\n\n" % nreverse)
 
     if compat:
         center, cosrad = _hpx_bounding_circle(poly)
@@ -967,6 +1093,16 @@ def hpx_polygon_ranges(omax, ra, dec, compat=True):
         center = _normalize(csum)
         cosrad = min(_dot(p, center) for p in unit)
     rcenter = math.acos(cosrad)
+    if trace is not None:
+        DTR = geom.RAD_PER_DEG
+        trace.append(
+            "Bounding circle: (%s, %s) [%s]\n"
+            % (
+                _g(math.atan2(center[1], center[0]) / DTR),
+                _g(math.asin(center[2]) / DTR),
+                _g(math.acos(cosrad) / DTR),
+            )
+        )
 
     dr = [0.0] * (omax + 1)
     crlimit = [[[0.0] * 3 for _ in range(npoly)] for _ in range(omax + 1)]
@@ -984,14 +1120,36 @@ def hpx_polygon_ranges(omax, ra, dec, compat=True):
             )
 
     rng: list = []
-    stack = [(11 - i, 0) for i in range(12)]
+    stack = []
+    if trace is not None:
+        DTR = geom.RAD_PER_DEG
+        trace.append("\nInitialize stack\n")
+    for i in range(12):
+        if trace is not None:
+            trace.append(
+                "DEBUG> push stack[%2d]: pix = %d, order = %d\n" % (len(stack), 11 - i, 0)
+            )
+        stack.append((11 - i, 0))
     while stack:
+        if trace is not None:
+            pk, ok = stack[-1]
+            trace.append(
+                "--------\nDEBUG>  POP stack[%2d]: pix = %d, order = %d\n"
+                % (len(stack) - 1, pk, ok)
+            )
+            if len(stack) == 1:
+                trace.append("DEBUG>  This is the end of the stack; we exit after this\n")
         pix, o = stack.pop()
         z, phi = _hpx_pix2loc_scalar(o, pix)
         sintheta = math.sqrt((1.0 - z) * (1.0 + z))
         px = sintheta * math.cos(phi)
         py = sintheta * math.sin(phi)
         pz = z
+        if trace is not None:
+            trace.append(
+                "DEBUG> pixel %d / order %d:  z,phi = (%s, %s), ra,dec = (%s,%s)\n"
+                % (pix, o, _g(z), _g(phi), _g(phi / DTR), _g(90.0 - math.acos(z) / DTR))
+            )
         zone = 3
         for i in range(npoly):
             crad = px * normal[i][0] + py * normal[i][1] + pz * normal[i][2]
@@ -1010,15 +1168,31 @@ def hpx_polygon_ranges(omax, ra, dec, compat=True):
             if zone == 0:
                 break
         if zone > 0:
+            if trace is not None:
+                trace.append(_ZONE_TEXT[zone])
             if o < omax:
                 if zone == 3:
                     sdist = 2 * (omax - o)
+                    if trace is not None:
+                        trace.append(
+                            "DEBUG> RANGE %d (save pixels: %d to %d)\n"
+                            % (len(rng), pix << sdist, (pix + 1) << sdist)
+                        )
                     _emit_hpx(rng, pix << sdist, (pix + 1) << sdist)
                 else:
                     for i in range(4):
+                        if trace is not None:
+                            trace.append(
+                                "DEBUG> push stack[%2d]: pix = %d, order = %d\n"
+                                % (len(stack), 4 * pix + 3 - i, o + 1)
+                            )
                         stack.append((4 * pix + 3 - i, o + 1))
             else:
+                if trace is not None:
+                    trace.append("DEBUG> RANGE %d (save pixel: %d)\n" % (len(rng), pix))
                 _emit_hpx(rng, pix, pix)
+    if trace is not None:
+        trace.append("\nDEBUG>  Done with stack, returning %d ranges.\n\n" % len(rng))
     return rng
 
 
@@ -1050,13 +1224,18 @@ def _hpx_bounding_circle(points):
 
 
 # ------------------------------------------------------- 30% gap compression
-def gap_compress(ranges, maxpct=30.0):
+def gap_compress(ranges, maxpct=30.0, trace=None):
     """The reference's plan-size compression (sptQueryLib.c:134-237): sort
     inter-range gaps ascending (stable on ties) and greedily merge ranges
     into their predecessor while the cumulative gap percentage (relative to
     the total covered cells) stays below ``maxpct``.
 
     ranges: list of [min, max]; returns a new list of [min, max].
+
+    ``trace``: optional list; when given, the "Reassign index" debug lines
+    (sptQueryLib.c:205-209) are appended in skip-sorted order, byte-identical
+    to the reference's ``-d`` output (glibc qsort is effectively stable —
+    mergesort — so the stable tie order here matches).
     """
     nranges = len(ranges)
     if nranges == 0:
@@ -1074,6 +1253,8 @@ def gap_compress(ranges, maxpct=30.0):
         pct = 100.0 * counts[i] / total
         sumpct += pct
         if sumpct < maxpct and i > 0:
+            if trace is not None:
+                trace.append("Reassign index %d (%d cells)\n" % (i, counts[i]))
             remove[i] = True
     out = []
     for i in range(nranges):

@@ -139,13 +139,18 @@ class Cone:
         ) >= self.cosrad
 
 
-def polygon_normals(ra, dec):
+def polygon_normals(ra, dec, collect=None):
     """Handedness-corrected unit edge normals of a convex polygon, the exact
     sptPolygonSearch recipe (sptQueryLib.c:636-699): cross of consecutive
     *unnormalized* vertex vectors, normalized, flipped if clockwise.
 
     Raises RegionError on degenerate corners / non-convex input.
     Returns (poly_verts_raw, normals) as lists of tuples.
+
+    ``collect``: optional list receiving one (pre_flip_normal, handedness,
+    reversed) tuple per edge AS THE LOOP RUNS — on a RegionError the entries
+    up to the failing edge are present, exactly matching the reference's
+    debug-print prefix before its error return (the ``-d`` trace surface).
     """
     npoly = len(ra)
     poly = [radec_to_v3_raw(ra[i], dec[i]) for i in range(npoly)]
@@ -158,6 +163,8 @@ def polygon_normals(ra, dec):
             ln = 1.0  # vNormalize guard (sptQueryLib.c:2494-2510)
         nrm = (nrm[0] / ln, nrm[1] / ln, nrm[2] / ln)
         handedness = _dot(nrm, poly[(i + 2) % npoly])
+        if collect is not None:
+            collect.append((nrm, handedness, flip < 0 or (i == 0 and handedness < 0.0)))
         if abs(handedness) < 1.0e-10:
             raise RegionError("Degenerate polygon corner.")
         if i == 0 and handedness < 0.0:
