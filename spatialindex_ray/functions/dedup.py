@@ -639,6 +639,7 @@ def embedding_near_dup_query(
     tau: float = EMB_TAU,
     n_centroids: int = EMB_CENTROIDS,
     probes: int = EMB_PROBES,
+    limit: int | None = None,
 ):
     """Pairs of embeddings with cosine similarity >= tau — IVF-bucketed
     (round 2; replaces the full-matrix broadcast + all-pairs matmul):
@@ -662,6 +663,14 @@ def embedding_near_dup_query(
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    if limit is not None:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(limit, pa.int64()))),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     cent = train_centroids(ds, c=n_centroids)
     cref = ray.put(cent)
     n_shards = 64
@@ -774,6 +783,20 @@ def embedding_dup_exact_query(
         )
 
     return _typed_pairs(sub.map_batches(pairs, batch_format="pyarrow", batch_size=None))
+
+
+def embedding_near_dup_singlebucket_query(sf_dir: str):
+    """IVF near-dup machinery gate-check (the embedding analog of
+    ann_topk_ivf_allprobes): with n_centroids=1 / probes=1 every vector
+    lands in the single bucket, so the bucketed pairing path is exhaustive
+    — centroid training, assignment, shard groupby, per-bucket matmul and
+    the multi-bucket pair dedup all run for real, and the result equals the
+    exact cosine pairs over the same bounded prefix (EMB_EXACT_ORACLE).
+    The honest approximate entry (embedding_near_dup, 16 centroids /
+    4 probes, unbounded) stays rows-only."""
+    return embedding_near_dup_query(
+        sf_dir, n_centroids=1, probes=1, limit=EMB_EXACT_LIMIT
+    )
 
 
 EMB_EXACT_ORACLE = f"""
