@@ -1138,6 +1138,26 @@ def test_span_dedup_shard_invariance(ray_session):
     assert run(8).equals(run(19))
 
 
+def test_substring_cut_shard_invariance(ray_session):
+    """substring_cut_dedup output must not depend on the exchange shard
+    count, and excised docs must never GAIN tokens."""
+    import __ray_entry__ as entry
+
+    def run(ns):
+        return (
+            entry._substring_cut(SF, n_shards=ns)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a, b = run(8), run(19)
+    assert a.equals(b)
+    assert (a["n_removed"] >= 0).all()
+    # cutting the first duplicated-window occurrence is forbidden: at least
+    # one doc per duplicate group keeps its full text (min doc of the
+    # corpus-wide duplicate set has n_removed 0 unless covered elsewhere)
+    assert (a["n_removed"] == 0).any()
+
+
 def test_select_exchange_rule():
     """VERDICT r3 item 7: auto topology picks two_level exactly when the
     flat exchange's M x S piece count exceeds the documented budget."""
