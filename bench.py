@@ -303,6 +303,9 @@ def run_suite() -> dict:
         "triplet_mining", "scd2_asof_lookup", "lang_balanced_sample",
         "events_quantiles_cont", "data_contract_report",
         "index_size_estimate", "cone_search_epoch", "coverage_holes",
+        # round-4 operators
+        "semdedup", "substring_cut_dedup", "embedding_near_dup_singlebucket",
+        "ann_topk_ivf_allprobes", "warc_latest_snapshot", "url_canonical_dedup",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
