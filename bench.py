@@ -308,7 +308,7 @@ def run_suite() -> dict:
         "ann_topk_ivf_allprobes", "warc_latest_snapshot", "url_canonical_dedup",
         "mann_whitney", "getis_ord", "term_burstiness", "interval_overlap_join",
         "k_truss", "host_pld_stats", "anchor_text_agg", "redirect_chain_resolve",
-        "bloom_fpr_report", "graph_diameter",
+        "bloom_fpr_report", "graph_diameter", "cms_error_report", "kdtree_partition",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
