@@ -59,3 +59,42 @@ def test_pii_redaction_char_math():
     red = re.sub(entry.PII_SSN_RE, "[SSN]", red)
     assert red == "x contact [EMAIL] now ssn [SSN]"
     assert len(red) < len(t)
+
+
+def test_haar_detail_brute():
+    rng = np.random.default_rng(124)
+    c = rng.integers(0, 1000, size=64).astype(np.int64)
+    for lvl in (1, 2, 3):
+        w = 1 << lvl
+        want = []
+        for k in range(64 // w):
+            win = c[k * w : (k + 1) * w]
+            want.append(int(win[: w // 2].sum() - win[w // 2 :].sum()))
+        got = entry._haar_detail(c, lvl)
+        assert got.tolist() == want
+
+
+def test_haar_energy_invariants():
+    # constant signal has zero detail energy at every level; a single
+    # impulse at bucket b contributes |1| to every level's energy
+    flat = np.full(64, 7, np.int64)
+    for lvl in (1, 2, 3):
+        assert np.abs(entry._haar_detail(flat, lvl)).sum() == 0
+    imp = np.zeros(64, np.int64)
+    imp[37] = 1
+    for lvl in (1, 2, 3):
+        assert np.abs(entry._haar_detail(imp, lvl)).sum() == 1
+
+
+def test_semivariogram_band_thresholds():
+    # band thresholds are chord^2 of 2deg and 4deg; a pair at angular
+    # distance t lands in band floor(t/2deg) for t inside (0, 6)
+    import math
+
+    for t_deg, want_band in [(0.5, 0), (1.99, 0), (2.01, 1), (3.9, 1),
+                             (4.05, 2), (5.9, 2)]:
+        d2 = 4.0 * math.sin(math.radians(t_deg) / 2) ** 2
+        thr = [4.0 * math.sin(k * entry.SEMIVAR_BAND_DEG * 0.5 * entry.RAD) ** 2
+               for k in range(1, entry.SEMIVAR_NBANDS)]
+        band = sum(d2 > x for x in thr)
+        assert band == want_band, t_deg
