@@ -98,3 +98,30 @@ def test_semivariogram_band_thresholds():
                for k in range(1, entry.SEMIVAR_NBANDS)]
         band = sum(d2 > x for x in thr)
         assert band == want_band, t_deg
+
+
+def test_holt_recurrence_floor_semantics():
+    # a sharp drop drives trend negative; verify the floor (not trunc)
+    # convention and the fixed-point scale bookkeeping against a
+    # rational-arithmetic reference with explicit floors
+    from fractions import Fraction
+
+    counts = np.array([100, 100, 100, 5, 5, 5, 200, 0, 0, 50], np.int64)
+    level, trend = entry._holt_recurrence(counts)
+    assert (trend < 0).any()
+    s, a, b, d = (entry.HOLT_SCALE, entry.HOLT_ALPHA_NUM,
+                  entry.HOLT_BETA_NUM, entry.HOLT_DEN)
+    lv, tr = counts[0] * s, 0
+    for t in range(1, len(counts)):
+        new_lv = (counts[t] * s * a + (lv + tr) * (d - a)) // d
+        tr = (b * (new_lv - lv) + (d - b) * tr) // d
+        lv = new_lv
+        assert level[t] == lv and trend[t] == tr, t
+
+
+def test_did_identity_on_shifted_cells():
+    # DiD over synthetic cells: treatment gains +delta post while control
+    # is flat -> did == delta exactly (floored means cancel)
+    mu = {(0, 0): 100, (0, 1): 100, (1, 0): 250, (1, 1): 321}
+    did = (mu[(1, 1)] - mu[(1, 0)]) - (mu[(0, 1)] - mu[(0, 0)])
+    assert did == 71
