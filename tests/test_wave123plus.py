@@ -125,3 +125,25 @@ def test_did_identity_on_shifted_cells():
     mu = {(0, 0): 100, (0, 1): 100, (1, 0): 250, (1, 1): 321}
     did = (mu[(1, 1)] - mu[(1, 0)]) - (mu[(0, 1)] - mu[(0, 0)])
     assert did == 71
+
+
+def test_robots_prefix_semantics():
+    # '/A/1' must match /A/1 and /A/10../A/19 but not /A/21
+    path = lambda m: f"/A/{m}"  # noqa: E731
+    hits = [m for m in range(50)
+            if path(m).startswith("/A/1")]
+    assert hits == [1] + list(range(10, 20))
+
+
+def test_tox_lexicon_scores_brute():
+    texts = [
+        "slow slow big scan",       # 5+5+2+1 = 13 -> flagged
+        "the fast key",             # 0
+        "filter big",               # 3+2 = 5
+        "",                         # 0 (empty doc)
+        "  slow  ",                 # 5 (whitespace runs)
+    ]
+    want = [13, 0, 5, 0, 5]
+    for t, w in zip(texts, want):
+        s = sum(entry.TOX_LEXICON.get(tok, 0) for tok in t.split())
+        assert s == w
