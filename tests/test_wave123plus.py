@@ -147,3 +147,33 @@ def test_tox_lexicon_scores_brute():
     for t, w in zip(texts, want):
         s = sum(entry.TOX_LEXICON.get(tok, 0) for tok in t.split())
         assert s == w
+
+
+def test_replica_xor_fold_detects_single_flip():
+    # XOR fold over a bucket flips iff any row hash changed
+    import spatialindex_ray.ops as ops
+
+    e = np.arange(2048, dtype=np.int64)
+    c = (e * 7 % 1000).astype(np.int64)
+    h1 = ops._splitmix64(e * np.int64(entry.REPLICA_ROW_MIX) + c)
+    c2 = c.copy()
+    c2[997] += 1
+    h2 = ops._splitmix64(e * np.int64(entry.REPLICA_ROW_MIX) + c2)
+    b = e // entry.REPLICA_BUCKET
+    for bk in np.unique(b):
+        m = b == bk
+        f1 = np.bitwise_xor.reduce(h1[m])
+        f2 = np.bitwise_xor.reduce(h2[m])
+        assert (f1 != f2) == (997 in e[m]), bk
+
+
+def test_gini_ppm_pure_split_is_zero():
+    # perfectly separating split: left all positive, right all negative
+    nl, pl, nr, pr = 100, 100, 200, 0
+    num = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+    assert num == 0
+    # maximally impure balanced split -> 500000 ppm (gini 0.5)
+    nl, pl, nr, pr = 100, 50, 100, 50
+    num = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+    ppm = 2_000_000 * num // (nl * nr * (nl + nr))
+    assert ppm == 500_000
