@@ -177,3 +177,28 @@ def test_gini_ppm_pure_split_is_zero():
     num = pl * (nl - pl) * nr + pr * (nr - pr) * nl
     ppm = 2_000_000 * num // (nl * nr * (nl + nr))
     assert ppm == 500_000
+
+
+def test_simpson_flip_construction():
+    # classic Simpson construction: treatment better within both segments,
+    # worse pooled (confounded segment sizes)
+    cells = {  # (seg, treat): (n, succ)
+        (0, 0): (100, 10), (0, 1): (400, 50),   # seg0: 10% vs 12.5%
+        (1, 0): (400, 200), (1, 1): (100, 55),  # seg1: 50% vs 55%
+    }
+    for g in (0, 1):
+        n0, s0 = cells[(g, 0)]
+        n1, s1 = cells[(g, 1)]
+        assert s1 * n0 - s0 * n1 > 0  # treat wins within segment
+    N0 = sum(v[0] for k, v in cells.items() if k[1] == 0)
+    S0 = sum(v[1] for k, v in cells.items() if k[1] == 0)
+    N1 = sum(v[0] for k, v in cells.items() if k[1] == 1)
+    S1 = sum(v[1] for k, v in cells.items() if k[1] == 1)
+    assert S1 * N0 - S0 * N1 < 0  # treat loses pooled -> flip
+
+
+def test_seasonal_naive_gap_safety():
+    # a missing day-7 leaves that day unscored (no row-lag confusion)
+    cnt = {0: 10, 7: 12, 8: 99, 14: 15, 15: 100}
+    scored = {d: abs(n - cnt[d - 7]) for d, n in cnt.items() if d - 7 in cnt}
+    assert scored == {7: 2, 14: 3, 15: 1}
