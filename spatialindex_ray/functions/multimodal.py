@@ -1102,6 +1102,85 @@ FROM p GROUP BY 1, 2
 """
 
 
+class SobelStage:
+    """Actor-pool stage: PNG payload -> integer Sobel edge energy. The
+    standard 3x3 Sobel correlation (Gx transposed for Gy) over the interior
+    (valid) pixels of channel 0, energy = sum(|gx| + |gy|) — all integer,
+    so the SQL dual replays it from the synthesized closed-form pixels.
+    Emits only (doc_id, n_interior, sobel_energy); pixels never leave the
+    actor."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_n = np.zeros(len(ids), dtype=np.int64)
+        out_e = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            h, w, c, px = decode_png(payload[i].as_py())
+            g = px[:, :, 0].astype(np.int64)
+            gx = (
+                (g[:-2, 2:] - g[:-2, :-2])
+                + 2 * (g[1:-1, 2:] - g[1:-1, :-2])
+                + (g[2:, 2:] - g[2:, :-2])
+            )
+            gy = (
+                (g[2:, :-2] - g[:-2, :-2])
+                + 2 * (g[2:, 1:-1] - g[:-2, 1:-1])
+                + (g[2:, 2:] - g[:-2, 2:])
+            )
+            out_n[i] = gx.size
+            out_e[i] = int((np.abs(gx) + np.abs(gy)).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_interior": pa.array(out_n),
+                "sobel_energy": pa.array(out_e),
+            }
+        )
+
+
+def image_sobel_query(sf_dir: str):
+    """Sobel edge energy over real gradient PNGs (see _synth_gradient_pngs):
+    the stencil-compute pattern for image pipelines — decode + 3x3 integer
+    convolution in an actor pool, exact oracle from the pixel formula."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        _synth_gradient_pngs, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        SobelStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+# gx/gy are rendered from the same closed-form pixel (doc_id + x + y) % 256
+# the other image oracles walk; interior coords x in [1, w-2], y in [1, h-2].
+def _px(dx: int, dy: int) -> str:
+    return f"((doc_id + xs.x + {dx} + ys.y + {dy}) % 256)"
+
+
+IMAGE_SOBEL_ORACLE = f"""
+WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id % 7) * 3 AS h
+           FROM documents),
+g AS (
+  SELECT doc_id,
+    ({_px(1, -1)} - {_px(-1, -1)})
+      + 2 * ({_px(1, 0)} - {_px(-1, 0)})
+      + ({_px(1, 1)} - {_px(-1, 1)}) AS gx,
+    ({_px(-1, 1)} - {_px(-1, -1)})
+      + 2 * ({_px(0, 1)} - {_px(0, -1)})
+      + ({_px(1, 1)} - {_px(1, -1)}) AS gy
+  FROM d, unnest(range(1, h - 1)) AS ys(y), unnest(range(1, w - 1)) AS xs(x))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS sobel_energy
+FROM g GROUP BY 1
+"""
+
+
 # ------------------------------------------------- image near-dup (ahash LSH)
 AHASH_DUP_MAX_HAMMING = 2
 _AHASH_DUP_BANDS = 4          # 4 x 16-bit bands: LOSSLESS for hamming <= 3

@@ -202,3 +202,24 @@ def test_seasonal_naive_gap_safety():
     cnt = {0: 10, 7: 12, 8: 99, 14: 15, 15: 100}
     scored = {d: abs(n - cnt[d - 7]) for d, n in cnt.items() if d - 7 in cnt}
     assert scored == {7: 2, 14: 3, 15: 1}
+
+
+def test_no_duplicate_toplevel_names_in_entry():
+    """Module-level name collisions silently rebind earlier oracles to
+    later definitions (wave 115/117/118 SKYLINE/CHI2/RETENTION/_bm25
+    collisions, fixed this session) — fail loudly on any recurrence."""
+    import ast
+    import collections
+
+    path = Path(__file__).resolve().parents[1] / "__ray_entry__.py"
+    tree = ast.parse(path.read_text())
+    names = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+            names[node.name] += 1
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names[t.id] += 1
+    dups = {k: v for k, v in names.items() if v > 1}
+    assert not dups, dups
