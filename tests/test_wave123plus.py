@@ -223,3 +223,36 @@ def test_no_duplicate_toplevel_names_in_entry():
                     names[t.id] += 1
     dups = {k: v for k, v in names.items() if v > 1}
     assert not dups, dups
+
+
+def test_textrank_rounds_brute():
+    # tiny 3-node path graph a-b-c, weights 1: verify two rounds against
+    # hand-computed fixed-point values
+    w1 = ["a", "b", "b", "c"]
+    w2 = ["b", "a", "c", "b"]
+    wt = np.array([1, 1, 1, 1], np.int64)
+    terms = ["a", "b", "c"]
+    s = entry._textrank_rounds(w1, w2, wt, terms)
+    base = entry.TEXTRANK_BASE
+    keep = base - base * entry.TEXTRANK_DAMP_PPK // 1000
+    # strength: a=1, b=2, c=1
+    # round 1: M(a) = s(b)*1//2; M(b) = s(a)*1//1 + s(c)*1//1; M(c) = s(b)*1//2
+    m_a = base * 1 // 2
+    m_b = base + base
+    s1_a = keep + entry.TEXTRANK_DAMP_PPK * m_a // 1000
+    s1_b = keep + entry.TEXTRANK_DAMP_PPK * m_b // 1000
+    assert s[1][0] == s1_a and s[1][1] == s1_b and s[1][2] == s1_a
+    # round 2 uses round-1 scores
+    m2_b = s1_a + s1_a
+    s2_b = keep + entry.TEXTRANK_DAMP_PPK * m2_b // 1000
+    assert s[2][1] == s2_b
+
+
+def test_matched_filter_kernel_argmax():
+    c = np.zeros(64, np.int64)
+    c[10], c[11], c[12] = 5, 9, 5  # a (1,2,1)-shaped bump at t=10
+    klen = len(entry.MF_KERNEL)
+    score = sum(w * c[k: 64 - klen + 1 + k]
+                for k, w in enumerate(entry.MF_KERNEL))
+    t = int(np.argmin(-score))
+    assert t == 10 and score[t] == 5 + 18 + 5
