@@ -256,3 +256,24 @@ def test_matched_filter_kernel_argmax():
                 for k, w in enumerate(entry.MF_KERNEL))
     t = int(np.argmin(-score))
     assert t == 10 and score[t] == 5 + 18 + 5
+
+
+def test_jl_signs_deterministic_and_balanced():
+    s = entry._jl_signs()
+    assert s.shape == (entry.JL_K, entry.JL_DIMS)
+    assert set(np.unique(s)) == {-1, 1}
+    # deterministic across calls
+    assert (s == entry._jl_signs()).all()
+    # roughly balanced (splitmix avalanche): no row all-same-sign
+    assert (np.abs(s.sum(axis=1)) < entry.JL_DIMS).all()
+
+
+def test_jl_projection_preserves_dot_in_expectation():
+    # projection of a vector against itself: ||Pv||^2 relates to K*||v||^2
+    # only in expectation — here just verify the exact linear algebra
+    rng = np.random.default_rng(131)
+    v = rng.integers(-1000, 1000, size=entry.JL_DIMS).astype(np.int64)
+    s = entry._jl_signs()
+    proj = s @ v
+    want = np.array([int((s[j] * v).sum()) for j in range(entry.JL_K)])
+    assert (proj == want).all()
