@@ -277,3 +277,40 @@ def test_jl_projection_preserves_dot_in_expectation():
     proj = s @ v
     want = np.array([int((s[j] * v).sum()) for j in range(entry.JL_K)])
     assert (proj == want).all()
+
+
+def test_lcp_minmax_order_statistic():
+    # LCP of a set equals LCP(lexmin, lexmax)
+    rng = np.random.default_rng(132)
+    for _ in range(50):
+        n = rng.integers(2, 12)
+        strs = ["PRE" + "".join(rng.choice(list("abc"), size=rng.integers(0, 6)))
+                for _ in range(n)]
+        mn, mx = min(strs), max(strs)
+        lcp_pair = 0
+        for a, b in zip(mn, mx):
+            if a != b:
+                break
+            lcp_pair += 1
+        import os
+        full = len(os.path.commonprefix(strs))
+        assert lcp_pair == full, strs
+
+
+def test_redirect_depth_brute():
+    for x in [0, 1, 5, 10, 20, 40, 5120, 100, 625]:
+        d, cur = 0, x
+        while cur % 5 == 0 and cur > 0:
+            d += 1
+            cur //= 2
+        # mirror of the vectorized loop
+        arr = np.array([x], np.int64)
+        dd = np.zeros(1, np.int64)
+        cc = arr.copy()
+        for _ in range(64):
+            live = (cc % 5 == 0) & (cc > 0)
+            if not live.any():
+                break
+            dd[live] += 1
+            cc[live] //= 2
+        assert dd[0] == d, x
