@@ -314,3 +314,26 @@ def test_redirect_depth_brute():
             dd[live] += 1
             cc[live] //= 2
         assert dd[0] == d, x
+
+
+def test_compass_sector_code_octants():
+    # the (sign, sign, dominance) code distinguishes all 8 octants
+    import itertools
+
+    seen = set()
+    for ang in range(0, 360, 15):
+        e = np.cos(np.radians(ang))
+        n = np.sin(np.radians(ang))
+        code = 4 * (e >= 0) + 2 * (n >= 0) + (abs(e) >= abs(n))
+        seen.add(int(code))
+    assert seen == set(range(8))
+
+
+def test_embedding_outlier_floor_div_negatives():
+    # centroid of negative sums floors like numpy, not truncates
+    s1, n = -7, 2
+    assert s1 // n == -4  # python floor matches the engine
+    # SQL dual formula: s1 // n - (s1 % n != 0 and s1 < 0)
+    trunc = int(s1 / n)  # -3, what DuckDB // would give
+    fixed = trunc - (1 if (s1 % -2 if False else s1 - trunc * n) != 0 and s1 < 0 else 0)
+    assert fixed == -4
