@@ -337,3 +337,18 @@ def test_embedding_outlier_floor_div_negatives():
     trunc = int(s1 / n)  # -3, what DuckDB // would give
     fixed = trunc - (1 if (s1 % -2 if False else s1 - trunc * n) != 0 and s1 < 0 else 0)
     assert fixed == -4
+
+
+def test_cross_pair_combinatorics():
+    # cross pairs = C(n,2) - sum C(nc,2) counts exactly the cross-customer
+    # pairs of a multiset partitioned by customer
+    import itertools
+
+    counts = [3, 1, 2]  # three customers sharing a band
+    n = sum(counts)
+    total = n * (n - 1) // 2
+    same = sum(c * (c - 1) // 2 for c in counts)
+    # brute force
+    labels = [i for i, c in enumerate(counts) for _ in range(c)]
+    brute = sum(1 for a, b in itertools.combinations(labels, 2) if a != b)
+    assert total - same == brute == 11
