@@ -352,3 +352,13 @@ def test_cross_pair_combinatorics():
     labels = [i for i, c in enumerate(counts) for _ in range(c)]
     brute = sum(1 for a, b in itertools.combinations(labels, 2) if a != b)
     assert total - same == brute == 11
+
+
+def test_pvm_decomposition_is_additive():
+    # rate_effect is the residual by construction: vol + rate == s2 - s1
+    for n1, s1, n2, s2 in [(10, 1000, 20, 2500), (5, -300, 3, 100),
+                           (7, 699, 7, 699)]:
+        avg1 = s1 // n1
+        vol = (n2 - n1) * avg1
+        rate = (s2 - s1) - vol
+        assert vol + rate == s2 - s1
