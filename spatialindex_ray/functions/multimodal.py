@@ -721,6 +721,79 @@ GROUP BY 1, 2
 """
 
 
+AUDIO_GAIN_TARGET_E = AUDIO_LEN * 50 * 50  # normalize to rms ~ 50 LSB
+
+
+class GainTable:
+    """Actor-pool stage: WAV payload -> loudness-normalization gain. The
+    gain lives in the SQUARED domain to stay integer-exact (no sqrt):
+    gain2_ppm = 1e6 * target_energy // energy — the per-clip scalar an
+    audio-normalize stage multiplies by. Decode once per clip, one
+    square-sum; emits (doc_id, energy, gain2_ppm)."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payload = tbl["payload"].combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        energy = np.zeros(len(ids), np.int64)
+        for i in range(len(ids)):
+            rate, ch, x = decode_wav(payload[i].as_py())
+            k = np.round(x[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+            energy[i] = int((k * k).sum())
+        gain = np.where(
+            energy > 0, 1_000_000 * AUDIO_GAIN_TARGET_E // np.maximum(energy, 1), 0
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "energy": pa.array(energy),
+                "gain2_ppm": pa.array(gain.astype(np.int64)),
+            }
+        )
+
+
+def audio_gain_query(sf_dir: str):
+    """Loudness-normalization gain table over REAL WAV payloads (same
+    sawtooth synthesis as audio_window_energy): decode + integer energy in
+    an actor pool, squared-domain gain so the SQL dual is exact."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.arange(AUDIO_LEN, dtype=np.int64)
+        payloads = []
+        for did in ids:
+            k = ((int(did) * 7 + n) % 200) - 100
+            payloads.append(encode_wav(k / 32767.0, rate=8000))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None).map_batches(
+        GainTable,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+AUDIO_GAIN_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id,
+    sum(((doc_id * 7 + n) % 200 - 100) * ((doc_id * 7 + n) % 200 - 100))
+      AS energy
+  FROM documents, unnest(range(0, {AUDIO_LEN})) AS t(n)
+  GROUP BY 1)
+SELECT doc_id, CAST(energy AS BIGINT) AS energy,
+  CAST(CASE WHEN energy > 0
+       THEN CAST(1000000 AS BIGINT) * {AUDIO_GAIN_TARGET_E} // energy
+       ELSE 0 END AS BIGINT) AS gain2_ppm
+FROM e
+"""
+
+
 class AHash:
     """Actor-pool stage: PNG payload -> 64-bit average hash (the classic
     image near-dup fingerprint): the image is pooled to an 8x8 grid of

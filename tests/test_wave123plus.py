@@ -362,3 +362,22 @@ def test_pvm_decomposition_is_additive():
         vol = (n2 - n1) * avg1
         rate = (s2 - s1) - vol
         assert vol + rate == s2 - s1
+
+
+def test_anon_ladder_monotone_coarsening():
+    # coarser levels can only merge classes: min size is non-decreasing,
+    # group count non-increasing along the (100,True)->(100000,False) ladder
+    rng = np.random.default_rng(136)
+    cents = rng.integers(100, 50000, size=3000)
+    dow = rng.integers(0, 7, size=3000)
+    prev_groups, prev_min = None, None
+    import collections
+
+    for div, keep in entry.ANON_LEVELS:
+        qi = (cents // div) * 8 + (dow if keep else 0)
+        c = collections.Counter(qi.tolist())
+        n_groups, mn = len(c), min(c.values())
+        if prev_groups is not None and div >= prev_div and (prev_keep or not keep):
+            assert n_groups <= prev_groups
+        prev_groups, prev_min = n_groups, mn
+        prev_div, prev_keep = div, keep
