@@ -381,3 +381,64 @@ def test_anon_ladder_monotone_coarsening():
             assert n_groups <= prev_groups
         prev_groups, prev_min = n_groups, mn
         prev_div, prev_keep = div, keep
+
+
+def test_hrw_not_is_order_reversing():
+    rng = np.random.default_rng(137)
+    h = rng.integers(0, 2**63, size=1000).astype(np.uint64) * 2 + 1
+    a, b = h[:500], h[500:]
+    flip = (~a < ~b)
+    assert (flip == (a > b)).all()
+
+
+def test_hrw_top3_matches_brute():
+    import spatialindex_ray.ops as ops
+
+    d = np.arange(50, dtype=np.int64) * 7 + 3
+    nodes = np.arange(entry.HRW_NODES, dtype=np.int64)
+    h = ops._splitmix64(
+        (nodes[None, :] * entry.HRW_MIX + d[:, None]).reshape(-1)
+    ).reshape(len(d), entry.HRW_NODES)
+    neg = ~h
+    order = np.lexsort((np.broadcast_to(nodes, h.shape), neg), axis=1)
+    for i in range(len(d)):
+        want = sorted(range(entry.HRW_NODES),
+                      key=lambda n: (-int(h[i, n]), n))
+        assert order[i, :3].tolist() == want[:3], i
+
+
+def test_largest_remainder_allocation_exact():
+    # floors + remainder top-up always sums exactly to the budget
+    budget = 1000
+    weights = [317, 9, 4441, 1, 1, 231]
+    W = sum(weights)
+    floors = [budget * w // W for w in weights]
+    rems = [(budget * w % W, i) for i, w in enumerate(weights)]
+    left = budget - sum(floors)
+    alloc = floors[:]
+    for _, i in sorted(rems, key=lambda x: (-x[0], x[1]))[:left]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    assert all(a >= f for a, f in zip(alloc, floors))
+
+
+def test_peak_detection_brute():
+    n = np.array([3, 5, 4, 4, 9, 2, 2, 8, 8], np.int64)
+    mid = n[1:-1]
+    nb = np.maximum(n[:-2], n[2:])
+    prom = mid - nb
+    keep = prom >= entry.PEAK_MIN_PROM
+    got = list(zip(np.arange(1, len(n) - 1)[keep].tolist(), prom[keep].tolist()))
+    # peaks: idx1 (5 > max(3,4): prom 1), idx4 (9 > max(4,2): prom 5)
+    assert got == [(1, 1), (4, 5)]
+
+
+def test_impossible_travel_pair_masking():
+    # pairs only form within a user after the (user, ts, id) lexsort
+    u = np.array([1, 1, 2, 2, 2], np.int64)
+    e = np.array([10, 11, 20, 21, 22], np.int64)
+    t = np.array([100, 200, 50, 60, 70], np.int64)
+    order = np.lexsort((e, t, u))
+    su = u[order]
+    same = su[1:] == su[:-1]
+    assert same.tolist() == [True, False, True, True]
