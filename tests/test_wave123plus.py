@@ -442,3 +442,26 @@ def test_impossible_travel_pair_masking():
     su = u[order]
     same = su[1:] == su[:-1]
     assert same.tolist() == [True, False, True, True]
+
+
+def test_kwic_window_edges():
+    toks = "a b merge c d e merge".split()
+    # keyword at 1-based pos 3 and 7
+    for pos, want_l, want_r in [(3, "a b", "c d e"), (7, "d e", "")]:
+        i = pos - 1
+        lo = max(i - entry.KWIC_CTX, 0)
+        hi = min(i + entry.KWIC_CTX + 1, len(toks))
+        assert " ".join(toks[lo:i]) == want_l
+        assert " ".join(toks[i + 1:hi]) == want_r
+
+
+def test_assortativity_sums_symmetric_graph():
+    # directed-both edges of an undirected path a-b-c: degrees a=1 b=2 c=1
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    deg = {0: 1, 1: 2, 2: 1}
+    m = len(edges)
+    sx = sum(deg[u] for u, v in edges)
+    sy = sum(deg[v] for u, v in edges)
+    sxy = sum(deg[u] * deg[v] for u, v in edges)
+    assert (m, sx, sy, sxy) == (4, 6, 6, 8)
+    assert sx == sy  # symmetry of the directed-both representation
