@@ -447,7 +447,7 @@ def test_impossible_travel_pair_masking():
 def test_kwic_window_edges():
     toks = "a b merge c d e merge".split()
     # keyword at 1-based pos 3 and 7
-    for pos, want_l, want_r in [(3, "a b", "c d e"), (7, "d e", "")]:
+    for pos, want_l, want_r in [(3, "a b", "c d e"), (7, "c d e", "")]:
         i = pos - 1
         lo = max(i - entry.KWIC_CTX, 0)
         hi = min(i + entry.KWIC_CTX + 1, len(toks))
