@@ -465,3 +465,40 @@ def test_assortativity_sums_symmetric_graph():
     sxy = sum(deg[u] * deg[v] for u, v in edges)
     assert (m, sx, sy, sxy) == (4, 6, 6, 8)
     assert sx == sy  # symmetry of the directed-both representation
+
+
+def test_mmr_greedy_brute():
+    # 4 candidates, hand-checkable: first pick = max rel; second pick
+    # penalized by similarity to the first
+    rel = {10: 100, 20: 90, 30: 85, 40: 10}
+    dots = {(20, 10): 95, (10, 20): 95, (30, 10): 5, (10, 30): 5,
+            (40, 10): 0, (10, 40): 0, (20, 30): 0, (30, 20): 0,
+            (40, 20): 0, (20, 40): 0, (40, 30): 0, (30, 40): 0}
+    selected, order = [], []
+    remaining = {10, 20, 30, 40}
+    for _ in range(3):
+        best, best_score = None, None
+        for c in sorted(remaining):
+            maxdot = max((dots[(c, s)] for s in selected), default=0)
+            score = rel[c] - maxdot
+            if best_score is None or score > best_score:
+                best, best_score = c, score
+        selected.append(best)
+        remaining.discard(best)
+        order.append((best, best_score))
+    # pick1 = 10 (rel 100); pick2: 20 scores 90-95=-5, 30 scores 85-5=80 -> 30
+    # pick3: 20 still scores -5 (dominated by its similarity to 10) while
+    # 40 scores 10-0=10 -> diversification promotes the weakly-relevant 40
+    assert order[0] == (10, 100)
+    assert order[1] == (30, 80)
+    assert order[2] == (40, 10)
+
+
+def test_tv_scaled_identity_and_symmetry():
+    # identical distributions -> 0; disjoint supports -> 2*Ns*Nc
+    g = {"a": 10, "b": 10}
+    N_c = 20
+    same = {"a": 5, "b": 5}
+    N_s = 10
+    tv = sum(abs(same.get(t, 0) * N_c - gt * N_s) for t, gt in g.items())
+    assert tv == 0
