@@ -502,3 +502,31 @@ def test_tv_scaled_identity_and_symmetry():
     N_s = 10
     tv = sum(abs(same.get(t, 0) * N_c - gt * N_s) for t, gt in g.items())
     assert tv == 0
+
+
+def test_segmented_running_min_band_trick():
+    # the MIN variant must SUBTRACT seg*band (descending bands) — the
+    # additive form leaks earlier segments into later ones (caught by the
+    # sf0.01 gate on mttr_report)
+    rng = np.random.default_rng(142)
+    seg = np.repeat(np.arange(6), rng.integers(1, 8, size=6))
+    vals = rng.integers(0, 1000, size=len(seg)).astype(np.int64)
+    band = 1001
+    got = np.minimum.accumulate(vals - seg * band) + seg * band
+    want = np.empty_like(vals)
+    for s in np.unique(seg):
+        m = seg == s
+        want[m] = np.minimum.accumulate(vals[m])
+    assert (got == want).all()
+
+
+def test_sq8_floor_clip_negatives():
+    step = 1 << entry.SQ8_SHIFT
+    m = np.array([-step * 200, -step - 1, -1, 0, step - 1, step * 500],
+                 np.int64)
+    fq = m // step  # numpy floors
+    q = np.clip(fq, -entry.SQ8_CLIP, entry.SQ8_CLIP)
+    sat = (fq < -entry.SQ8_CLIP) | (fq > entry.SQ8_CLIP)
+    assert fq.tolist() == [-200, -2, -1, 0, 0, 500]
+    assert sat.tolist() == [True, False, False, False, False, True]
+    assert (np.abs(m - q * step) >= 0).all()
