@@ -530,3 +530,34 @@ def test_sq8_floor_clip_negatives():
     assert fq.tolist() == [-200, -2, -1, 0, 0, 500]
     assert sat.tolist() == [True, False, False, False, False, True]
     assert (np.abs(m - q * step) >= 0).all()
+
+
+def test_interval_union_sweep_brute():
+    rng = np.random.default_rng(144)
+    for _ in range(200):
+        nc = int(rng.integers(10, 60))
+        spans = []
+        for j in range(entry.SPAN_K):
+            s = int(rng.integers(0, nc))
+            e = min(s + int(rng.integers(1, 25)), nc)
+            spans.append((s, e))
+        # brute: boolean cover array
+        cover = np.zeros(nc, bool)
+        for s, e in spans:
+            cover[s:e] = True
+        want = int(cover.sum())
+        # sweep mirror
+        spans_sorted = sorted(spans)
+        covered, cur = 0, -1
+        for s, e in spans_sorted:
+            covered += max(e - max(s, cur), 0)
+            cur = max(cur, e)
+        assert covered == want
+
+
+def test_log2_band_digitize_matches_bitlength():
+    pow2 = 1 << np.arange(1, 63, dtype=np.int64)
+    g = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 5000], np.int64)
+    band = np.searchsorted(pow2, g, side="right")
+    want = np.array([x.bit_length() - 1 for x in g.tolist()])
+    assert (band == want).all()
