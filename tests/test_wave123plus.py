@@ -561,3 +561,49 @@ def test_log2_band_digitize_matches_bitlength():
     band = np.searchsorted(pow2, g, side="right")
     want = np.array([x.bit_length() - 1 for x in g.tolist()])
     assert (band == want).all()
+
+
+def test_pair_shift_enumeration_complete():
+    # the shift trick enumerates exactly the C(m,2) within-order pairs
+    import itertools
+
+    o = np.array([1, 1, 1, 2, 2, 3], np.int64)
+    p = np.array([10, 20, 30, 10, 40, 50], np.int64)
+    got = set()
+    for k in range(1, 6):
+        if k >= len(o):
+            break
+        same = o[k:] == o[:-k]
+        for a, b in zip(p[:-k][same], p[k:][same]):
+            got.add((int(a), int(b)))
+    want = set()
+    for key in (1, 2, 3):
+        items = p[o == key].tolist()
+        want |= set(itertools.combinations(items, 2))
+    assert got == want
+
+
+def test_bipartite_bfs_detects_odd_cycle():
+    from collections import defaultdict, deque
+
+    def check(edges):
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+            adj[b].append(a)
+        color, odd = {}, 0
+        start = min(adj)
+        color[start] = 0
+        dq = deque([start])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in color:
+                    color[v] = color[u] ^ 1
+                    dq.append(v)
+                elif color[v] == color[u]:
+                    odd = 1
+        return odd
+
+    assert check([(1, 2), (2, 3), (3, 1)]) == 1  # triangle
+    assert check([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0  # square
