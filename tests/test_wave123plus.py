@@ -607,3 +607,19 @@ def test_bipartite_bfs_detects_odd_cycle():
 
     assert check([(1, 2), (2, 3), (3, 1)]) == 1  # triangle
     assert check([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0  # square
+
+
+def test_ceil_form_matches_under_both_division_semantics():
+    # (a + b - 1) // b == ceil(a/b) for positive ints under floor AND trunc
+    import math
+
+    for a in [1, 19, 20, 21, 95, 100, 137]:
+        for b in [1, 2, 20, 100]:
+            assert (a + b - 1) // b == math.ceil(a / b)
+
+
+def test_rule_confidence_directionality():
+    # conf(a->b) uses sup(a); the reverse rule uses sup(b)
+    sup_ab, sup_a, sup_b = 4, 8, 16
+    assert 1_000_000 * sup_ab // sup_a == 500_000
+    assert 1_000_000 * sup_ab // sup_b == 250_000
