@@ -309,6 +309,14 @@ def run_suite() -> dict:
         "mann_whitney", "getis_ord", "term_burstiness", "interval_overlap_join",
         "k_truss", "host_pld_stats", "anchor_text_agg", "redirect_chain_resolve",
         "bloom_fpr_report", "graph_diameter", "cms_error_report", "kdtree_partition",
+        # round-5 continuation operators (waves 202-271)
+        "huffman_code_lengths", "lru_stack_distance", "polygon_rasterize",
+        "lis_per_user", "interval_scheduling", "weighted_interval_sched",
+        "rdp_simplify", "token_bucket", "inventory_ss_policy",
+        "oph_minhash", "xdoc_dup_grams", "matching_engine",
+        "grid_dijkstra", "site_percolation", "robin_hood_probes",
+        "join_order_dp", "merge_path_split", "shapley_max_credit",
+        "wilcoxon_signed", "kruskal_components", "lattice_pi",
     ]:
         if time.time() - ext_t0 > ext_budget:
             extended[name] = -1.0  # skipped: extended budget exhausted
